@@ -1,0 +1,926 @@
+"""TPC-H q1–q22, adapted to the driver's trimmed star schema (FIXTURES.md §1:
+no partsupp; no l_commitdate/l_receiptdate/l_shipmode; no p_container/p_mfgr;
+Decimal→Double, Date→Timestamp).
+
+Reference queries: /root/reference/benchmarks/queries/q{1..22}.sql and the
+golden sqllogictests at
+/root/reference/datafusion/sqllogictest/test_files/tpch/q{N}.slt.part.
+Where a column is missing the query keeps the reference's operator SHAPE
+(join pattern, subquery pattern, agg pattern) with a substituted predicate —
+noted per query.
+
+Spark-first notes:
+- Dims (region, nation) are explicitly broadcast (DataFusion CollectLeft,
+  SURVEY.md §2.3); supplier/part/customer are left to AQE + the 64 MiB
+  autoBroadcastJoinThreshold so the same code scales to SF100+ where `part`
+  stops being broadcastable.
+- Aggregates are plain groupBy().agg() — Catalyst plans partial+final hash
+  aggregation (DataFusion AggregateExec Partial/Final, SURVEY.md §2.4).
+- ORDER BY + LIMIT compiles to TakeOrderedAndProject (DataFusion TopK,
+  SURVEY.md §2.6).
+- Money sums are rounded in BOTH engines so double summation order can't
+  flip the hash compare; all LIMIT queries carry a unique tiebreaker sort key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_datafusion_spark.session import load_tables
+
+def _rev():
+    """l_extendedprice * (1 - l_discount) — built lazily (needs a live session)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, names=tuple(names))
+    return [tabs[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q1 — pricing summary report (full-scan agg). Reference: benchmarks/queries/q1.sql
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q2 — min-cost supplier (correlated scalar subquery → min-join). Adapted:
+# partsupp is gone, so the part↔supplier link is DISTINCT (l_partkey,
+# l_suppkey) and "cost" is s_acctbal. Shape kept: scalar-subquery equality
+# against a per-part min over a region-filtered supplier set.
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier, lineitem, nation, region = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    eur_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = part.filter(F.col("p_size") == 15)
+    # Semi-filter the fact table on the (small) filtered part set BEFORE the
+    # distinct: the dedup shuffle then sees only matching rows. Catalyst can't
+    # reorder a join below an Aggregate itself, so express it directly.
+    links = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
+    )
+    cand = p.join(links, F.col("p_partkey") == F.col("l_partkey")).join(
+        eur_supp, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = cand.groupBy(F.col("p_partkey").alias("mk_partkey")).agg(
+        F.min("s_acctbal").alias("min_acctbal")
+    )
+    return (
+        cand.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mk_partkey"))
+            & (F.col("s_acctbal") == F.col("min_acctbal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supplier, (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) links,
+     nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_size = 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM supplier s2, (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l2,
+         nation n2, region r2
+    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q3 — shipping priority (3-way join + agg + top-k). o_shippriority column
+# absent → dropped from output; shape unchanged.
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q4 — order priority check (EXISTS → left-semi join). l_commitdate/
+# l_receiptdate absent → "late" means shipped >60 days after order date.
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = o.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT * FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q5 — local supplier volume (6-way join incl. customer-supplier same-nation).
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q6 — forecasting revenue change (pure filter + scalar agg; the pushdown demo).
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q7 — volume shipping between two nations (self-join of nation, OR predicate).
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    shipping = (
+        supplier.join(lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+            )
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            _rev().alias("volume"),
+        )
+    )
+    return (
+        shipping.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q8 — national market share (8-way join, conditional agg ratio).
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier, lineitem, orders, customer, nation, region = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation_name")
+    )
+    allrows = (
+        part.filter(F.col("p_type") == "ECONOMY")
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+            )
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("nation_name"),
+        )
+    )
+    return (
+        allrows.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation_name") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation_name = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 4)
+         AS mkt_share
+FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation_name
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        AND p_type = 'ECONOMY') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q9 — product type profit. ps_supplycost absent → cost modeled as
+# 0.5 * p_retailprice per unit; LIKE filter on p_name kept.
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier, lineitem, orders, nation = _t(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    profit = (
+        part.filter(F.col("p_name").like("%widget%"))
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (_rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")).alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey AND p_name LIKE '%widget%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — returned item reporting (join + agg + top-20).
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock. partsupp absent → supplier account-balance share per
+# nation; shape kept: group-agg + uncorrelated scalar subquery in HAVING.
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    total = supplier.agg((F.sum("s_acctbal") * 0.05).alias("threshold"))
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("raw_value"))
+        .join(F.broadcast(total))  # 1-row cross join ≡ scalar subquery
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("n_name", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "n_name")
+    )
+
+
+Q11_SQL = """
+SELECT n_name, ROUND(SUM(s_acctbal), 2) AS value
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.05 FROM supplier)
+ORDER BY value DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — shipping modes / priority. l_shipmode+l_receiptdate absent → group by
+# l_linestatus, "late" = shipped >30 days after order date; CASE-count agg kept.
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — customer distribution (left outer join with ON-clause filter, then
+# histogram of counts). o_comment NOT LIKE filter → o_orderpriority <>.
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    c_orders = (
+        customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — promotion effect (conditional agg ratio). p_type LIKE 'PROMO%' → = 'PROMO'.
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — top supplier (view + scalar MAX subquery).
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue0 = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue_raw"))
+    )
+    max_rev = revenue0.agg(F.max("total_revenue_raw").alias("max_revenue"))
+    return (
+        revenue0.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue_raw") == F.col("max_revenue"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue_raw", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue_raw
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(total_revenue_raw, 2) AS total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue_raw = (SELECT MAX(total_revenue_raw) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — parts/supplier relationship. partsupp → lineitem link; NOT IN
+# anti-join subquery kept (comment LIKE → s_acctbal < 0 as "complaints").
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        part.filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        )
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (correlated scalar AVG subquery →
+# per-part avg join). p_container absent → p_size = 10.
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 10))
+        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("p_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size = 10
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — large volume customer (IN over grouped-HAVING subquery).
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q19 — discounted revenue (disjunction of conjunctive range predicates;
+# p_container/l_shipmode absent → p_size + quantity ranges).
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 — potential part promotion (nested IN subqueries + grouped HAVING;
+# partsupp/availqty absent → per (supplier, part) shipped quantity > 30).
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, nation, lineitem, part = _t(
+        spark, sf_dir, "supplier", "nation", "lineitem", "part"
+    )
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy_suppliers = (
+        lineitem.join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("part_qty"))
+        .filter(F.col("part_qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_5")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 30)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS on the same
+# fact table). receipt/commit dates absent → "waiting" = this supplier's line
+# shipped strictly last among multi-supplier 'F' orders shipped >60d late.
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem, orders, nation = _t(
+        spark, sf_dir, "supplier", "lineitem", "orders", "nation"
+    )
+    l1 = lineitem.select(
+        F.col("l_orderkey").alias("l1_orderkey"),
+        F.col("l_suppkey").alias("l1_suppkey"),
+        F.col("l_shipdate").alias("l1_shipdate"),
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = lineitem.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    base = (
+        l1.join(orders, F.col("o_orderkey") == F.col("l1_orderkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .filter(F.col("l1_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l1_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l1_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l1_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l1_suppkey"))
+            & (F.col("l3_shipdate") > F.col("l1_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(supplier, F.col("s_suppkey") == F.col("l1_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q22 — global sales opportunity (NOT EXISTS anti-join + uncorrelated scalar
+# AVG subquery). c_phone absent → country code = c_custkey % 10.
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    cntry = (F.col("c_custkey") % 10).cast("int")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_acctbal")
+    )
+    return (
+        customer.filter(cntry.isin(1, 3, 5, 7, 9))
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_acctbal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(cntry.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM (SELECT CAST(c_custkey % 10 AS INTEGER) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE CAST(c_custkey % 10 AS INTEGER) IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+QUERIES = {f"tpch_q{i}": globals()[f"q{i}"] for i in range(1, 23)}
+ORACLE = {f"tpch_q{i}": globals()[f"Q{i}_SQL"] for i in range(1, 23)}

@@ -1,0 +1,121 @@
+"""SparkSession construction + table registration.
+
+Mirrors the reference's ``SessionContext`` session/catalog role
+(/root/reference/datafusion/core/src/execution/context/mod.rs:457 `sql`,
+session state at session_state.rs:524) — but here the "engine" is a tuned
+SparkSession and a set of registered temp views; Catalyst runs the whole
+query lifecycle (SURVEY.md §3).
+
+Scale notes (100 TB target):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  join-strategy switching replace DataFusion's static JoinSelection /
+  EnforceDistribution physical rules (SURVEY.md §4.3).
+- shuffle.partitions defaults to cores locally; on a real cluster this is
+  only the AQE *initial* value (adaptive coalescing picks the final count).
+- autoBroadcastJoinThreshold raised: TPC-H dims (region/nation/supplier/
+  customer/part) stay broadcast-able well past SF100.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTRA_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime (SQL) confs — safe to set on a session we did not build, e.g. the
+# driver-provided one. Static JVM confs (memory, master) go in build_spark only.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dims up to 64 MiB broadcast — TPC-H region/nation/supplier/part joins
+    # become broadcast-hash (DataFusion CollectLeft mode, SURVEY.md §2.3).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type — read as
+    # long and convert (ns→µs truncation policy, SURVEY.md §1.2).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow-accelerated pandas UDF exchange for the operators that need it.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def build_spark(app: str = "arrow-datafusion-spark", cpus: int | None = None) -> SparkSession:
+    """Build the tuned local session (tests/bench). The driver passes its own
+    session to entry()/queries(); those paths only apply runtime confs."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime confs to an externally-built session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — keep going
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# DataFrame handles are immutable logical plans — memoize per (session, dir,
+# table) so repeated queries don't re-run parquet footer/schema jobs (~100 ms
+# each; at 22 bench queries × ~4 tables that is seconds of pure overhead).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing types (ns-timestamp → µs)."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    prepare(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # TIMESTAMP(NANOS) read as long ns since epoch → truncate to µs.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Load + register temp views (the `register_parquet` role of the
+    reference's ListingTable, datafusion/core/src/datasource/listing/table.rs:617)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
