@@ -18,16 +18,39 @@ Spark-first notes:
   aggregation (DataFusion AggregateExec Partial/Final, SURVEY.md §2.4).
 - ORDER BY + LIMIT compiles to TakeOrderedAndProject (DataFusion TopK,
   SURVEY.md §2.6).
-- Money sums are rounded in BOTH engines so double summation order can't
-  flip the hash compare; all LIMIT queries carry a unique tiebreaker sort key.
+- Money sums accumulate in DECIMAL(38,6) in BOTH engines (exact addition is
+  order-independent, so Spark's partitioned partial/final agg order vs the
+  oracle's sequential sum cannot flip the hash compare), then round and cast
+  back to double; all LIMIT queries carry a unique tiebreaker sort key.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arrow_datafusion_spark.session import load_tables
+
+# Exact accumulator type for money sums — addition in decimal is associative,
+# unlike double, so the result is independent of Spark's partitioning.
+_DEC = "decimal(38,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent money sum: decimal accumulate → round → double."""
+    return F.round(F.sum(_c(col).cast(_DEC)), scale).cast("double").alias(alias)
+
+
+def _davg(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Order-independent average: exact decimal sum / count, one double division."""
+    return F.round(
+        F.sum(_c(col).cast(_DEC)).cast("double") / F.count(F.lit(1)), scale
+    ).alias(alias)
+
 
 def _rev():
     """l_extendedprice * (1 - l_discount) — built lazily (needs a live session)."""
@@ -47,13 +70,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum(_rev(), "sum_disc_price"),
+            _dsum(_rev() * (1 + F.col("l_tax")), "sum_charge"),
+            _davg("l_quantity", "avg_qty"),
+            _davg("l_extendedprice", "avg_price"),
+            _davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,13 +85,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -104,15 +127,13 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = p.join(links, F.col("p_partkey") == F.col("l_partkey")).join(
         eur_supp, F.col("l_suppkey") == F.col("s_suppkey")
     )
-    min_cost = cand.groupBy(F.col("p_partkey").alias("mk_partkey")).agg(
-        F.min("s_acctbal").alias("min_acctbal")
-    )
+    # Per-part min via a window instead of a groupBy + self-join: one shuffle
+    # on p_partkey and the cand join subtree executes ONCE (the self-join form
+    # re-ran the whole subtree twice — at 100 TB that doubles the heaviest join).
+    w = Window.partitionBy("p_partkey")
     return (
-        cand.join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mk_partkey"))
-            & (F.col("s_acctbal") == F.col("min_acctbal")),
-        )
+        cand.withColumn("min_acctbal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_acctbal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -152,7 +173,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dsum(_rev(), "revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate")
         )
@@ -163,7 +184,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        CAST(o_orderdate AS DATE) AS o_orderdate
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -230,13 +251,13 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dsum(_rev(), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -257,12 +278,12 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
-        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
 
 
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -307,13 +328,13 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipping.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(_dsum("volume", "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 Q7_SQL = """
-SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -365,8 +386,12 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         allrows.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation_name") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation_name") == "NATION_3", F.col("volume"))
+                    .otherwise(0.0)
+                    .cast(_DEC)
+                ).cast("double")
+                / F.sum(F.col("volume").cast(_DEC)).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -376,7 +401,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT o_year,
-       ROUND(SUM(CASE WHEN nation_name = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 4)
+       ROUND(CAST(SUM(CAST(CASE WHEN nation_name = 'NATION_3' THEN volume ELSE 0 END
+                          AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4)
          AS mkt_share
 FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -414,13 +441,13 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         profit.groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(_dsum("amount", "sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year, CAST(ROUND(SUM(CAST(amount AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_profit
 FROM (SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
@@ -448,7 +475,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dsum(_rev(), "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -457,7 +484,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -474,11 +501,13 @@ LIMIT 20
 # nation; shape kept: group-agg + uncorrelated scalar subquery in HAVING.
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, nation = _t(spark, sf_dir, "supplier", "nation")
-    total = supplier.agg((F.sum("s_acctbal") * 0.05).alias("threshold"))
+    total = supplier.agg(
+        (F.sum(F.col("s_acctbal").cast(_DEC)).cast("double") * 0.05).alias("threshold")
+    )
     return (
         supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum("s_acctbal").alias("raw_value"))
+        .agg(F.sum(F.col("s_acctbal").cast(_DEC)).cast("double").alias("raw_value"))
         .join(F.broadcast(total))  # 1-row cross join ≡ scalar subquery
         .filter(F.col("raw_value") > F.col("threshold"))
         .select("n_name", F.round("raw_value", 2).alias("value"))
@@ -487,11 +516,13 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q11_SQL = """
-SELECT n_name, ROUND(SUM(s_acctbal), 2) AS value
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS value
 FROM supplier, nation
 WHERE s_nationkey = n_nationkey
 GROUP BY n_name
-HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.05 FROM supplier)
+HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) * 0.05 FROM supplier)
 ORDER BY value DESC, n_name
 """
 
@@ -579,8 +610,10 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
-                / F.sum(_rev()),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0).cast(_DEC)
+                ).cast("double")
+                / F.sum(_rev().cast(_DEC)).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -588,9 +621,11 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+SELECT ROUND(100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                               AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                    AS DOUBLE), 4) AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -607,15 +642,22 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).alias("total_revenue_raw"))
+        .agg(F.sum(_rev().cast(_DEC)).alias("total_revenue_raw"))
     )
-    max_rev = revenue0.agg(F.max("total_revenue_raw").alias("max_revenue"))
+    # Global-max scalar subquery via an empty-partition window: revenue0 (one
+    # row per supplier — small even at SF100k) is computed ONCE; the broadcast
+    # self-join form re-ran the whole lineitem scan + agg twice. The equality
+    # compares exact decimals, so partition order can't drop the top supplier.
     return (
-        revenue0.join(F.broadcast(max_rev))
+        revenue0.withColumn(
+            "max_revenue", F.max("total_revenue_raw").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue_raw") == F.col("max_revenue"))
         .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.round("total_revenue_raw", 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue_raw", 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -624,11 +666,11 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue0 AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue_raw
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue_raw
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, ROUND(total_revenue_raw, 2) AS total_revenue
+SELECT s_suppkey, s_name, CAST(ROUND(total_revenue_raw, 2) AS DOUBLE) AS total_revenue
 FROM supplier, revenue0
 WHERE s_suppkey = supplier_no
   AND total_revenue_raw = (SELECT MAX(total_revenue_raw) FROM revenue0)
@@ -681,12 +723,17 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("p_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size = 10
   AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
@@ -709,7 +756,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(_dsum("l_quantity", "sum_qty"))
         .select(
             "c_name",
             "c_custkey",
@@ -726,7 +773,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
@@ -762,12 +809,12 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_dsum(_rev(), "revenue"))
     )
 
 
 Q19_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND (
       (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -889,34 +936,44 @@ LIMIT 100
 
 # --------------------------------------------------------------------------
 # q22 — global sales opportunity (NOT EXISTS anti-join + uncorrelated scalar
-# AVG subquery). c_phone absent → country code = c_custkey % 10.
+# AVG subquery). c_phone absent → country code = c_custkey % 10. Every
+# customer in this dataset has orders, so the anti-join is against the
+# *urgent-priority* order subset (keeps the NOT EXISTS shape non-trivially:
+# 40 rows at sf0.01 instead of the vacuous 0).
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     cntry = (F.col("c_custkey") % 10).cast("int")
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_acctbal")
+        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_acctbal"
+        )
     )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         customer.filter(cntry.isin(1, 3, 5, 7, 9))
         .join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_acctbal"))
-        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy(cntry.alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum("c_acctbal", "totacctbal"),
         )
         .orderBy("cntrycode")
     )
 
 
 Q22_SQL = """
-SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS totacctbal
 FROM (SELECT CAST(c_custkey % 10 AS INTEGER) AS cntrycode, c_acctbal
       FROM customer
       WHERE CAST(c_custkey % 10 AS INTEGER) IN (1, 3, 5, 7, 9)
-        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-        AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)) custsale
+        AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT * FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
 """

@@ -90,20 +90,24 @@ def table_path(sf_dir: str, name: str) -> str:
 # DataFrame handles are immutable logical plans — memoize per (session, dir,
 # table) so repeated queries don't re-run parquet footer/schema jobs (~100 ms
 # each; at 22 bench queries × ~4 tables that is seconds of pure overhead).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by applicationId (stable, unique per live session — unlike id(spark),
+# which CPython can reuse after a stopped session is GC'd).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types (ns-timestamp → µs)."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     prepare(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # TIMESTAMP(NANOS) read as long ns since epoch → truncate to µs.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # TIMESTAMP(NANOS) read as long ns since epoch → truncate to µs with
+        # integer division (float division would promote the ~1.7e18 ns value
+        # to double and lose up to ~256 ns of precision).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _TABLE_CACHE[key] = df
     return df
 

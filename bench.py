@@ -22,7 +22,10 @@ from arrow_datafusion_spark.session import build_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:  # dir name doesn't encode a scale factor
+        sf = None
     spark = build_spark(app="adf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Scale-appropriate tuning for sub-GB inputs: ~75k rows/partition at

@@ -59,7 +59,15 @@ def _norm(v: Any) -> Any:
 
 
 def _sort_key(row: tuple) -> tuple:
-    return tuple((v is None, str(type(v)), str(v)) for v in row)
+    # Floats are rounded to the comparison tolerance in the sort key so two
+    # nearly-equal values can't sort into different positions (which would
+    # mispair rows and fail a multiset that actually matches within tolerance).
+    def k(v: Any) -> tuple:
+        if isinstance(v, float) and not isinstance(v, bool):
+            return (v is None, "float", f"{v:.6e}")
+        return (v is None, str(type(v)), str(v))
+
+    return tuple(k(v) for v in row)
 
 
 def _values_close(a: Any, b: Any, rtol: float = 1e-6) -> bool:
