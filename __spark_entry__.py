@@ -28,11 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries() -> tuple[dict, dict]:
-    from arrow_datafusion_spark.queries import tpch
+    from arrow_datafusion_spark.queries import functions_suite, sqlsuite, tpch
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (tpch,):
+    for mod in (tpch, functions_suite, sqlsuite):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

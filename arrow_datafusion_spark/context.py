@@ -1,0 +1,234 @@
+"""SessionContext — the engine's front door, mirroring DataFusion's
+``SessionContext`` (reference: datafusion/core/src/execution/context/mod.rs:457
+``sql``, :state at session_state.rs:524; DataFrame entry SURVEY.md §3.2).
+
+The Spark-first design: ``sql()`` hands the (lightly rewritten) query string to
+``spark.sql`` so Catalyst runs the entire lifecycle (parse → analyze →
+optimize → physical plan → AQE), exactly the pipeline DataFusion hand-rolls in
+SURVEY.md §3.1 steps 1–7. Registration methods map 1:1:
+
+    DataFusion                                  here
+    ----------                                  ----
+    ctx.register_parquet(name, path)            same (spark.read.parquet + view)
+    ctx.register_csv / register_json / avro     same
+    ctx.register_table(name, provider)          register_table(name, df)
+    ctx.table(name)                             same
+    ctx.sql(q) -> DataFrame                     same (returns pyspark DataFrame)
+    ctx.register_udf/udaf                       register_udf / register_pandas_udf
+    information_schema                          Spark catalog (SHOW TABLES ...)
+
+At 100 TB nothing here adds overhead: registration is lazy (views over file
+scans keep predicate pushdown + partition pruning), and the rewrite layer is
+string-level only (no extra plan nodes).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-exported for users)
+
+from arrow_datafusion_spark.session import (
+    ALL_TABLES,
+    DEFAULT_SF_DIR,
+    build_spark,
+    load_table,
+    prepare,
+)
+
+# PostgreSQL-ish type names DataFusion accepts that Spark SQL spells differently
+_TYPE_MAP = {
+    "text": "STRING",
+    "bytea": "BINARY",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "bool": "BOOLEAN",
+}
+
+# SQL-macro definitions (Spark 4 SQL UDFs) registered once per session so
+# DataFusion's function names resolve inside ctx.sql() even where Spark's
+# builtin has a different name / argument order. All pure SQL — JVM-side,
+# codegen-friendly, no Python round trip.
+_SQL_MACROS = (
+    # datafusion/functions/src/unicode/strpos.rs (args: string, substring)
+    "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+    "RETURNS INT RETURN locate(sub, s)",
+    # datafusion/functions/src/datetime/date_bin.rs:44 — fixed-width bucketing
+    "CREATE OR REPLACE TEMPORARY FUNCTION date_bin("
+    "stride INTERVAL DAY TO SECOND, ts TIMESTAMP, origin TIMESTAMP) "
+    "RETURNS TIMESTAMP RETURN timestamp_micros(CAST("
+    "unix_micros(ts) - pmod(unix_micros(ts) - unix_micros(origin), "
+    "CAST((extract(SECOND FROM stride) + 60*extract(MINUTE FROM stride) + "
+    "3600*extract(HOUR FROM stride) + 86400*extract(DAY FROM stride)) * 1000000 "
+    "AS BIGINT)) AS BIGINT))",
+    # datafusion/functions/src/datetime/to_unixtime.rs
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP) "
+    "RETURNS BIGINT RETURN unix_timestamp(ts)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_seconds(n BIGINT) "
+    "RETURNS TIMESTAMP RETURN timestamp_seconds(n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_millis(n BIGINT) "
+    "RETURNS TIMESTAMP RETURN timestamp_millis(n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_micros(n BIGINT) "
+    "RETURNS TIMESTAMP RETURN timestamp_micros(n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_nanos(n BIGINT) "
+    "RETURNS TIMESTAMP RETURN timestamp_micros(n div 1000)",
+    # datafusion/functions-array aliases over Spark natives
+    "CREATE OR REPLACE TEMPORARY FUNCTION array_has(a ARRAY<STRING>, v STRING) "
+    "RETURNS BOOLEAN RETURN array_contains(a, v)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION array_to_string(a ARRAY<STRING>, sep STRING) "
+    "RETURNS STRING RETURN array_join(a, sep)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(s STRING, sep STRING) "
+    "RETURNS ARRAY<STRING> RETURN split(s, CASE WHEN sep IS NULL THEN '' "
+    "ELSE regexp_replace(sep, '([\\\\^$.|?*+()\\\\[\\\\]{}])', '\\\\\\\\$1') END)",
+    # datafusion/functions/src/core/nvl.rs & friends
+    "CREATE OR REPLACE TEMPORARY FUNCTION list_element(a ARRAY<STRING>, i INT) "
+    "RETURNS STRING RETURN element_at(a, i)",
+)
+
+
+def _rewrite_sql(q: str) -> str:
+    """Rewrite the PostgreSQL-isms DataFusion accepts but Spark SQL rejects.
+
+    Spark 4 already handles ``::`` casts, ``||`` concat, and ANSI intervals,
+    so only a short list remains. String literals are shielded first so the
+    rewrites can't touch quoted text.
+    """
+    # shield '...' literals
+    lits: list[str] = []
+
+    def _shield(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    q = re.sub(r"'(?:[^']|'')*'", _shield, q)
+
+    # a !~ b / a ~* b / a ~ b  →  (NOT) a RLIKE b  (case-insensitive via (?i))
+    q = re.sub(r"!~\*", " NOT RLIKE \x01(?i)\x01 || ", q)
+    q = re.sub(r"!~", " NOT RLIKE ", q)
+    q = re.sub(r"~\*", " RLIKE \x01(?i)\x01 || ", q)
+    q = re.sub(r"(?<![<>!=\^])~(?!=)", " RLIKE ", q)
+
+    # postgres type names — only in cast positions (``::type`` or
+    # ``CAST(x AS type)``), since names like ``text`` are also valid columns
+    for pg, sp in _TYPE_MAP.items():
+        q = re.sub(rf"::\s*{pg}\b", f"::{sp}", q, flags=re.IGNORECASE)
+        q = re.sub(rf"\bAS\s+{pg}\s*\)", f"AS {sp})", q, flags=re.IGNORECASE)
+
+    # unshield; the \x01(?i)\x01 marker becomes a quoted (?i) prefix
+    q = q.replace("\x01(?i)\x01 || ", "'(?i)' || ")
+    q = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], q)
+    return q
+
+
+class SessionContext:
+    """DataFusion-shaped session facade over a tuned SparkSession."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = prepare(spark) if spark is not None else build_spark()
+        self._tables: dict[str, DataFrame] = {}
+        self._macros_done = False
+
+    # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
+
+    def _ensure_macros(self) -> None:
+        if not self._macros_done:
+            for ddl in _SQL_MACROS:
+                self.spark.sql(ddl)
+            self._macros_done = True
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self._tables[name] = df
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.register_table(name, self.spark.read.parquet(path))
+
+    def register_csv(self, name: str, path: str, **options) -> None:
+        """CSV with schema inference at registration time — the reference
+        infers on register too (file_format/csv.rs ``infer_schema``)."""
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+        self.register_table(name, self.spark.read.options(**options).csv(path))
+
+    def register_json(self, name: str, path: str, **options) -> None:
+        """Newline-delimited JSON (NdJsonExec, physical_plan/json.rs:53)."""
+        self.register_table(name, self.spark.read.options(**options).json(path))
+
+    def register_avro(self, name: str, path: str) -> None:
+        self.register_table(name, self.spark.read.format("avro").load(path))
+
+    def register_arrow(self, name: str, path: str) -> None:
+        """Arrow IPC file (ArrowExec, physical_plan/arrow_file.rs:49) — read
+        via pyarrow into a DataFrame (no native Spark IPC source)."""
+        import pyarrow.ipc as ipc
+
+        with open(path, "rb") as fh:
+            tbl = ipc.open_file(fh).read_all()
+        self.register_table(name, self.spark.createDataFrame(tbl.to_pandas()))
+
+    def register_view(self, name: str, sql: str) -> None:
+        self.register_table(name, self.sql(sql))
+
+    def register_testdata(self, sf_dir: str = DEFAULT_SF_DIR) -> None:
+        """Register the driver's fixture tables (TESTDATA.md)."""
+        for t in ALL_TABLES:
+            self.register_table(t, load_table(self.spark, sf_dir, t))
+
+    def deregister_table(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        self._tables.pop(name, None)
+
+    # -- catalog ------------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables.get(name) or self.spark.table(name)
+
+    def tables(self) -> list[str]:
+        return sorted(
+            {t.name for t in self.spark.catalog.listTables()} | set(self._tables)
+        )
+
+    def table_exist(self, name: str) -> bool:
+        return name in self.tables()
+
+    # -- readers (DataFrame API entry, SURVEY.md §3.2) ----------------------
+
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def read_csv(self, path: str, **options) -> DataFrame:
+        options.setdefault("header", True)
+        options.setdefault("inferSchema", True)
+        return self.spark.read.options(**options).csv(path)
+
+    def read_json(self, path: str, **options) -> DataFrame:
+        return self.spark.read.options(**options).json(path)
+
+    # -- the entry point ----------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Parse/plan/optimize via Catalyst (SURVEY.md §3.1 steps 1–7)."""
+        self._ensure_macros()
+        return self.spark.sql(_rewrite_sql(query))
+
+    # -- UDF surface (SURVEY.md §2.11) --------------------------------------
+
+    def register_udf(self, name: str, fn: Callable, return_type) -> None:
+        """Row-at-a-time scalar UDF (ScalarUDFImpl, expr/src/udf.rs:328).
+        Prefer register_pandas_udf — this is the slow path."""
+        self.spark.udf.register(name, fn, return_type)
+
+    def register_pandas_udf(self, name: str, fn: Callable, return_type) -> None:
+        """Vectorized (Arrow-batched) scalar UDF — the fast Python path."""
+        from pyspark.sql.functions import pandas_udf
+
+        self.spark.udf.register(name, pandas_udf(fn, return_type))
+
+    def register_sql_macro(self, ddl: str) -> None:
+        """Register a pure-SQL function (Spark 4 SQL UDF) — zero Python cost."""
+        self.spark.sql(ddl)

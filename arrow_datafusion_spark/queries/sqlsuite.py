@@ -1,0 +1,211 @@
+"""SQL front-end suite: queries that enter through ``SessionContext.sql()``
+(the reference's #1 entry point, datafusion/core/src/execution/context/mod.rs:457)
+rather than the DataFrame API. Each entry feeds DataFusion-flavored SQL
+(``::`` casts, ``~`` regex, SQL macros like strpos/date_bin/to_unixtime)
+through the rewrite layer + Catalyst, oracled by DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arrow_datafusion_spark.context import SessionContext
+from arrow_datafusion_spark.session import load_tables
+
+_CTX_CACHE: dict[tuple[str, str], SessionContext] = {}
+
+
+def _ctx(spark: SparkSession, sf_dir: str) -> SessionContext:
+    """One SessionContext per (session, sf_dir) — registration is idempotent
+    and cheap (temp views over cached DataFrame handles)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        ctx = SessionContext(spark)
+        load_tables(spark, sf_dir)  # registers all fixture views
+        _CTX_CACHE[key] = ctx
+    return ctx
+
+
+# --------------------------------------------------------------------------
+def sql_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→agg→sort through ctx.sql, with :: casts and || concat."""
+    return _ctx(spark, sf_dir).sql("""
+        SELECT o_orderpriority || '!' AS prio,
+               count(*)::int8 AS cnt,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY prio
+    """)
+
+
+SQL_BASIC_SQL = """
+SELECT o_orderpriority || '!' AS prio,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY prio
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_tilde_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL ``~`` / ``!~`` regex operators → RLIKE rewrite."""
+    return _ctx(spark, sf_dir).sql("""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE text ~ '^key' AND source !~ '[02468]$'
+        ORDER BY doc_id
+    """)
+
+
+SQL_TILDE_REGEX_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE regexp_matches(text, '^key') AND NOT regexp_matches(source, '[02468]$')
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFusion function names resolved via SQL macros: strpos, date_bin,
+    to_unixtime, to_timestamp_seconds (datetime/date_bin.rs:44 et al)."""
+    return _ctx(spark, sf_dir).sql("""
+        SELECT event_id,
+               strpos(event_type, 'i') AS p,
+               date_bin(INTERVAL '15' MINUTE, ts, TIMESTAMP '1970-01-01') AS bin15,
+               to_unixtime(ts) AS unix_s,
+               to_timestamp_seconds(event_id + 1500000000) AS ts_s
+        FROM events
+        WHERE event_type ~ 'click|view'
+        ORDER BY event_id
+    """)
+
+
+SQL_MACROS_SQL = """
+SELECT event_id,
+       strpos(event_type, 'i') AS p,
+       time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '1970-01-01') AS bin15,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+       make_timestamp((event_id + 1500000000) * 1000000) AS ts_s
+FROM events
+WHERE regexp_matches(event_type, 'click|view')
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + correlated EXISTS + scalar subquery (Catalyst decorrelates,
+    mirroring optimizer/src/decorrelate_predicate_subquery.rs)."""
+    return _ctx(spark, sf_dir).sql("""
+        WITH big_cust AS (
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                                    / COUNT(*) * 1.8 FROM customer)
+        )
+        SELECT b.c_custkey, b.c_name,
+               CAST(ROUND(CAST(b.c_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE) AS bal
+        FROM big_cust b
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = b.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY b.c_custkey
+    """)
+
+
+SQL_CTE_SUBQUERY_SQL = """
+WITH big_cust AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                            / COUNT(*) * 1.8 FROM customer)
+)
+SELECT b.c_custkey, b.c_name,
+       CAST(ROUND(CAST(b.c_acctbal AS DECIMAL(38,6)), 2) AS DOUBLE) AS bal
+FROM big_cust b
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = b.c_custkey AND o.o_orderstatus = 'F')
+ORDER BY b.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES relation (ValuesExec, physical-plan/src/values.rs:40) joined
+    against a table, plus GROUP BY ordinal."""
+    return _ctx(spark, sf_dir).sql("""
+        SELECT v.region_class, count(*) AS n
+        FROM nation n
+        JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high'), (3, 'top'), (4, 'top'))
+             AS v(rk, region_class)
+          ON n.n_regionkey = v.rk
+        GROUP BY 1
+        ORDER BY 1
+    """)
+
+
+SQL_VALUES_JOIN_SQL = """
+SELECT v.region_class, count(*) AS n
+FROM nation n
+JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high'), (3, 'top'), (4, 'top'))
+     AS v(rk, region_class)
+  ON n.n_regionkey = v.rk
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_case_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression kernels through SQL: CASE, IN, BETWEEN, LIKE,
+    IS NULL, NOT, negation (physical-expr/src/expressions/, SURVEY.md §2.2)."""
+    return _ctx(spark, sf_dir).sql("""
+        SELECT p_partkey,
+               CASE WHEN p_size BETWEEN 1 AND 10 THEN 'small'
+                    WHEN p_size IN (15, 23, 45) THEN 'picked'
+                    ELSE 'other' END AS bucket,
+               (p_name LIKE '%widget%') AS is_widget,
+               (p_retailprice IS NULL) AS no_price,
+               -p_size AS neg_size,
+               NOT (p_brand = 'Brand#1') AS not_b1
+        FROM part
+        WHERE p_partkey <= 500
+        ORDER BY p_partkey
+    """)
+
+
+SQL_CASE_IN_BETWEEN_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size BETWEEN 1 AND 10 THEN 'small'
+            WHEN p_size IN (15, 23, 45) THEN 'picked'
+            ELSE 'other' END AS bucket,
+       (p_name LIKE '%widget%') AS is_widget,
+       (p_retailprice IS NULL) AS no_price,
+       -p_size AS neg_size,
+       NOT (p_brand = 'Brand#1') AS not_b1
+FROM part
+WHERE p_partkey <= 500
+ORDER BY p_partkey
+"""
+
+
+QUERIES = {
+    "sql_basic": sql_basic,
+    "sql_tilde_regex": sql_tilde_regex,
+    "sql_macros": sql_macros,
+    "sql_cte_subquery": sql_cte_subquery,
+    "sql_values_join": sql_values_join,
+    "sql_case_in_between": sql_case_in_between,
+}
+ORACLE = {
+    "sql_basic": SQL_BASIC_SQL,
+    "sql_tilde_regex": SQL_TILDE_REGEX_SQL,
+    "sql_macros": SQL_MACROS_SQL,
+    "sql_cte_subquery": SQL_CTE_SUBQUERY_SQL,
+    "sql_values_join": SQL_VALUES_JOIN_SQL,
+    "sql_case_in_between": SQL_CASE_IN_BETWEEN_SQL,
+}
