@@ -28,11 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries() -> tuple[dict, dict]:
-    from arrow_datafusion_spark.queries import functions_suite, sqlsuite, tpch
+    from arrow_datafusion_spark.queries import (
+        aggregates,
+        functions_suite,
+        sqlsuite,
+        tpch,
+        windows,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (tpch, functions_suite, sqlsuite):
+    for mod in (tpch, functions_suite, sqlsuite, windows, aggregates):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles
