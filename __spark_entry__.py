@@ -31,6 +31,7 @@ def _registries() -> tuple[dict, dict]:
     from arrow_datafusion_spark.queries import (
         aggregates,
         functions_suite,
+        llm,
         sqlsuite,
         tpch,
         windows,
@@ -38,7 +39,7 @@ def _registries() -> tuple[dict, dict]:
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (tpch, functions_suite, sqlsuite, windows, aggregates):
+    for mod in (tpch, functions_suite, sqlsuite, windows, aggregates, llm):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

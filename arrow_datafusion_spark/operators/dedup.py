@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB contract):
+- NOTHING here is all-pairs. Exact dedup is one hash-partitioned groupBy on a
+  16-byte digest. MinHash candidate generation is a self-equi-join on
+  (band_id, band_key) — only documents sharing an LSH bucket ever meet, so
+  the shuffle carries (doc_id, 4 band keys) per doc, not O(n²) pairs.
+- All hashing is md5 (JVM builtin, whole-stage codegen) so the same
+  computation is expressible in the DuckDB oracle and is cluster-deterministic
+  (no Python, no seed state on executors).
+
+Reference has no dedup operator; the MinHash construction follows the
+classic Broder scheme (shingle → k independent min-hashes → banded LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "char_shingles",
+    "minhash_signature",
+    "lsh_band_keys",
+    "exact_dedup_groups",
+    "minhash_candidate_pairs",
+    "minhash_near_duplicates",
+    "simhash16",
+]
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of ``text`` (the MinHash universe)."""
+    n = F.greatest(F.char_length(text) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(text, i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """num_hashes independent min-hashes: min over md5('<seed>:' || shingle).
+
+    md5 with a distinct seed prefix per hash function approximates an
+    independent permutation of the shingle universe; the min survives
+    partial aggregation (it's a plain MIN), so Catalyst computes this
+    map-side at scale.
+    """
+    # NB: closure factory, not `lambda sh, s=s:` — PySpark derives the HOF's
+    # arity from the python lambda's full parameter list, so a default arg
+    # would silently receive the element-index column instead of the seed.
+    def seeded(s: int):
+        prefix = f"{s}:"
+        return lambda sh: F.md5(F.concat(F.lit(prefix), sh))
+
+    return [
+        F.array_min(F.transform(shingles, seeded(s))) for s in range(num_hashes)
+    ]
+
+
+def lsh_band_keys(sig: list[Column], rows_per_band: int = 4) -> Column:
+    """Group the signature into bands; each band hashes to one bucket key.
+
+    Two docs collide in band b iff their signatures agree on ALL rows of the
+    band — the standard (b, r) S-curve: P(collision) = 1 - (1 - j^r)^b for
+    Jaccard j. Returns array<struct<band int, key string>> to explode.
+    """
+    bands = []
+    for b in range(0, len(sig), rows_per_band):
+        key = F.md5(F.concat_ws("|", *sig[b : b + rows_per_band]))
+        bands.append(
+            F.struct(F.lit(b // rows_per_band).alias("band"), key.alias("key"))
+        )
+    return F.array(*bands)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-partitioned groupBy on md5(text). Returns one row per
+    distinct content: (digest, keep_id = min id, n_copies, dup_ids sorted).
+
+    At 100 TB this is a single shuffle on a 32-char digest — the canonical
+    map-side-combine aggregation; no content string ever crosses the wire.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_sort(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) via bucket self-join — the scalable
+    core: docs only meet if a whole band matches."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("shingles")
+    )
+    sig = minhash_signature(F.col("shingles"), num_hashes)
+    banded = sh.select(
+        "doc", F.explode(lsh_band_keys(sig, rows_per_band)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs verified by exact Jaccard over shingle sets.
+
+    Verification joins the (small) candidate set back to per-doc shingle
+    arrays — two hash joins keyed on doc id, each touching only candidate
+    docs, not the corpus.
+    """
+    sh = df.select(
+        F.col(id_col).alias("sid"), char_shingles(F.col(text_col), k).alias("shingles")
+    )
+    pairs = minhash_candidate_pairs(df, id_col, text_col, k, num_hashes, rows_per_band)
+    a = sh.select(F.col("sid").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("sid").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(tokens: Column) -> Column:
+    """16-bit SimHash over a token array (near-dup signature for Hamming
+    bucketing): bit j is the sign of sum over tokens of ±1 according to bit j
+    of the token's md5 (one bit per hex digit, parity of the digit value).
+
+    Pure integer arithmetic end-to-end — exact on any engine.
+    """
+    toks = F.array_distinct(tokens)
+
+    def hex_digit_val(t: Column, j: int) -> Column:
+        # value of hex digit j of md5(token): position in '0123456789abcdef'
+        return (
+            F.call_function(
+                "locate", F.substring(F.md5(t), j + 1, 1), F.lit("0123456789abcdef")
+            )
+            - 1
+        )
+
+    def contrib_fn(j: int):  # closure factory — see arity note above
+        return lambda acc, t: acc + ((hex_digit_val(t, j) % 2) * 2 - 1)
+
+    out = F.lit(0)
+    for j in range(16):
+        contrib = F.aggregate(toks, F.lit(0), contrib_fn(j))
+        out = out + F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << j)
+    return out

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the north star:
+- ``cosine_topk``: brute-force exact top-k — the baseline. Queries are
+  broadcast (small side); the corpus is scanned once per batch of queries;
+  ranking is a per-query window top-k (TakeOrdered shape). Cost O(|Q|·|N|) —
+  correct at any scale where |Q| is small, and embarrassingly parallel.
+- ``lsh_cosine_topk``: random-hyperplane LSH — the 100 TB path. Each vector
+  gets an 8-bit bucket from the signs of 8 hyperplane projections; queries
+  probe only their own bucket (an equi-join on the bucket id), cutting the
+  candidate set ~256× before exact scoring. Hyperplanes come from an integer
+  LCG, so bucketing is bit-exact reproducible on any engine (oracle-able) —
+  no RNG state shipped to executors.
+
+All arithmetic is built-in Column expressions (zip_with + aggregate folds),
+JVM-side; no Python UDF in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "cosine", "cosine_topk", "lcg_plane", "hyperplane_bucket", "lsh_cosine_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic addition order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
+
+    Plan shape: broadcast(queries) ⨯ corpus → window row_number ≤ k. The
+    similarity is rounded to 6dp BEFORE ranking (with the id as tiebreaker)
+    so ranking is stable across engines and partitionings.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "sim", "rn")
+    )
+
+
+def lcg_plane(p: int, dims: int) -> Column:
+    """Hyperplane p as an array of ``dims`` pseudo-random components in
+    [-1, 1), from the classic glibc LCG on index p*dims+d. Integer arithmetic
+    → bit-exact on every engine."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: (
+            (F.lit(1103515245).cast("bigint") * (p * dims + d) + 12345) % 2147483648
+        )
+        / 2147483648.0
+        * 2
+        - 1,
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
+    """LSH bucket id: bit p = sign(vec · plane_p); 2^planes buckets."""
+    out = F.lit(0)
+    for p in range(planes):
+        out = out + F.when(dot(vec, lcg_plane(p, dims)) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ) * (1 << p)
+    return out
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates (equi-join on the
+    bucket id — the shuffle key — instead of a cross join)."""
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("nv"), planes, dims))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes, dims))
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "sim", "rn")
+    )
