@@ -30,16 +30,31 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registries() -> tuple[dict, dict]:
     from arrow_datafusion_spark.queries import (
         aggregates,
+        eventsuite,
         functions_suite,
         llm,
+        relational,
+        sources,
         sqlsuite,
         tpch,
+        udfs,
         windows,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (tpch, functions_suite, sqlsuite, windows, aggregates, llm):
+    for mod in (
+        tpch,
+        functions_suite,
+        sqlsuite,
+        windows,
+        aggregates,
+        llm,
+        relational,
+        sources,
+        udfs,
+        eventsuite,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
     return queries, oracles

@@ -1,0 +1,126 @@
+"""Event-time suite over the ``events`` fixture: tumbling, sliding, and
+session windows with the exact expressions the streaming pipeline uses
+(F.window / F.session_window — SURVEY.md §2.10). Batch-mode here for
+oracle-ability; arrow_datafusion_spark/streaming runs the same expressions
+under readStream + watermark (smoke-tested in tests/test_streaming.py).
+
+The reference has no watermark/event-time machinery (its date_bin is the
+closest analog) — this surface is capability-parity-plus per the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_datafusion_spark.session import load_tables
+
+_DEC = "decimal(38,6)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("events",))["events"]
+
+
+# --------------------------------------------------------------------------
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (groupBy(F.window(...)))."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01') AS w_start,
+       time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01') + INTERVAL '1 hour' AS w_end,
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide) — each event lands in 2 windows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH placed AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01')
+           - k * INTERVAL '1 hour' AS w_start
+  FROM events, (SELECT unnest([0, 1]) AS k) offs
+)
+SELECT w_start, w_start + INTERVAL '2 hours' AS w_end, count(*) AS n
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per event type
+    (F.session_window — no reference analog; gaps-and-islands in the oracle)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH marked AS (
+  SELECT event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), numbered AS (
+  SELECT event_type, ts,
+         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT min(ts) AS w_start,
+       max(ts) + INTERVAL '30 minutes' AS w_end,
+       event_type, count(*) AS n
+FROM numbered
+GROUP BY event_type, sess_id
+"""
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
+    "events_session": events_session,
+}
+ORACLE = {
+    "events_tumbling": EVENTS_TUMBLING_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
+    "events_session": EVENTS_SESSION_SQL,
+}

@@ -1,0 +1,229 @@
+"""Relational-operator suite: set operations, the full join-type matrix,
+unnest/struct access, limit/offset (SURVEY.md §2.2/§2.3/§2.6/§2.7).
+
+Reference: union.rs:89, logical_plan/builder.rs:977-1030 (INTERSECT/EXCEPT
+lowering to semi/anti joins), join_type.rs:30-47 (8 join types),
+unnest.rs:60, limit.rs:43; test corpus union.slt / joins.slt / unnest.slt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_datafusion_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=(name,))[name]
+
+
+# --------------------------------------------------------------------------
+def setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / UNION / INTERSECT [ALL] / EXCEPT [ALL] over two
+    overlapping order subsets, tagged and stacked into one multiset."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("op"), F.col("o_custkey"))
+
+    return (
+        tag(a.unionAll(b), "union_all")
+        .unionAll(tag(a.union(b).distinct(), "union_distinct"))
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.intersectAll(b), "intersect_all"))
+        .unionAll(tag(a.subtract(b), "except"))
+        .unionAll(tag(a.exceptAll(b), "except_all"))
+    )
+
+
+SETOPS_SQL = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'union_all' AS op, o_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+UNION ALL SELECT 'union_distinct', o_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+UNION ALL SELECT 'intersect', o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL SELECT 'intersect_all', o_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL SELECT 'except', o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL SELECT 'except_all', o_custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+"""
+
+
+# --------------------------------------------------------------------------
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left / right / full outer with unmatched rows on BOTH sides (nations
+    0-14 vs supplier-holding nations ≥ 10), stacked with an op tag."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    cond = F.col("n_nationkey") == F.col("s_nationkey")
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("op"),
+            F.col("n_nationkey"),
+            F.col("s_nationkey"),
+            F.col("n_supp"),
+        )
+
+    return (
+        tag(n.join(s, cond, "left_outer"), "left")
+        .unionAll(tag(n.join(s, cond, "right_outer"), "right"))
+        .unionAll(tag(n.join(s, cond, "full_outer"), "full"))
+        .unionAll(tag(n.join(s, cond, "inner"), "inner"))
+    )
+
+
+JOIN_OUTER_SQL = """
+WITH n AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 15),
+     s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+           WHERE s_nationkey >= 10 GROUP BY s_nationkey)
+SELECT 'left' AS op, n_nationkey, s_nationkey, n_supp
+FROM n LEFT JOIN s ON n_nationkey = s_nationkey
+UNION ALL SELECT 'right', n_nationkey, s_nationkey, n_supp
+FROM n RIGHT JOIN s ON n_nationkey = s_nationkey
+UNION ALL SELECT 'full', n_nationkey, s_nationkey, n_supp
+FROM n FULL JOIN s ON n_nationkey = s_nationkey
+UNION ALL SELECT 'inner', n_nationkey, s_nationkey, n_supp
+FROM n JOIN s ON n_nationkey = s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti plus right_semi / right_anti (expressed by
+    swapping inputs, exactly how the reference lowers them —
+    join_type.rs:30-47)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+
+    left_semi = c.join(o, cond, "left_semi").select("c_custkey")
+    left_anti = c.join(o, cond, "left_anti").select("c_custkey")
+    # right_semi(c, o) ≡ left_semi(o, c): urgent orders that have a customer
+    right_semi = o.join(c, cond, "left_semi").select(
+        F.col("o_orderkey").alias("c_custkey")
+    )
+    right_anti = o.join(c, cond, "left_anti").select(
+        F.col("o_orderkey").alias("c_custkey")
+    )
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(left_semi, "left_semi")
+        .unionAll(tag(left_anti, "left_anti"))
+        .unionAll(tag(right_semi, "right_semi"))
+        .unionAll(tag(right_anti, "right_anti"))
+    )
+
+
+JOIN_SEMI_ANTI_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'left_semi' AS op, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'left_anti', c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'right_semi', o_orderkey FROM o
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'right_anti', o_orderkey FROM o
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+def join_theta_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrossJoinExec (cross_join.rs:55) and a pure theta join with no equi
+    key (NestedLoopJoinExec, nested_loop_join.rs:141)."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cross = r.crossJoin(n.select(F.col("n_nationkey").alias("nk"))).select(
+        F.lit("cross").alias("op"), "r_regionkey", F.col("nk").alias("k2")
+    )
+    # pure theta: no equality — region key strictly between nation-derived bounds
+    theta = r.join(
+        n, (F.col("r_regionkey") * 5 < F.col("n_nationkey"))
+        & (F.col("n_nationkey") <= F.col("r_regionkey") * 5 + 5),
+        "inner",
+    ).select(F.lit("theta").alias("op"), "r_regionkey", F.col("n_nationkey").alias("k2"))
+    return cross.unionAll(theta)
+
+
+JOIN_THETA_CROSS_SQL = """
+SELECT 'cross' AS op, r_regionkey, n_nationkey AS k2 FROM region CROSS JOIN nation
+UNION ALL
+SELECT 'theta', r_regionkey, n_nationkey AS k2
+FROM region JOIN nation
+  ON r_regionkey * 5 < n_nationkey AND n_nationkey <= r_regionkey * 5 + 5
+"""
+
+
+# --------------------------------------------------------------------------
+def unnest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnnestExec (unnest.rs:60): posexplode of an array column + struct
+    field access (select(\"s.*\") shape)."""
+    d = _t(spark, sf_dir, "documents")
+    words3 = F.slice(F.split(F.col("text"), " "), 1, 3)
+    meta = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("nc"))
+    return (
+        d.select("doc_id", F.posexplode(words3).alias("pos", "word"), meta.alias("m"))
+        .select(
+            "doc_id",
+            "pos",
+            "word",
+            F.col("m.lang").alias("lang"),
+            F.col("m.nc").alias("nc"),
+        )
+    )
+
+
+UNNEST_STRUCT_SQL = """
+WITH t AS (SELECT doc_id, (string_split(text, ' '))[1:3] AS w3, lang, n_chars
+           FROM documents)
+SELECT doc_id, i - 1 AS pos, w3[CAST(i AS INT)] AS word, lang, n_chars AS nc
+FROM t, (SELECT unnest(range(1, 4)) AS i) idx
+WHERE i <= len(w3)
+"""
+
+
+# --------------------------------------------------------------------------
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalLimit + offset (limit.rs:43,267; Spark 3.4+ offset)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(25)
+    )
+
+
+LIMIT_OFFSET_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 25 OFFSET 100
+"""
+
+
+QUERIES = {
+    "setops": setops,
+    "join_outer": join_outer,
+    "join_semi_anti": join_semi_anti,
+    "join_theta_cross": join_theta_cross,
+    "unnest_struct": unnest_struct,
+    "limit_offset": limit_offset,
+}
+ORACLE = {
+    "setops": SETOPS_SQL,
+    "join_outer": JOIN_OUTER_SQL,
+    "join_semi_anti": JOIN_SEMI_ANTI_SQL,
+    "join_theta_cross": JOIN_THETA_CROSS_SQL,
+    "unnest_struct": UNNEST_STRUCT_SQL,
+    "limit_offset": LIMIT_OFFSET_SQL,
+}

@@ -1,0 +1,214 @@
+"""Source/sink suite (SURVEY.md §2.1): CSV / NDJSON / Arrow-IPC scans with
+registration-time schema inference, file writers (parquet/csv/json) with
+hive-partitioned round-trips, and DDL (CTAS + INSERT INTO) through ctx.sql.
+
+Reference: CsvExec csv.rs:54, NdJsonExec json.rs:53, ArrowExec
+arrow_file.rs:49, DataSinkExec insert.rs:83, file-format writers
+(parquet.rs:351, csv.rs:338, json.rs:234); corpus csv_files.slt, copy.slt,
+insert.slt.
+
+Each entry materializes a derived file under a per-process temp dir, reads
+it back through SessionContext registration, and aggregates — the oracle
+computes the same aggregate straight from the fixture parquet, so a broken
+writer/reader/inference path shows up as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_datafusion_spark.context import SessionContext
+from arrow_datafusion_spark.session import load_tables
+
+_DEC = "decimal(38,6)"
+
+
+def _tmp(name: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), f"adfspark-{os.getpid()}")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=(name,))[name]
+
+
+# --------------------------------------------------------------------------
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → csv (header) → register_csv with schema inference →
+    filtered aggregate. Exercises CsvExec + csv writer both ways."""
+    ctx = SessionContext(spark)
+    path = _tmp("customer_csv")
+    (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    ctx.register_csv("customer_csv", path)
+    return ctx.sql("""
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+        FROM customer_csv
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """)
+
+
+SCAN_CSV_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+FROM customer
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+def scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (sans timestamp) → newline-delimited JSON → register_json →
+    aggregate. Exercises NdJsonExec + json writer."""
+    ctx = SessionContext(spark)
+    path = _tmp("events_json")
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    ctx.register_json("events_json", path)
+    return ctx.sql("""
+        SELECT event_type, count(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+        FROM events_json
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+SCAN_NDJSON_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+def scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Arrow IPC file → register_arrow (pyarrow bridge,
+    ArrowExec role) → per-lang aggregate."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    ctx = SessionContext(spark)
+    path = _tmp("documents.arrow")
+    pdf = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .toPandas()
+    )
+    with pa.OSFile(path, "wb") as fh:
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        with ipc.new_file(fh, tbl.schema) as writer:
+            writer.write_table(tbl)
+    ctx.register_arrow("documents_arrow", path)
+    return ctx.sql("""
+        SELECT lang, count(*) AS n, sum(n_chars) AS chars
+        FROM documents_arrow GROUP BY lang ORDER BY lang
+    """)
+
+
+SCAN_ARROW_SQL = """
+SELECT lang, count(*) AS n, sum(n_chars) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+def write_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write (partitionBy) → directory re-scan →
+    partition-pruned aggregate: the ListingTable + DataSinkExec round trip.
+    The filter on the partition column must prune directories at 100 TB."""
+    ctx = SessionContext(spark)
+    path = _tmp("lineitem_part")
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    ctx.register_parquet("lineitem_rt", path)
+    return ctx.sql("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS qty
+        FROM lineitem_rt
+        WHERE l_returnflag IN ('A', 'R')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+WRITE_PARQUET_ROUNDTRIP_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_ddl_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL/DML through ctx.sql: CTAS into an external parquet table, then
+    INSERT INTO appends, then query (Statement/Dml plan variants;
+    insert.slt / ddl.slt shape)."""
+    ctx = SessionContext(spark)
+    load_tables(spark, sf_dir, names=("nation", "region"))
+    # fresh empty dir per invocation — CTAS refuses a non-empty LOCATION
+    loc = tempfile.mkdtemp(prefix="adfspark-nation-summary-")
+    ctx.sql("DROP TABLE IF EXISTS nation_summary")
+    ctx.sql(f"""
+        CREATE TABLE nation_summary USING PARQUET LOCATION '{loc}'
+        AS SELECT n_regionkey, count(*) AS n_nations
+           FROM nation WHERE n_nationkey < 20 GROUP BY n_regionkey
+    """)
+    ctx.sql("""
+        INSERT INTO nation_summary
+        SELECT n_regionkey + 100, count(*) FROM nation
+        WHERE n_nationkey >= 20 GROUP BY n_regionkey
+    """)
+    return ctx.sql(
+        "SELECT n_regionkey, n_nations FROM nation_summary ORDER BY n_regionkey"
+    )
+
+
+SQL_DDL_INSERT_SQL = """
+SELECT n_regionkey, n_nations FROM (
+  SELECT n_regionkey, count(*) AS n_nations
+  FROM nation WHERE n_nationkey < 20 GROUP BY n_regionkey
+  UNION ALL
+  SELECT n_regionkey + 100, count(*) FROM nation
+  WHERE n_nationkey >= 20 GROUP BY n_regionkey
+) ORDER BY n_regionkey
+"""
+
+
+QUERIES = {
+    "scan_csv": scan_csv,
+    "scan_ndjson": scan_ndjson,
+    "scan_arrow": scan_arrow,
+    "write_parquet_roundtrip": write_parquet_roundtrip,
+    "sql_ddl_insert": sql_ddl_insert,
+}
+ORACLE = {
+    "scan_csv": SCAN_CSV_SQL,
+    "scan_ndjson": SCAN_NDJSON_SQL,
+    "scan_arrow": SCAN_ARROW_SQL,
+    "write_parquet_roundtrip": WRITE_PARQUET_ROUNDTRIP_SQL,
+    "sql_ddl_insert": SQL_DDL_INSERT_SQL,
+}

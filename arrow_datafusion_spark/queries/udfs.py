@@ -1,0 +1,104 @@
+"""UDF-surface suite (SURVEY.md §2.11): scalar UDF (row-at-a-time), Arrow-
+vectorized pandas UDF, and a grouped UDAF via applyInPandas — registered
+through SessionContext, used from SQL, oracle-compared to DuckDB.
+
+Reference traits: ScalarUDFImpl udf.rs:328, AggregateUDFImpl udaf.rs:317,
+partition_evaluator udwf.rs:251; core/tests/user_defined/.
+
+The pandas UDF is the production path (Arrow batch transfer); the
+row-at-a-time UDF exists for API parity and is kept off large inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_datafusion_spark.context import SessionContext
+from arrow_datafusion_spark.session import load_tables
+
+
+# --------------------------------------------------------------------------
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF: token count over Arrow batches."""
+    ctx = SessionContext(spark)
+    load_tables(spark, sf_dir, names=("documents",))
+
+    # no type hints: pandas_udf would try to infer the signature from them
+    # and we pass the return type explicitly at registration
+    def py_token_count(s):
+        return s.str.split().map(len).astype("int32")
+
+    ctx.register_pandas_udf("py_token_count", py_token_count, "int")
+    return ctx.sql("""
+        SELECT doc_id, py_token_count(text) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """)
+
+
+UDF_PANDAS_SCALAR_SQL = r"""
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time scalar UDF (the slow path — API parity only)."""
+    ctx = SessionContext(spark)
+    load_tables(spark, sf_dir, names=("nation",))
+
+    def parity(k) -> str:
+        return "even" if k is not None and k % 2 == 0 else "odd"
+
+    ctx.register_udf("py_parity", parity, "string")
+    return ctx.sql("""
+        SELECT n_nationkey, py_parity(n_nationkey) AS parity
+        FROM nation ORDER BY n_nationkey
+    """)
+
+
+UDF_PYTHON_SCALAR_SQL = """
+SELECT n_nationkey, CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM nation ORDER BY n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas (the AggregateUDFImpl analog):
+    per-language geometric mean of document length."""
+    import math
+
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["n_chars"].astype(float)
+        g = math.exp(sum(math.log(v) for v in vals) / len(vals))
+        return pd.DataFrame({"lang": [pdf["lang"].iloc[0]], "geo_chars": [round(g, 4)]})
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(geomean, "lang string, geo_chars double")
+        .orderBy("lang")
+    )
+
+
+UDAF_GROUPED_SQL = """
+SELECT lang, round(exp(sum(ln(CAST(n_chars AS DOUBLE))) / count(*)), 4) AS geo_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES = {
+    "udf_pandas_scalar": udf_pandas_scalar,
+    "udf_python_scalar": udf_python_scalar,
+    "udaf_grouped": udaf_grouped,
+}
+ORACLE = {
+    "udf_pandas_scalar": UDF_PANDAS_SCALAR_SQL,
+    "udf_python_scalar": UDF_PYTHON_SCALAR_SQL,
+    "udaf_grouped": UDAF_GROUPED_SQL,
+}
