@@ -33,6 +33,7 @@ def _registries() -> tuple[dict, dict]:
         eventsuite,
         functions_suite,
         llm,
+        recursion,
         relational,
         sources,
         sqlsuite,
@@ -54,6 +55,7 @@ def _registries() -> tuple[dict, dict]:
         sources,
         udfs,
         eventsuite,
+        recursion,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)

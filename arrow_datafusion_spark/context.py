@@ -216,6 +216,45 @@ class SessionContext:
         self._ensure_macros()
         return self.spark.sql(_rewrite_sql(query))
 
+    # -- introspection (information_schema.rs:45-54, EXPLAIN/DESCRIBE) ------
+
+    def information_schema_tables(self) -> DataFrame:
+        """information_schema.tables emulation over the session catalog."""
+        rows = [
+            (t.catalog or "spark_catalog", t.namespace[0] if t.namespace else "default",
+             t.name, t.tableType)
+            for t in self.spark.catalog.listTables()
+        ]
+        return self.spark.createDataFrame(
+            rows, "table_catalog string, table_schema string, table_name string, "
+            "table_type string",
+        )
+
+    def information_schema_columns(self, table: str) -> DataFrame:
+        """information_schema.columns emulation for one table."""
+        rows = [
+            (table, c.name, i, c.dataType, c.nullable)
+            for i, c in enumerate(self.spark.catalog.listColumns(table))
+        ]
+        return self.spark.createDataFrame(
+            rows, "table_name string, column_name string, ordinal_position int, "
+            "data_type string, is_nullable boolean",
+        )
+
+    def describe_table(self, name: str) -> DataFrame:
+        return self.sql(f"DESCRIBE TABLE {name}")
+
+    def explain_sql(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN through Catalyst (the reference's Explain plan variant)."""
+        plan = self.sql(query)._jdf.queryExecution()
+        return (
+            plan.explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    mode
+                )
+            )
+        )
+
     # -- UDF surface (SURVEY.md §2.11) --------------------------------------
 
     def register_udf(self, name: str, fn: Callable, return_type) -> None:

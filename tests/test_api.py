@@ -1,0 +1,127 @@
+"""API-surface tests: the DataFusion-shaped DataFrame facade, SessionContext
+introspection (information_schema / DESCRIBE / EXPLAIN), GROUPS-frame
+emulation, and the scalar functions DuckDB can't oracle (checked against
+Python-computed expected values)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import uuid as uuid_mod
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from arrow_datafusion_spark.context import SessionContext  # noqa: E402
+from arrow_datafusion_spark.dataframe import DataFrame  # noqa: E402
+from arrow_datafusion_spark.functions.scalar import SCALAR as S  # noqa: E402
+from arrow_datafusion_spark.functions.window import groups_frame  # noqa: E402
+from arrow_datafusion_spark.session import load_tables  # noqa: E402
+
+
+def test_dataframe_facade(spark, sf_dir):
+    tabs = load_tables(spark, sf_dir, names=("nation", "region"))
+    n = DataFrame(tabs["nation"])
+    r = DataFrame(tabs["region"])
+    result = (
+        n.join(r, (["n_regionkey"], ["r_regionkey"]))
+        .filter(F.col("n_nationkey") < 10)
+        .aggregate([F.col("r_name")], [F.count(F.lit(1)).alias("n")])
+        .sort("r_name")
+        .collect()
+    )
+    expected = (
+        tabs["nation"]
+        .join(tabs["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("n_nationkey") < 10)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name")
+        .collect()
+    )
+    assert result == expected
+    # limit with skip, select_columns, with_column, union round trip
+    two = n.sort("n_nationkey").limit(2, skip=3).select_columns("n_nationkey")
+    assert [r.n_nationkey for r in two.collect()] == [3, 4]
+    u = two.union(two)
+    assert u.count() == 4
+    assert u.union_distinct(two).count() == 2
+
+
+def test_context_introspection(spark, sf_dir):
+    ctx = SessionContext(spark)
+    ctx.register_testdata(sf_dir)
+    tables = {r.table_name for r in ctx.information_schema_tables().collect()}
+    assert {"nation", "lineitem", "documents"} <= tables
+    cols = ctx.information_schema_columns("nation").collect()
+    assert [c.column_name for c in cols] == [
+        "n_nationkey", "n_name", "n_regionkey",
+    ]
+    desc = {r.col_name: r.data_type for r in ctx.describe_table("nation").collect()}
+    assert desc["n_nationkey"] in ("int", "bigint")
+    plan = ctx.explain_sql(
+        "SELECT n_name FROM nation WHERE n_nationkey = 3", mode="formatted"
+    )
+    assert "Scan parquet" in plan or "Scan ExistingRDD" in plan
+    # filter must be pushed into the scan, not applied post-hoc only
+    assert "PushedFilters" in plan
+
+
+def test_groups_frame_emulation(spark, sf_dir):
+    """GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW == RANGE over dense_rank."""
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    ranked, spec = groups_frame(o, ["o_orderpriority"], "o_orderdate", -1, 0)
+    got = ranked.select(
+        "o_orderkey", F.count(F.lit(1)).over(spec).alias("n_in_groups")
+    )
+    # oracle: count of rows whose dense_rank is within 1 of mine, same partition
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    manual = (
+        o.withColumn("dr", F.dense_rank().over(w))
+        .withColumn(
+            "n_in_groups",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("o_orderpriority").orderBy("dr").rangeBetween(-1, 0)
+            ),
+        )
+        .select("o_orderkey", "n_in_groups")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+
+
+def test_scalar_functions_without_oracle(spark):
+    row = (
+        spark.range(1)
+        .select(
+            S["initcap"](F.lit("hello world")).alias("ic"),
+            S["overlay"](F.lit("hello"), F.lit("XX"), F.lit(2)).alias("ov"),
+            S["sha224"](F.lit("abc")).alias("s224"),
+            S["sha384"](F.lit("abc")).alias("s384"),
+            S["sha512"](F.lit("abc")).alias("s512"),
+            S["uuid"]().alias("u"),
+            S["decode"](S["encode"](F.lit("round"), "base64"), "base64")
+            .cast("string")
+            .alias("b64rt"),
+            S["decode"](S["encode"](F.lit("trip"), "hex"), "hex")
+            .cast("string")
+            .alias("hexrt"),
+            S["nanvl"](F.lit(float("nan")), F.lit(7.0)).alias("nv"),
+            S["isnan"](F.sqrt(F.lit(-1.0))).alias("nan_sqrt"),
+            S["arrow_cast"](F.lit("42"), "Int64").alias("ac"),
+        )
+        .first()
+    )
+    assert row.ic == "Hello World"
+    assert row.ov == "hXXlo"
+    assert row.s224 == hashlib.sha224(b"abc").hexdigest()
+    assert row.s384 == hashlib.sha384(b"abc").hexdigest()
+    assert row.s512 == hashlib.sha512(b"abc").hexdigest()
+    assert uuid_mod.UUID(row.u)  # parses as a UUID
+    assert row.b64rt == "round"
+    assert row.hexrt == "trip"
+    assert row.nv == 7.0
+    assert row.nan_sqrt is True
+    assert row.ac == 42
