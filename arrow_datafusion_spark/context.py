@@ -271,3 +271,8 @@ class SessionContext:
     def register_sql_macro(self, ddl: str) -> None:
         """Register a pure-SQL function (Spark 4 SQL UDF) — zero Python cost."""
         self.spark.sql(ddl)
+
+    def register_udtf(self, name: str, udtf_cls) -> None:
+        """Table function (TableFunctionImpl, core/src/datasource/function.rs:28):
+        a Python UDTF usable as ``SELECT * FROM name(...)`` or LATERAL."""
+        self.spark.udtf.register(name, udtf_cls)

@@ -92,13 +92,46 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python table function (TableFunctionImpl analog) in a LATERAL join:
+    one row per token with its position."""
+    from pyspark.sql.functions import udtf
+
+    ctx = SessionContext(spark)
+    load_tables(spark, sf_dir, names=("documents",))
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    ctx.register_udtf("split_words", SplitWords)
+    return ctx.sql("""
+        SELECT d.doc_id, t.pos, t.word
+        FROM documents d, LATERAL split_words(d.text) t
+        WHERE d.doc_id < 50
+    """)
+
+
+UDTF_LATERAL_SQL = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 50) t,
+     (SELECT unnest(range(1, 200)) AS i) idx
+WHERE i <= len(w)
+"""
+
+
 QUERIES = {
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_python_scalar": udf_python_scalar,
     "udaf_grouped": udaf_grouped,
+    "udtf_lateral": udtf_lateral,
 }
 ORACLE = {
     "udf_pandas_scalar": UDF_PANDAS_SCALAR_SQL,
     "udf_python_scalar": UDF_PYTHON_SCALAR_SQL,
     "udaf_grouped": UDAF_GROUPED_SQL,
+    "udtf_lateral": UDTF_LATERAL_SQL,
 }

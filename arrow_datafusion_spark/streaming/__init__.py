@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from arrow_datafusion_spark.session import prepare, table_path
 
-__all__ = ["read_events_stream", "windowed_counts", "run_available_now"]
+__all__ = [
+    "read_events_stream",
+    "windowed_counts",
+    "stream_stream_join",
+    "stateful_type_counts",
+    "run_available_now",
+]
 
 # events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the stream schema
 # sees a long column which we truncate to µs exactly like the batch path.
@@ -61,6 +67,65 @@ def windowed_counts(
             "event_type",
             "n",
         )
+    )
+
+
+def stream_stream_join(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Stream-stream equi join with a time-range condition — the
+    SymmetricHashJoinExec analog (joins/symmetric_hash_join.rs:167): the
+    watermark + time bound is exactly the interval-based state pruning the
+    reference derives with its cp_solver, but declared instead of inferred.
+
+    Joins each click to the same user's views in the preceding ``window``.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL {window} AND c_ts"
+        ),
+        "inner",
+    ).select("click_id", "view_id", "c_user")
+
+
+def stateful_type_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    reference-exceeding §2.10 surface): running per-type event counts kept
+    in explicit group state across micro-batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"event_type": [key[0]], "n": [n]})
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

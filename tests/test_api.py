@@ -92,6 +92,41 @@ def test_groups_frame_emulation(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
 
 
+def test_empty_and_placeholder_relations(spark):
+    """EmptyExec (empty.rs:39) and PlaceholderRowExec (placeholder_row.rs:41):
+    0-row relation with schema; 1-row 0-col SELECT-without-FROM."""
+    empty = spark.createDataFrame([], "a int, b string")
+    assert empty.count() == 0 and [f.name for f in empty.schema] == ["a", "b"]
+    placeholder = spark.sql("SELECT 1 + 1 AS two")
+    assert placeholder.collect() == [(2,)] or placeholder.first().two == 2
+
+
+def test_try_cast_kernel(spark):
+    """TryCastExpr (physical-expr expressions/try_cast.rs): NULL, not error."""
+    row = (
+        spark.range(1)
+        .select(
+            F.lit("12").try_cast("int").alias("ok"),
+            F.lit("nope").try_cast("int").alias("bad"),
+        )
+        .first()
+    )
+    assert row.ok == 12 and row.bad is None
+
+
+def test_approx_percentile_with_weight(spark):
+    from arrow_datafusion_spark.functions.aggregate import AGGREGATE as A
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 3), (4.0, 1)], "v double, w int"
+    )
+    got = df.agg(
+        A["approx_percentile_cont_with_weight"](F.col("v"), F.col("w"), 0.5).alias("p")
+    ).first()
+    # weighted multiset {1,2,3,3,3,4}: the 50th percentile element is 3
+    assert got.p == 3.0
+
+
 def test_scalar_functions_without_oracle(spark):
     row = (
         spark.range(1)
