@@ -26,22 +26,35 @@ def recursive_query(
     step: Callable[[DataFrame], DataFrame],
     distinct: bool = True,
     max_iterations: int = 100,
+    result_partitions: int | None = 1,
 ) -> DataFrame:
     """Evaluate ``WITH RECURSIVE r AS (base UNION [ALL] step(r)) SELECT *``.
 
     ``distinct=True`` is UNION semantics (new rows deduped against
     everything seen — guarantees termination on cyclic data);
     ``distinct=False`` is UNION ALL (caller must guarantee termination).
+
+    ``result_partitions`` bounds the accumulated result's partition count
+    between iterations. Recursive working sets are usually tiny relative to
+    their inputs (frontiers shrink), and without the coalesce each
+    iteration's subtract scans an ever-growing union of many-partition
+    frontiers — pure task-scheduling overhead. Pass None for genuinely
+    large closures.
     """
-    acc = base.localCheckpoint(eager=True)
-    frontier = acc
+    frontier = base.localCheckpoint(eager=True)
+    acc = frontier
     for _ in range(max_iterations):
         nxt = step(frontier)
         if distinct:
             nxt = nxt.distinct().subtract(acc)
+        if result_partitions:
+            nxt = nxt.coalesce(result_partitions)
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc
-        acc = acc.unionAll(nxt).localCheckpoint(eager=True)
+        acc = acc.unionAll(nxt)
+        if result_partitions:
+            acc = acc.coalesce(result_partitions)
+        acc = acc.localCheckpoint(eager=True)
         frontier = nxt
     raise RuntimeError(f"recursive query did not converge in {max_iterations} iterations")

@@ -70,9 +70,14 @@ WITH sh AS (
                         for i in range(1, greatest(len(text)-4, 1)+1)]) AS shingles
   FROM documents
 ), mh AS (
+  -- 4 seeded digests × 4 8-hex-char slices = 16 independent 32-bit minhashes
   SELECT doc_id, shingles,
-         [list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)))
-          for s in range(0, 16)] AS sig
+         flatten([
+           [list_min(list_transform(
+              list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)),
+              m -> m[1 + 8*j : 8 + 8*j]))
+            for j in range(0, 4)]
+           for s in range(0, 4)]) AS sig
   FROM sh
 ), bands AS (
   SELECT doc_id, b,
