@@ -26,6 +26,8 @@ __all__ = [
     "minhash_candidate_pairs",
     "minhash_near_duplicates",
     "simhash16",
+    "word_ngrams",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -237,3 +239,71 @@ def simhash16(tokens: Column) -> Column:
         contrib = F.aggregate(toks, F.lit(0), contrib_fn(j))
         out = out + F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << j)
     return out
+
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a token array."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    anchors: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Word-n-gram Jaccard near-dup: candidate pairs share one of each
+    document's ``anchors`` smallest md5(ngram) values (min-wise anchor
+    prefiltering — a one-band MinHash), then exact n-gram Jaccard ≥
+    threshold verifies.
+
+    Scale shape: each doc emits exactly ``anchors`` join keys, so the
+    candidate join is an equi-join on a 32-char digest — O(collisions), not
+    all-pairs. High-Jaccard pairs share many grams, so with high probability
+    they share a minimum-hash gram (the MinHash argument); anchors=2 is two
+    independent chances. Deterministic end-to-end (md5, integer mins) →
+    bit-reproducible on any engine, no RNG on executors.
+    """
+    g = df.select(
+        F.col(id_col).alias("doc"),
+        word_ngrams(F.split(F.col(text_col), " "), n).alias("grams"),
+    ).localCheckpoint(eager=True)  # feeds anchor join + both verify sides
+    anchored = g.select(
+        "doc",
+        F.explode(
+            F.slice(F.array_sort(F.transform("grams", F.md5)), 1, anchors)
+        ).alias("anchor"),
+    )
+    left = anchored.alias("l")
+    right = anchored.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.anchor") == F.col("r.anchor"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+    a = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("g_b"))
+    jac = F.round(
+        F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b")),
+        6,
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "cosine", "cosine_topk", "lcg_plane", "hyperplane_bucket", "lsh_cosine_topk"]
+__all__ = [
+    "dot",
+    "cosine",
+    "cosine_topk",
+    "lcg_plane",
+    "hyperplane_bucket",
+    "lsh_cosine_topk",
+    "embedding_near_duplicates",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -133,4 +141,50 @@ def lsh_cosine_topk(
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "sim", "rn")
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation + exact cosine verification — the embedding-side analog of
+    MinHash dedup (operators/dedup.py).
+
+    Scale shape: each vector lands in ONE of 2^planes buckets; candidates
+    come from a self-equi-join on the bucket id (the shuffle key), never an
+    all-pairs cross join. The bucketed projection feeds both join sides, so
+    it is materialized once (localCheckpoint) instead of recomputing the
+    8×64-dim hyperplane projections twice; on a cluster this is the
+    intermediate table you'd persist between pipeline stages. Verification
+    cosine is a deterministic sequential fold, rounded to 6dp before the
+    threshold so the cut is engine-stable.
+    """
+    b = (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), planes, dims))
+        .localCheckpoint(eager=True)
+    )
+    left = b.select(
+        F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )

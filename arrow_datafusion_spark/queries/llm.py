@@ -99,6 +99,67 @@ SELECT * FROM scored WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup: min-hash anchor prefilter (2 anchors/doc)
+    then exact Jaccard ≥ 0.3 — equi-join on anchor digests, never all-pairs
+    (operators/dedup.py ngram_jaccard_pairs)."""
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, anchors=2, threshold=0.3
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), anch AS (
+  SELECT doc_id, unnest(list_sort(list_transform(grams, x -> md5(x)))[1:2]) AS anchor
+  FROM g
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM anch a JOIN anch b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
+               / len(list_distinct(list_concat(g1.grams, g2.grams))), 6) AS jaccard
+  FROM cand JOIN g g1 ON g1.doc_id = doc_a JOIN g g2 ON g2.doc_id = doc_b
+)
+SELECT * FROM scored WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucketed candidates
+    verified by exact cosine ≥ 0.3 (operators/similarity.py)."""
+    return SIM.embedding_near_duplicates(
+        _emb(spark, sf_dir), "vec_id", "embedding", threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, v,
+         list_sum([CASE WHEN list_inner_product(v,
+             [((1103515245::BIGINT * (pp*64+d) + 12345) % 2147483648)
+              / 2147483648.0 * 2 - 1 for d in range(0, 64)]) >= 0
+           THEN 1 << pp ELSE 0 END for pp in range(0, 8)]) AS bucket
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+             6) AS cos_sim
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE cos_sim >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (integer-exact) + per-signature collision
     count via a window — near-dup clusters share a signature."""
@@ -292,6 +353,8 @@ ORDER BY doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_ngram": dedup_ngram,
+    "dedup_embedding": dedup_embedding,
     "dedup_simhash": dedup_simhash,
     "ann_cosine": ann_cosine,
     "ann_lsh": ann_lsh,
@@ -302,6 +365,8 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_ngram": DEDUP_NGRAM_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_cosine": ANN_COSINE_SQL,
     "ann_lsh": ANN_LSH_SQL,

@@ -133,6 +133,55 @@ FROM customer
 
 
 # --------------------------------------------------------------------------
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frames (window_frame.rs:418) — Spark has no GROUPS frame type
+    (SURVEY.md §2.5); emulated exactly: dense_rank over the ORDER BY key maps
+    peer groups to consecutive integers, so a RANGE frame over the rank IS a
+    GROUPS frame over the original ordering. (DuckDB lacks GROUPS too, so the
+    oracle re-states the same identity in SQL — see note below.)
+
+    Both windows share partitioning and ordering, so Catalyst evaluates them
+    in one Window exec over one sort — no extra shuffle for the emulation.
+    """
+    o = _orders(spark, sf_dir)
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(_DEC).alias("tp"),
+        F.dense_rank().over(w_rank).alias("_grp"),
+    )
+    w_groups = (
+        Window.partitionBy("o_orderpriority").orderBy("_grp").rangeBetween(-1, 0)
+    )
+    return ranked.select(
+        "o_orderkey",
+        F.sum("tp").over(w_groups).cast("double").alias("sum_groups_1p"),
+        F.count(F.lit(1)).over(w_groups).alias("cnt_groups_1p"),
+    )
+
+
+# DuckDB also lacks GROUPS frames ("not implemented yet"), so the oracle
+# states the same dense_rank→RANGE identity in SQL — an independent engine
+# confirming the emulation's arithmetic, if not the GROUPS keyword itself.
+WINDOW_GROUPS_FRAME_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS tp,
+         dense_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderdate) AS grp
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(sum(tp) OVER w AS DOUBLE) AS sum_groups_1p,
+       count(*) OVER w AS cnt_groups_1p
+FROM ranked
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 def window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates over an un-ordered window (whole-partition evaluation —
     WindowAggExec full-partition mode) + a share-of-partition ratio."""
@@ -167,11 +216,13 @@ QUERIES = {
     "window_rank": window_rank,
     "window_lag_lead": window_lag_lead,
     "window_frames": window_frames,
+    "window_groups_frame": window_groups_frame,
     "window_agg": window_agg,
 }
 ORACLE = {
     "window_rank": WINDOW_RANK_SQL,
     "window_lag_lead": WINDOW_LAG_LEAD_SQL,
     "window_frames": WINDOW_FRAMES_SQL,
+    "window_groups_frame": WINDOW_GROUPS_FRAME_SQL,
     "window_agg": WINDOW_AGG_SQL,
 }
