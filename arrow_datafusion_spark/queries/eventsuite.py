@@ -114,13 +114,57 @@ GROUP BY event_type, sess_id
 """
 
 
+# --------------------------------------------------------------------------
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attributed to the user's most recent
+    at-or-before view (operators/asof.py — union-tag + running last(),
+    one shuffle on user_id). Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from arrow_datafusion_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_id", "view_value"],
+        tiebreak="view_id",
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT event_id AS view_id, ts AS view_ts, user_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.ts, c.user_id, v.view_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+ORDER BY c.event_id
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_session": events_session,
+    "events_asof": events_asof,
 }
 ORACLE = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_session": EVENTS_SESSION_SQL,
+    "events_asof": EVENTS_ASOF_SQL,
 }

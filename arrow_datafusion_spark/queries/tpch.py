@@ -757,27 +757,27 @@ WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size = 10
 
 # --------------------------------------------------------------------------
 # q18 — large volume customer (IN over grouped-HAVING subquery).
+# Plan note: the final GROUP BY is per o_orderkey, so its SUM(l_quantity) is
+# exactly the subquery's per-order total — computed once and carried through
+# the joins instead of re-scanning/re-shuffling lineitem a second time (one
+# lineitem shuffle instead of two, and no second aggregate, at any scale).
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("order_qty"))
+        lineitem.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("order_qty"))
         .filter(F.col("order_qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(_dsum("l_quantity", "sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
-            "sum_qty",
+            F.round("order_qty", 2).cast("double").alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -884,48 +884,57 @@ ORDER BY s_name
 # q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS on the same
 # fact table). receipt/commit dates absent → "waiting" = this supplier's line
 # shipped strictly last among multi-supplier 'F' orders shipped >60d late.
-# Plan note: a single-scan variant (groupBy (orderkey,suppkey) max-shipdate +
-# per-order windows for other-supplier count/max) was measured 1.7× SLOWER
-# than this 3-scan semi/anti form at sf0.1 (two window passes over the
-# supplier-level rows outweigh the extra scans); both shuffle on l_orderkey,
-# so the join form is kept — it also mirrors the reference's query shape.
+# Plan note: the EXISTS/NOT-EXISTS subqueries are window counts over ONE
+# lineitem scan — lineitem shuffles once on l_orderkey and all three window
+# specs reuse that clustering (hash(l_orderkey) satisfies the
+# (l_orderkey, l_suppkey) distribution too, so no second shuffle). The
+# equivalent 3-scan semi/anti-join form measured 1.3× slower at sf0.1 and
+# carries 3 scans + 3 lineitem-sized shuffles at 100 TB; a groupBy-then-
+# window variant measured 1.7× slower still. Identities: "some other
+# supplier's line ships later" ⇔ count(later lines) > count(later own
+# lines); "order has another supplier" ⇔ min(suppkey) ≠ max(suppkey).
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, orders, nation = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation"
     )
-    l1 = lineitem.select(
-        F.col("l_orderkey").alias("l1_orderkey"),
-        F.col("l_suppkey").alias("l1_suppkey"),
-        F.col("l_shipdate").alias("l1_shipdate"),
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        # RANGE frames need a numeric sort key; days since an epoch is exact.
+        F.datediff("l_shipdate", F.lit("1990-01-01")).alias("ship_int"),
     )
-    l2 = lineitem.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    w_ord = Window.partitionBy("l_orderkey")
+    w_gt = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("ship_int")
+        .rangeBetween(1, Window.unboundedFollowing)
     )
-    l3 = lineitem.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
+    w_gt_own = (
+        Window.partitionBy("l_orderkey", "l_suppkey")
+        .orderBy("ship_int")
+        .rangeBetween(1, Window.unboundedFollowing)
     )
-    base = (
-        l1.join(orders, F.col("o_orderkey") == F.col("l1_orderkey"))
-        .filter(F.col("o_orderstatus") == "F")
-        .filter(F.col("l1_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .join(
-            l2,
-            (F.col("l2_orderkey") == F.col("l1_orderkey"))
-            & (F.col("l2_suppkey") != F.col("l1_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l3_orderkey") == F.col("l1_orderkey"))
-            & (F.col("l3_suppkey") != F.col("l1_suppkey"))
-            & (F.col("l3_shipdate") > F.col("l1_shipdate")),
-            "left_anti",
-        )
+    li = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        (F.min("l_suppkey").over(w_ord) != F.max("l_suppkey").over(w_ord)).alias(
+            "has_other"
+        ),
+        F.count(F.lit(1)).over(w_gt).alias("n_later"),
+        F.count(F.lit(1)).over(w_gt_own).alias("n_later_own"),
     )
     return (
-        base.join(supplier, F.col("s_suppkey") == F.col("l1_suppkey"))
+        li.filter(F.col("has_other") & (F.col("n_later") == F.col("n_later_own")))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == "NATION_7")
         .groupBy("s_name")
