@@ -211,6 +211,52 @@ ORDER BY o_orderkey LIMIT 25 OFFSET 100
 """
 
 
+# --------------------------------------------------------------------------
+def sort_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST in all four sort directions (SortExec
+    SortOptions — sort.rs:85; Spark and DuckDB have OPPOSITE defaults, so
+    every branch spells the placement out). The driver hash is row-order-
+    insensitive, so each ordering is made observable through its LIMIT
+    cutoff: which rows survive depends on where the NULLs sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+    )
+
+    def top(variant: str, col) -> DataFrame:
+        return (
+            o.orderBy(col, "o_orderkey")
+            .limit(10)
+            .select(F.lit(variant).alias("variant"), "o_orderkey", "prio")
+        )
+
+    p = F.col("prio")
+    return (
+        top("asc_nf", p.asc_nulls_first())
+        .unionAll(top("asc_nl", p.asc_nulls_last()))
+        .unionAll(top("desc_nf", p.desc_nulls_first()))
+        .unionAll(top("desc_nl", p.desc_nulls_last()))
+    )
+
+
+SORT_NULL_ORDER_SQL = """
+WITH o AS (
+  SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio FROM orders
+)
+SELECT * FROM (SELECT 'asc_nf' AS variant, o_orderkey, prio FROM o
+               ORDER BY prio ASC NULLS FIRST, o_orderkey LIMIT 10)
+UNION ALL
+SELECT * FROM (SELECT 'asc_nl', o_orderkey, prio FROM o
+               ORDER BY prio ASC NULLS LAST, o_orderkey LIMIT 10)
+UNION ALL
+SELECT * FROM (SELECT 'desc_nf', o_orderkey, prio FROM o
+               ORDER BY prio DESC NULLS FIRST, o_orderkey LIMIT 10)
+UNION ALL
+SELECT * FROM (SELECT 'desc_nl', o_orderkey, prio FROM o
+               ORDER BY prio DESC NULLS LAST, o_orderkey LIMIT 10)
+"""
+
+
 QUERIES = {
     "setops": setops,
     "join_outer": join_outer,
@@ -218,6 +264,7 @@ QUERIES = {
     "join_theta_cross": join_theta_cross,
     "unnest_struct": unnest_struct,
     "limit_offset": limit_offset,
+    "sort_null_order": sort_null_order,
 }
 ORACLE = {
     "setops": SETOPS_SQL,
@@ -226,4 +273,5 @@ ORACLE = {
     "join_theta_cross": JOIN_THETA_CROSS_SQL,
     "unnest_struct": UNNEST_STRUCT_SQL,
     "limit_offset": LIMIT_OFFSET_SQL,
+    "sort_null_order": SORT_NULL_ORDER_SQL,
 }
