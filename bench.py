@@ -77,6 +77,30 @@ def main() -> None:
         timings[name.removeprefix("tpch_")] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Data-pipeline operators (dedup / similarity / text / as-of) — one
+    # timed pass each (they are minutes-not-milliseconds operators; min-of-N
+    # would triple bench wall-clock for no extra signal).
+    import __spark_entry__ as entrymod
+
+    pipeline_names = (
+        "dedup_exact",
+        "dedup_ngram",
+        "dedup_embedding",
+        "dedup_simhash",
+        "dedup_minhash",
+        "ann_cosine",
+        "ann_lsh",
+        "text_stats",
+        "events_asof",
+    )
+    qs = entrymod.queries()
+    pipeline: dict[str, float] = {}
+    for name in pipeline_names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        pipeline[name] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -86,6 +110,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "overhead_sec_per_query": overhead,
+                "pipeline_queries": pipeline,
             }
         )
     )

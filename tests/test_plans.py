@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the scale contract, checked in CI.
+
+Correctness tests prove the right rows come back at sf0.01; these prove the
+PLAN is the one that survives 100 TB: filters reach the parquet scan, scans
+prune columns, LSH candidate generation never degrades to an all-pairs
+join, and single-shuffle rewrites actually produce a single shuffle.
+Mirrors the reference's own physical-optimizer tests (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+_QUERIES = entrymod.queries()
+_SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name](spark, _SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan" in ln]
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark):
+    """q6's range predicates must reach the scan, and the scan must read
+    only the 4 referenced columns (of lineitem's 11)."""
+    (scan,) = _scan_lines(_plan(spark, "tpch_q6"))
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert "l_shipdate" in scan.split("DataFilters")[1]
+
+
+def test_q1_column_pruning(spark):
+    (scan,) = _scan_lines(_plan(spark, "tpch_q1"))
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) == 7  # only the referenced lineitem columns
+
+
+def test_q21_single_lineitem_shuffle(spark):
+    """The EXISTS/NOT-EXISTS window rewrite must keep ONE l_orderkey
+    exchange — three window specs sharing the clustering, not re-shuffling."""
+    plan = _plan(spark, "tpch_q21")
+    okey_exchanges = re.findall(r"hashpartitioning\(l_orderkey", plan)
+    assert len(okey_exchanges) == 1, plan
+    assert len(_scan_lines(plan)) <= 4  # lineitem once + orders/supplier/nation
+
+
+def test_asof_single_key_shuffle(spark):
+    """asof_join = one hash exchange on the key; no range/theta join."""
+    plan = _plan(spark, "events_asof")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_lsh", "dedup_minhash", "dedup_ngram", "dedup_embedding"]
+)
+def test_bucketed_candidates_never_all_pairs(spark, name):
+    """Every near-dup / ANN candidate stage must be an equi-join on a
+    bucket/anchor key — an all-pairs plan (cartesian or broadcast nested
+    loop) would be quadratic at scale."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
