@@ -110,6 +110,18 @@ def _slicer(j: int):
     return lambda m: F.substring(m, 1 + 8 * j, 8)
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition by id iff the input is under-partitioned for the
+    session's core count. Signature/shingle projection is CPU-bound (~16
+    md5s per shingle), so a single-file parquet input (1 split) would pin
+    the whole stage to one core; on a real cluster the input already has
+    enough splits and this is a no-op — no gratuitous corpus shuffle."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want, id_col)
+    return df
+
+
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("shingles")
@@ -132,7 +144,7 @@ def minhash_candidate_pairs(
     subexpression elimination can't dedupe them — a named column is computed
     once per row regardless (measured 2× on the signature stage).
     """
-    sh = _shingle_df(df, id_col, text_col, k)
+    sh = _shingle_df(_spread(df, id_col), id_col, text_col, k)
     nseeds = (num_hashes + 3) // 4
     dig = sh.select(
         "doc",
@@ -193,11 +205,16 @@ def minhash_near_duplicates(
         df, id_col, text_col, k, num_hashes, rows_per_band
     ).localCheckpoint(eager=True)
     in_pairs = (
-        pairs.select(F.col("doc_a").alias("doc"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc")))
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionAll(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = _shingle_df(df, id_col, text_col, k).join(in_pairs, "doc", "left_semi")
+    # Semi-join BEFORE the shingle projection — Catalyst does not reorder a
+    # join below an expensive projection on its own, and shingling the full
+    # corpus to then keep ~1% of rows is the dominant cost otherwise.
+    sh = _shingle_df(
+        df.join(in_pairs, id_col, "left_semi"), id_col, text_col, k
+    )
     a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.round(
@@ -274,7 +291,7 @@ def ngram_jaccard_pairs(
     independent chances. Deterministic end-to-end (md5, integer mins) →
     bit-reproducible on any engine, no RNG on executors.
     """
-    g = df.select(
+    g = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         word_ngrams(F.split(F.col(text_col), " "), n).alias("grams"),
     ).localCheckpoint(eager=True)  # feeds anchor join + both verify sides
