@@ -160,7 +160,17 @@ class SessionContext:
         self.register_table(name, self.spark.read.options(**options).json(path))
 
     def register_avro(self, name: str, path: str) -> None:
-        self.register_table(name, self.spark.read.format("avro").load(path))
+        """Avro scan (AvroExec, physical_plan/avro.rs:38). Prefers the
+        spark-avro connector; falls back to the built-in pure-Python block-
+        parallel reader (sources/avro.py) when the jar is absent."""
+        try:
+            df = self.spark.read.format("avro").load(path)
+        except Exception:
+            from arrow_datafusion_spark.sources import avro as _avro
+
+            _avro.register(self.spark)
+            df = self.spark.read.format("avro_py").load(path)
+        self.register_table(name, df)
 
     def register_arrow(self, name: str, path: str) -> None:
         """Arrow IPC file (ArrowExec, physical_plan/arrow_file.rs:49) — read

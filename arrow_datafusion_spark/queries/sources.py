@@ -130,6 +130,47 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → Avro container file (deflate, multi-block) → register_avro
+    (spark-avro jar absent here, so the pure-Python block-parallel
+    DataSource in sources/avro.py serves the scan) → per-nation aggregate."""
+    from arrow_datafusion_spark.sources import avro as A
+
+    ctx = SessionContext(spark)
+    path = _tmp("supplier.avro")
+    rows = [
+        (r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal)
+        for r in _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect()
+    ]
+    schema = {
+        "type": "record",
+        "name": "supplier",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": ["null", "string"]},
+            {"name": "s_nationkey", "type": "long"},
+            {"name": "s_acctbal", "type": "double"},
+        ],
+    }
+    A.write_avro(path, schema, rows, codec="deflate", rows_per_block=64)
+    ctx.register_avro("supplier_avro", path)
+    return ctx.sql("""
+        SELECT s_nationkey, count(*) AS n,
+               CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+        FROM supplier_avro GROUP BY s_nationkey ORDER BY s_nationkey
+    """)
+
+
+SCAN_AVRO_SQL = """
+SELECT s_nationkey, count(*) AS n,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 def write_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned parquet write (partitionBy) → directory re-scan →
     partition-pruned aggregate: the ListingTable + DataSinkExec round trip.
@@ -202,6 +243,7 @@ QUERIES = {
     "scan_csv": scan_csv,
     "scan_ndjson": scan_ndjson,
     "scan_arrow": scan_arrow,
+    "scan_avro": scan_avro,
     "write_parquet_roundtrip": write_parquet_roundtrip,
     "sql_ddl_insert": sql_ddl_insert,
 }
@@ -209,6 +251,7 @@ ORACLE = {
     "scan_csv": SCAN_CSV_SQL,
     "scan_ndjson": SCAN_NDJSON_SQL,
     "scan_arrow": SCAN_ARROW_SQL,
+    "scan_avro": SCAN_AVRO_SQL,
     "write_parquet_roundtrip": WRITE_PARQUET_ROUNDTRIP_SQL,
     "sql_ddl_insert": SQL_DDL_INSERT_SQL,
 }
