@@ -245,25 +245,41 @@ ORDER BY o_orderpriority
 
 # --------------------------------------------------------------------------
 # q5 — local supplier volume (6-way join incl. customer-supplier same-nation).
+# Plan note: the ASIA restriction reaches customer and supplier BEFORE the
+# fact joins via broadcast semi-joins on the 5 qualifying nation keys —
+# the transitive-predicate push the reference's optimizer derives from
+# c_nationkey = s_nationkey. Catalyst does not infer it across the join
+# chain on its own; done by hand it cuts the c⋈o and l⋈s shuffle volumes
+# ~5× (region count) at any scale.
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem, supplier, nation, region = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
+    asia = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    asia_keys = F.broadcast(asia.select("n_nationkey"))
+    cust = customer.join(
+        asia_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    supp = supplier.join(
+        asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supplier,
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(_dsum(_rev(), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -306,9 +322,25 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 # --------------------------------------------------------------------------
 # q7 — volume shipping between two nations (self-join of nation, OR predicate).
+# Plan note: both fact-side inputs are semi-filtered to the two named
+# nations BEFORE the joins (supplier → 2/25 of nations, customer likewise)
+# — the disjunctive pair predicate itself can only run after both sides
+# are known, but its per-side projection (s ∈ {1,2} ∧ c ∈ {1,2}) is
+# implied and cuts the l⋈s and o⋈c shuffle volumes ~12× at any scale.
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, orders, customer, nation = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    pair_keys = F.broadcast(
+        nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+            "n_nationkey"
+        )
+    )
+    supplier = supplier.join(
+        pair_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    customer = customer.join(
+        pair_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
     )
     n1 = nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -365,12 +397,21 @@ ORDER BY supp_nation, cust_nation, l_year
 
 # --------------------------------------------------------------------------
 # q8 — national market share (8-way join, conditional agg ratio).
+# Plan note: the AMERICA region predicate constrains only the customer's
+# nation, so customer is semi-filtered to that region's 5 nation keys
+# BEFORE the o⋈c join (5× less shuffle volume) — which also dissolves the
+# post-join nation⋈region filter pair into the broadcast semi-join.
 def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, supplier, lineitem, orders, customer, nation, region = _t(
         spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
     )
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    america_keys = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select("n_nationkey")
+    )
+    customer = customer.join(
+        america_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
     )
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation_name")
@@ -386,9 +427,6 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "AMERICA")
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -840,13 +878,28 @@ WHERE p_partkey = l_partkey AND (
 # --------------------------------------------------------------------------
 # q20 — potential part promotion (nested IN subqueries + grouped HAVING;
 # partsupp/availqty absent → per (supplier, part) shipped quantity > 30).
+# Plan note: only NATION_5 suppliers can survive the outer query, so the
+# inner aggregation's lineitem input is semi-filtered to those suppliers
+# FIRST — the (supplier, part) groupBy then shuffles 1/25th of the rows at
+# any scale instead of aggregating the whole fact table and discarding
+# 24/25ths of the result.
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, nation, lineitem, part = _t(
         spark, sf_dir, "supplier", "nation", "lineitem", "part"
     )
+    n5_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
     heavy_suppliers = (
-        lineitem.join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        lineitem.join(
+            F.broadcast(n5_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -858,9 +911,9 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        supplier.join(heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name") == "NATION_5")
+        n5_supp.join(
+            heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )

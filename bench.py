@@ -63,6 +63,20 @@ def main() -> None:
         spark.range(1).collect()
     overhead = round((time.perf_counter() - t0) / 5, 4)
 
+    # Per-query fixed cost, measured not modeled: the same query at
+    # sf0.001 moves ~0 data, so its time IS the plan/schedule/stage floor;
+    # value - floor isolates data-dependent compute. (Plans are already
+    # warm from the warmup loop above.)
+    floors: dict[str, float] = {}
+    for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
+        fn = tpch.QUERIES[name]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, "/root/testdata/sf0.001").collect()
+            best = min(best, time.perf_counter() - t0)
+        floors[name.removeprefix("tpch_")] = round(best, 4)
+
     # Min of 3 iterations per query — the reference's own published numbers
     # are dfbench --iterations 3 (warm), so this is the like-for-like
     # methodology (each iteration is still end-to-end plan+execute+collect).
@@ -110,6 +124,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "overhead_sec_per_query": overhead,
+                "query_floors_sf0.001": floors,
+                "compute_total": round(
+                    sum(
+                        max(0.0, timings[q] - floors.get(q, 0.0)) for q in timings
+                    ),
+                    4,
+                ),
                 "pipeline_queries": pipeline,
             }
         )
