@@ -109,6 +109,8 @@ def main() -> None:
         "events_asof",
     )
     qs = entrymod.queries()
+    for name in pipeline_names:  # warm plan shapes (codegen compile)
+        qs[name](spark, "/root/testdata/sf0.001").count()
     pipeline: dict[str, float] = {}
     for name in pipeline_names:
         t0 = time.perf_counter()
