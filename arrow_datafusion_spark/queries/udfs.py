@@ -123,15 +123,56 @@ WHERE i <= len(w)
 """
 
 
+# --------------------------------------------------------------------------
+def udwf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined WINDOW function (WindowUDFImpl / partition_evaluator,
+    udwf.rs:251): a GROUPED_AGG pandas UDF evaluated .over() a bounded
+    ROWS frame — PySpark's idiomatic UDWF surface. The function (midrange =
+    (min+max)/2 of the trailing-3 frame) is deliberately not a builtin."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats pandas_udf's
+    # Series -> float signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def midrange(v):
+        return round((float(v.min()) + float(v.max())) / 2, 4)
+
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_custkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        midrange(F.col("c_acctbal")).over(w).alias("bal_midrange"),
+    )
+
+
+UDWF_WINDOW_SQL = """
+SELECT c_custkey, c_mktsegment,
+       round((min(c_acctbal) OVER w + max(c_acctbal) OVER w) / 2, 4) AS bal_midrange
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "udf_pandas_scalar": udf_pandas_scalar,
     "udf_python_scalar": udf_python_scalar,
     "udaf_grouped": udaf_grouped,
+    "udwf_window": udwf_window,
     "udtf_lateral": udtf_lateral,
 }
 ORACLE = {
     "udf_pandas_scalar": UDF_PANDAS_SCALAR_SQL,
     "udf_python_scalar": UDF_PYTHON_SCALAR_SQL,
     "udaf_grouped": UDAF_GROUPED_SQL,
+    "udwf_window": UDWF_WINDOW_SQL,
     "udtf_lateral": UDTF_LATERAL_SQL,
 }
