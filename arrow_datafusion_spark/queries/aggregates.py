@@ -214,6 +214,33 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 
 
 # --------------------------------------------------------------------------
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — not just the ROLLUP/CUBE special cases
+    (Expr::GroupingSet::GroupingSets, expr.rs:951): status-only, priority-
+    only, and grand-total sets in one pass, via SQL (Spark's DataFrame API
+    exposes only rollup/cube; SQL exposes the general form)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (approx_distinct.rs HLL, approx_percentile_cont.rs
     t-digest → Spark HyperLogLog++ / KLL). No SQL oracle — different sketch
@@ -233,6 +260,7 @@ QUERIES = {
     "agg_bits_bools": agg_bits_bools,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
     "agg_approx": agg_approx,
 }
 ORACLE = {
@@ -241,5 +269,6 @@ ORACLE = {
     "agg_bits_bools": AGG_BITS_BOOLS_SQL,
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     # agg_approx intentionally has no oracle (rows-only check)
 }

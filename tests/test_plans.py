@@ -65,6 +65,19 @@ def test_asof_single_key_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sort_merge_join_selected_when_broadcast_disabled(spark):
+    """SortMergeJoinExec parity (sort_merge_join.rs:65): with broadcast off,
+    Catalyst must plan the orders⋈lineitem equi-join as a sort-merge join —
+    the spill-safe strategy for two large inputs at 100 TB."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "tpch_q12")
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 @pytest.mark.parametrize(
     "name", ["ann_lsh", "dedup_minhash", "dedup_ngram", "dedup_embedding"]
 )
