@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registries() -> tuple[dict, dict]:
     from arrow_datafusion_spark.queries import (
         aggregates,
+        clickbench,
         eventsuite,
         functions_suite,
         llm,
@@ -46,6 +47,7 @@ def _registries() -> tuple[dict, dict]:
     oracles: dict[str, str] = {}
     for mod in (
         tpch,
+        clickbench,
         functions_suite,
         sqlsuite,
         windows,
