@@ -33,6 +33,7 @@ def _registries() -> tuple[dict, dict]:
         clickbench,
         eventsuite,
         functions_suite,
+        h2o,
         llm,
         recursion,
         relational,
@@ -52,6 +53,7 @@ def _registries() -> tuple[dict, dict]:
         sqlsuite,
         windows,
         aggregates,
+        h2o,
         llm,
         relational,
         sources,
