@@ -257,8 +257,63 @@ SELECT * FROM (SELECT 'desc_nl', o_orderkey, prio FROM o
 """
 
 
+# --------------------------------------------------------------------------
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators/skew.py): groupBy(key,
+    salt) partials then merge — oracled by the plain one-stage GROUP BY,
+    proving the rewrite changes the shuffle shape, not the semantics."""
+    from arrow_datafusion_spark.operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum_count(ev, "event_type", "value", n_salts=8)
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        "cnt",
+    ).orderBy("event_type")
+
+
+SKEW_SALTED_AGG_SQL = """
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim equi-join (operators/skew.py): fact side salted,
+    dim side replicated per salt — oracled by the plain join."""
+    from arrow_datafusion_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    profile = ev.groupBy(F.col("user_id").alias("p_user")).agg(
+        F.min("ts").alias("first_ts")
+    )
+    hot = ev.filter(F.col("value") > 99.0).select("event_id", "user_id", "value")
+    return (
+        salted_join(hot, profile, "user_id", "p_user", n_salts=8)
+        .select("event_id", "user_id", "value", "first_ts")
+        .orderBy("event_id")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.value, p.first_ts
+FROM events e
+JOIN (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id) p
+  ON e.user_id = p.user_id
+WHERE e.value > 99.0
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "setops": setops,
+    "skew_salted_agg": skew_salted_agg,
+    "skew_salted_join": skew_salted_join,
     "join_outer": join_outer,
     "join_semi_anti": join_semi_anti,
     "join_theta_cross": join_theta_cross,
@@ -268,6 +323,8 @@ QUERIES = {
 }
 ORACLE = {
     "setops": SETOPS_SQL,
+    "skew_salted_agg": SKEW_SALTED_AGG_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "join_outer": JOIN_OUTER_SQL,
     "join_semi_anti": JOIN_SEMI_ANTI_SQL,
     "join_theta_cross": JOIN_THETA_CROSS_SQL,

@@ -88,3 +88,22 @@ def test_bucketed_candidates_never_all_pairs(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_salted_agg_two_stage_shuffle(spark):
+    """salted_sum_count must shuffle on (key, salt) then on key alone —
+    the skew-spreading shape — and still match the plain GROUP BY (the
+    correctness half is the skew_salted_agg oracle entry)."""
+    plan = _plan(spark, "skew_salted_agg")
+    assert re.search(r"hashpartitioning\(event_type[^,)]*, _salt", plan), plan
+    assert re.search(r"hashpartitioning\(event_type[^,)]*, \d+\)", plan), plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """salted_join must join on (key, salt) — the composite key is what
+    spreads a hot key across reducers. (The dim-side groupBy still shuffles
+    on the bare key; that side is small by construction.)"""
+    plan = _plan(spark, "skew_salted_join")
+    assert "CartesianProduct" not in plan
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
+    assert "_salt" in join_line, join_line
