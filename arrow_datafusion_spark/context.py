@@ -125,6 +125,78 @@ def _rewrite_sql(q: str) -> str:
     return q
 
 
+def _strip_strings(q: str) -> str:
+    """Blank out '...' literals so keyword scans can't match quoted text."""
+    return re.sub(r"'(?:[^']|'')*'", "''", q)
+
+
+def _parse_with_ctes(query: str) -> tuple[list[tuple[str, tuple[str, ...] | None, str]], str]:
+    """Parse ``WITH RECURSIVE name[(cols)] AS ( body ) [, ...] rest``.
+
+    Hand-rolled cursor over balanced parentheses (string literals shielded)
+    — mirrors the statement shapes in the reference's cte.slt; not a full
+    SQL grammar.
+    """
+    m = re.match(r"\s*WITH\s+RECURSIVE\s+", query, re.IGNORECASE)
+    pos = m.end()
+    ctes: list[tuple[str, tuple[str, ...] | None, str]] = []
+    while True:
+        m = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*", re.IGNORECASE).match(query, pos)
+        if not m:
+            raise ValueError(f"cannot parse CTE name at: {query[pos:pos + 40]!r}")
+        name = m.group(1)
+        pos = m.end()
+        cols: tuple[str, ...] | None = None
+        if query[pos : pos + 1] == "(":
+            close = query.index(")", pos)
+            cols = tuple(c.strip() for c in query[pos + 1 : close].split(","))
+            pos = close + 1
+        m = re.compile(r"\s*AS\s*\(", re.IGNORECASE).match(query, pos)
+        if not m:
+            raise ValueError(f"expected AS ( at: {query[pos:pos + 40]!r}")
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(query):
+            c = query[i]
+            if c == "'":  # skip string literal
+                j = i + 1
+                while j < len(query):
+                    if query[j] == "'" and query[j + 1 : j + 2] != "'":
+                        break
+                    j += 2 if query[j] == "'" else 1
+                i = j
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        ctes.append((name, cols, query[start : i - 1]))
+        m = re.compile(r"\s*,").match(query, i)
+        if not m:
+            return ctes, query[i:]
+        pos = m.end()
+
+
+def _split_recursive_union(body: str) -> tuple[str, str, bool]:
+    """Split a recursive CTE body at its LAST top-level UNION [ALL] (the
+    recursive term is the final branch, per PostgreSQL/DataFusion semantics).
+    Returns (base_sql, step_sql, distinct)."""
+    shielded = _strip_strings(body)
+    depth, last = 0, None
+    for m in re.finditer(r"\(|\)|\bUNION(?:\s+ALL)?\b", shielded, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            last = m
+    if last is None:
+        raise ValueError("recursive CTE body has no top-level UNION")
+    distinct = "ALL" not in last.group(0).upper()
+    return body[: last.start()], body[last.end() :], distinct
+
+
 class SessionContext:
     """DataFusion-shaped session facade over a tuned SparkSession."""
 
@@ -222,9 +294,69 @@ class SessionContext:
     # -- the entry point ----------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:
-        """Parse/plan/optimize via Catalyst (SURVEY.md §3.1 steps 1–7)."""
+        """Parse/plan/optimize via Catalyst (SURVEY.md §3.1 steps 1–7).
+
+        ``WITH RECURSIVE`` (Spark has no recursion primitive) is detached
+        here and driven through the semi-naive fixpoint in plans/recursive.py
+        (RecursiveQueryExec analog, recursive_query.rs:57); everything else
+        goes straight to ``spark.sql``.
+        """
         self._ensure_macros()
+        if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
+            return self._sql_recursive(query)
         return self.spark.sql(_rewrite_sql(query))
+
+    def _sql_recursive(self, query: str) -> DataFrame:
+        """Evaluate ``WITH RECURSIVE c1 AS (...), c2 AS (...) <select>``.
+
+        Each CTE is materialized in order as a temp view (so later CTEs and
+        the trailing select can reference it); a CTE whose body references
+        its own name is split at its last top-level UNION [ALL] into
+        base/step and run through the fixpoint driver. Views are dropped
+        (and any shadowed same-name view restored) before returning — the
+        returned DataFrame's plan is already resolved, so the drop can't
+        unbind it.
+        """
+        from arrow_datafusion_spark.plans.recursive import recursive_query
+
+        ctes, rest = _parse_with_ctes(query)
+        shadowed: list[tuple[str, DataFrame | None]] = []
+        try:
+            for name, cols, body in ctes:
+                try:
+                    prev = self.spark.table(name)
+                except Exception:
+                    prev = None
+                shadowed.append((name, prev))
+                if re.search(rf"\b{re.escape(name)}\b", _strip_strings(body)):
+                    base_sql, step_sql, distinct = _split_recursive_union(body)
+                    base = self.spark.sql(_rewrite_sql(base_sql))
+                    if cols:
+                        base = base.toDF(*cols)
+
+                    def step(
+                        frontier: DataFrame,
+                        _sql: str = step_sql,
+                        _name: str = name,
+                        _cols: tuple[str, ...] | None = cols,
+                    ) -> DataFrame:
+                        frontier.createOrReplaceTempView(_name)
+                        out = self.spark.sql(_rewrite_sql(_sql))
+                        return out.toDF(*_cols) if _cols else out
+
+                    result = recursive_query(base, step, distinct=distinct)
+                else:
+                    result = self.spark.sql(_rewrite_sql(body))
+                    if cols:
+                        result = result.toDF(*cols)
+                result.createOrReplaceTempView(name)
+            return self.spark.sql(_rewrite_sql(rest))
+        finally:
+            for name, prev in reversed(shadowed):
+                if prev is not None:
+                    prev.createOrReplaceTempView(name)
+                else:
+                    self.spark.catalog.dropTempView(name)
 
     # -- introspection (information_schema.rs:45-54, EXPLAIN/DESCRIBE) ------
 

@@ -46,5 +46,41 @@ SELECT node FROM reach ORDER BY node
 """
 
 
-QUERIES = {"recursive_reach": recursive_reach}
-ORACLE = {"recursive_reach": RECURSIVE_REACH_SQL}
+# --------------------------------------------------------------------------
+# The same workloads through the SQL front end: SessionContext.sql parses
+# WITH RECURSIVE and drives the fixpoint itself (context.py _sql_recursive),
+# so the IDENTICAL statement text runs on both engines.
+
+SQL_RECURSIVE_SERIES_SQL = """
+WITH RECURSIVE t(n) AS (
+  SELECT 1
+  UNION ALL
+  SELECT n + 1 FROM t WHERE n < 100
+)
+SELECT count(*) AS n_rows, CAST(sum(n) AS BIGINT) AS total FROM t
+"""
+
+
+def sql_recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_datafusion_spark.queries.sqlsuite import _ctx
+
+    return _ctx(spark, sf_dir).sql(SQL_RECURSIVE_SERIES_SQL)
+
+
+def sql_recursive_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursive_reach, but entered as SQL text (cte.slt recursive cases)."""
+    from arrow_datafusion_spark.queries.sqlsuite import _ctx
+
+    return _ctx(spark, sf_dir).sql(RECURSIVE_REACH_SQL)
+
+
+QUERIES = {
+    "recursive_reach": recursive_reach,
+    "sql_recursive_series": sql_recursive_series,
+    "sql_recursive_graph": sql_recursive_graph,
+}
+ORACLE = {
+    "recursive_reach": RECURSIVE_REACH_SQL,
+    "sql_recursive_series": SQL_RECURSIVE_SERIES_SQL,
+    "sql_recursive_graph": RECURSIVE_REACH_SQL,
+}

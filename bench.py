@@ -117,6 +117,19 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         pipeline[name] = round(time.perf_counter() - t0, 4)
 
+    # Adapted ClickBench / H2O group-by suites (the reference's other two
+    # benchmark workloads; no in-repo baseline numbers exist for either —
+    # reported as totals for round-over-round tracking).
+    suite_totals: dict[str, float] = {}
+    for prefix in ("cb_", "h2o_"):
+        names = sorted(n for n in qs if n.startswith(prefix))
+        for name in names:  # warm plan shapes
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        t0 = time.perf_counter()
+        for name in names:
+            qs[name](spark, sf_dir).collect()
+        suite_totals[prefix.rstrip("_")] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -134,6 +147,7 @@ def main() -> None:
                     4,
                 ),
                 "pipeline_queries": pipeline,
+                "suite_totals": suite_totals,
             }
         )
     )
