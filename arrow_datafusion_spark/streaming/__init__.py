@@ -129,6 +129,25 @@ def stateful_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication — the unbounded counterpart of
+    operators/dedup.py `exact_dedup_groups`, for ingest-time dedup of a
+    document/event firehose.
+
+    `dropDuplicatesWithinWatermark` keys state by the dedup columns and
+    expires each key once the watermark passes it, so state is bounded by
+    (keys arriving within one watermark window), not by stream history —
+    the property that makes ingest dedup viable on an unbounded 100 TB/day
+    feed where an unbounded `dropDuplicates` state would OOM.
+
+    Dedup key = (user_id, event_type, value): replays/retries of the same
+    logical event dedup even when their event_ids differ.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "value"]
+    )
+
+
 def run_available_now(
     df: DataFrame, name: str, timeout_s: int = 120, output_mode: str = "complete"
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from arrow_datafusion_spark.queries.eventsuite import events_tumbling  # noqa: E
 from arrow_datafusion_spark.session import load_tables  # noqa: E402
 from arrow_datafusion_spark.streaming import (  # noqa: E402
     read_events_stream,
+    streaming_dedup,
     run_available_now,
     stateful_type_counts,
     stream_stream_join,
@@ -63,3 +64,18 @@ def test_stateful_operator(spark, sf_dir):
         for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert final == expected
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a full replay must keep exactly
+    one row per (user_id, event_type, value) — same multiset as the batch
+    dropDuplicates on a single-file replay (every duplicate arrives inside
+    one watermark window)."""
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, "dedup_sink", output_mode="append")
+    batch = load_tables(spark, sf_dir, names=("events",))["events"]
+    expect = batch.dropDuplicates(["user_id", "event_type", "value"])
+    assert got.count() == expect.count()
+    g = {tuple(r) for r in got.select("user_id", "event_type", "value").collect()}
+    e = {tuple(r) for r in expect.select("user_id", "event_type", "value").collect()}
+    assert g == e
