@@ -111,11 +111,37 @@ def main() -> None:
     qs = entrymod.queries()
     for name in pipeline_names:  # warm plan shapes (codegen compile)
         qs[name](spark, "/root/testdata/sf0.001").count()
+    # Min-of-2: the md5-heavy dedup stages allocate ~10^8 short-lived JVM
+    # strings per run; a concurrent full-GC can double one iteration's
+    # wall-clock (measured 5.8 s vs 13.8 s back-to-back), so a single
+    # sample is noise.
     pipeline: dict[str, float] = {}
     for name in pipeline_names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        pipeline[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        pipeline[name] = round(best, 4)
+
+    # parquet_filter / sort microbenches (bench.sh:353,361; src/
+    # parquet_filter.rs, src/sort.rs analogs): a pushdown-filtered scan at
+    # three selectivities, and a full multi-key sort materialized through
+    # the noop sink (sort cost without sink cost).
+    from pyspark.sql import functions as F
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    t0 = time.perf_counter()
+    for cutoff in ("1992-01-01", "1996-01-01", "1998-09-01"):
+        li.filter(F.col("l_shipdate") >= F.lit(cutoff).cast("timestamp")).agg(
+            F.count(F.lit(1)), F.sum("l_extendedprice")
+        ).collect()
+    micro = {"parquet_filter": round(time.perf_counter() - t0, 4)}
+    t0 = time.perf_counter()
+    li.orderBy("l_returnflag", "l_shipdate", "l_orderkey").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    micro["sort"] = round(time.perf_counter() - t0, 4)
 
     # Adapted ClickBench / H2O group-by suites (the reference's other two
     # benchmark workloads; no in-repo baseline numbers exist for either —
@@ -148,6 +174,7 @@ def main() -> None:
                 ),
                 "pipeline_queries": pipeline,
                 "suite_totals": suite_totals,
+                "micro": micro,
             }
         )
     )
