@@ -144,6 +144,97 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k — the inverted-file scale path.
+
+    Structure (what matters at 100 TB):
+    1. A small centroid set partitions the corpus: every vector is assigned
+       to its nearest centroid ONCE (broadcast the centroids, map-side
+       score, one groupBy(n_id) argmax shuffle — this is the "build the
+       index" stage you persist between runs).
+    2. A query scores only the vectors of its ``nprobe`` nearest clusters —
+       an equi-join on the cluster id, so the probe cost is
+       nprobe/n_centroids of the corpus instead of all of it, and the
+       shuffle key is the cluster id exactly like any partitioned join.
+
+    Centroids here are the vectors with id < n_centroids — a deterministic
+    stand-in for an offline k-means (the IVF plan shape is identical; only
+    centroid quality differs, which is a training concern, not an engine
+    concern). Assignment argmax is made engine-exact by ranking on
+    ``round(sim, 6) - c_id * 1e-9``: the perturbation is below the rounding
+    resolution yet totally orders the ≤n_centroids candidates, so Spark's
+    ``max_by`` and the oracle's ``arg_max`` cannot disagree on ties.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    assigned = (
+        e.crossJoin(cent)
+        .select(
+            "n_id",
+            "nv",
+            "c_id",
+            (
+                F.round(cosine(F.col("nv"), F.col("cv")), 6)
+                - F.col("c_id").cast("double") * 1e-9
+            ).alias("a_score"),
+        )
+        .groupBy("n_id")
+        .agg(
+            F.max_by("c_id", "a_score").alias("cluster"),
+            F.first("nv").alias("nv"),  # constant per n_id — deterministic
+        )
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    probes = (
+        q.crossJoin(cent)
+        .select(
+            "q_id",
+            "qv",
+            F.col("c_id").alias("cluster"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("c_sim"),
+        )
+        .withColumn(
+            "c_rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+            ),
+        )
+        .filter(F.col("c_rn") <= nprobe)
+        .select("q_id", "qv", "cluster")
+    )
+    sims = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "sim", "rn")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -259,6 +259,57 @@ ORDER BY q_id, rn
 
 
 # --------------------------------------------------------------------------
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine top-3 (16 deterministic centroids,
+    nprobe=4 — queries score only 1/4 of the corpus)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.ivf_cosine_topk(e, q, k=3, n_centroids=16, nprobe=4).orderBy(
+        "q_id", "rn"
+    )
+
+
+ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id AS n_id,
+         arg_max(c_id,
+                 round(list_inner_product(v, cv)
+                       / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))),
+                       6) - c_id * 1e-9) AS cluster,
+         any_value(v) AS nv
+  FROM e, cent
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, qv, cluster FROM (
+    SELECT q_id, qv, c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY round(list_inner_product(qv, cv)
+                            / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+                            6) DESC, c_id) AS c_rn
+    FROM q, cent) WHERE c_rn <= 4
+),
+sims AS (
+  SELECT q_id, n_id,
+         round(list_inner_product(qv, nv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))),
+               6) AS sim
+  FROM probes JOIN assigned USING (cluster)
+  WHERE n_id != q_id
+)
+SELECT q_id, n_id, sim, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+      FROM sims)
+WHERE rn <= 3
+ORDER BY q_id, rn
+"""
+
+
+# --------------------------------------------------------------------------
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts (whitespace + BPE-ish), alpha ratio, quality score."""
     d = _docs(spark, sf_dir)
@@ -361,6 +412,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine": ann_cosine,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "text_stats": text_stats,
     "text_lang_fingerprint": text_lang_fingerprint,
     "multimodal_binary": multimodal_binary,
@@ -373,6 +425,7 @@ ORACLE = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ann_cosine": ANN_COSINE_SQL,
     "ann_lsh": ANN_LSH_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_lang_fingerprint": TEXT_LANG_FINGERPRINT_SQL,
     "multimodal_binary": MULTIMODAL_BINARY_SQL,
