@@ -43,6 +43,10 @@ def _int_expr(depth: int):
         st.tuples(sub, sub).map(lambda t: f"(CASE WHEN {t[0]} > {t[1]} THEN {t[0]} ELSE {t[1]} END)"),
         _str_expr(depth - 1).map(lambda s: f"length({s})"),
         sub.map(lambda s: f"abs({s})"),
+        # % is C-style (sign of dividend) in BOTH engines; abs(..)+1 guards 0
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} % (abs({t[1]}) + 1))"),
+        st.tuples(sub, sub).map(lambda t: f"greatest({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"least({t[0]}, {t[1]})"),
     )
 
 
@@ -57,6 +61,14 @@ def _str_expr(depth: int):
         sub.map(lambda s: f"lower({s})"),
         st.tuples(sub, st.integers(1, 4), st.integers(1, 5)).map(
             lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"
+        ),
+        sub.map(lambda s: f"reverse({s})"),
+        sub.map(lambda s: f"trim({s})"),
+        st.tuples(sub, st.sampled_from(["'A'", "'_'"]), st.sampled_from(["''", "'z'"])).map(
+            lambda t: f"replace({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(sub, st.integers(1, 8)).map(
+            lambda t: f"lpad({t[0]}, {t[1]}, '.')"
         ),
     )
 
