@@ -174,7 +174,11 @@ DATETIME: dict[str, Callable[..., Column]] = {
     "to_timestamp_seconds": lambda n: F.timestamp_seconds(_c(n)),
     "to_timestamp_millis": lambda n: F.timestamp_millis(_c(n)),
     "to_timestamp_micros": lambda n: F.timestamp_micros(_c(n)),
-    "to_timestamp_nanos": lambda n: F.timestamp_micros((_c(n) / 1000).cast("long")),
+    # decimal division: n/1000 through double would round ns values > 2^53
+    # (~256 ns error — the same trap fixed for events.ts in session.py)
+    "to_timestamp_nanos": lambda n: F.timestamp_micros(
+        F.floor(_c(n).cast("decimal(38,0)") / 1000).cast("long")
+    ),
 }
 
 
