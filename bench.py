@@ -92,6 +92,25 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # MemTable config (BASELINE.md tpch_mem): cache + materialize every
+    # table, re-time the pack against InMemoryRelation scans — the
+    # like-for-like of the reference's `tpch_mem` runs.
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
+        df.cache().count()
+    mem_timings: dict[str, float] = {}
+    for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
+        fn = tpch.QUERIES[name]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        mem_timings[name.removeprefix("tpch_")] = round(best, 4)
+    for df in tables.values():
+        df.unpersist()
+    total_mem = round(sum(mem_timings.values()), 4)
+
     # Data-pipeline operators (dedup / similarity / text / as-of) — one
     # timed pass each (they are minutes-not-milliseconds operators; min-of-N
     # would triple bench wall-clock for no extra signal).
@@ -175,6 +194,8 @@ def main() -> None:
                 "pipeline_queries": pipeline,
                 "suite_totals": suite_totals,
                 "micro": micro,
+                "tpch_total_mem": total_mem,
+                "queries_mem": mem_timings,
             }
         )
     )
