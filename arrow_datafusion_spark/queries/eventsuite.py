@@ -156,14 +156,75 @@ ORDER BY c.event_id
 """
 
 
+# --------------------------------------------------------------------------
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): events inside ANY early-user activity
+    window — via the bucketed equi-join rewrite (operators/rangejoin.py),
+    never a nested loop. Oracle is DuckDB's plain BETWEEN join."""
+    from arrow_datafusion_spark.operators.rangejoin import bucketed_range_join
+
+    e = _events(spark, sf_dir)
+    fact = e.select("event_id", F.unix_timestamp("ts").alias("ts_s"))
+    iv = (
+        e.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.unix_timestamp(F.min("ts")).alias("lo"))
+        .withColumn("hi", F.col("lo") + 7200)
+    )
+    return (
+        bucketed_range_join(fact, iv, "ts_s", "lo", "hi", bucket_width=3600)
+        .select("iv_user", "event_id")
+        .orderBy("iv_user", "event_id")
+    )
+
+
+RANGE_JOIN_BUCKETED_SQL = """
+WITH f AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+iv AS (SELECT user_id AS iv_user,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+              CAST(floor(epoch(min(ts))) AS BIGINT) + 7200 AS hi
+       FROM events WHERE user_id < 20 GROUP BY user_id)
+SELECT iv_user, event_id
+FROM f JOIN iv ON ts_s BETWEEN lo AND hi
+ORDER BY iv_user, event_id
+"""
+
+
+# --------------------------------------------------------------------------
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass producing the
+    hourly aggregate AND its daily rollup via GROUPING SETS ((d,h),(d)) —
+    the multi-granularity materialization a time-series store keeps per
+    chunk. Same SQL text on both engines."""
+    from arrow_datafusion_spark.queries.sqlsuite import _ctx
+
+    return _ctx(spark, sf_dir).sql(HYPERTABLE_ROLLUP_SQL)
+
+
+HYPERTABLE_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+       date_trunc('hour', ts) AS h,
+       count(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_v
+FROM events
+GROUP BY GROUPING SETS ((CAST(date_trunc('day', ts) AS DATE), date_trunc('hour', ts)),
+                        (CAST(date_trunc('day', ts) AS DATE)))
+ORDER BY d, h NULLS FIRST
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
+    "range_join_bucketed": range_join_bucketed,
+    "hypertable_rollup": hypertable_rollup,
     "events_sliding": events_sliding,
     "events_session": events_session,
     "events_asof": events_asof,
 }
 ORACLE = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
+    "range_join_bucketed": RANGE_JOIN_BUCKETED_SQL,
+    "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_session": EVENTS_SESSION_SQL,
     "events_asof": EVENTS_ASOF_SQL,

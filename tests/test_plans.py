@@ -107,3 +107,13 @@ def test_salted_join_keys_include_salt(spark):
     assert "CartesianProduct" not in plan
     join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
     assert "_salt" in join_line, join_line
+
+
+def test_range_join_is_equi_join(spark):
+    """bucketed_range_join must plan as a hash equi-join on the bucket id —
+    Spark's native plan for a BETWEEN join is BroadcastNestedLoopJoin,
+    which is O(|fact|·|intervals|) and dies at scale."""
+    plan = _plan(spark, "range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_bucket", plan), plan
