@@ -52,6 +52,7 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator) -> Iterator:
         import hashlib
+        import math
 
         import pandas as pd
 
@@ -64,8 +65,14 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "payload_md5": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
+                    # floor(x·1e6 + 0.5): half-AWAY rounding like the SQL
+                    # engines — Python's round() is half-EVEN and disagrees
+                    # on exact .5 ties (sum divisible by len·2^k), e.g.
+                    # 35991/384 = 93.7265625 → .726563 away, .726562 even.
                     "mean_byte": payloads.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                        lambda b: math.floor(sum(b) / len(b) * 1e6 + 0.5) / 1e6
+                        if len(b)
+                        else 0.0
                     ),
                 }
             )

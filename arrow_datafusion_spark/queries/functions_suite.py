@@ -210,9 +210,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         S["round"](v / 7, 3).alias("m_round3"),
         S["trunc"](v).alias("m_trunc"),
         r6(S["exp"](v / 100)).alias("m_exp"),
-        r6(S["ln"](v)).alias("m_ln"),
-        r6(S["log10"](v)).alias("m_log10"),
-        r6(S["log2"](v)).alias("m_log2"),
+        # +1 shift: value has true zeros (first seen at sf0.1) — log(0) is
+        # NULL on Spark but an Out-of-Range ERROR on DuckDB, so the bare
+        # column can never be oracle-compared.
+        r6(S["ln"](v + 1)).alias("m_ln"),
+        r6(S["log10"](v + 1)).alias("m_log10"),
+        r6(S["log2"](v + 1)).alias("m_log2"),
         r6(S["sqrt"](v)).alias("m_sqrt"),
         r6(S["cbrt"](v)).alias("m_cbrt"),
         r6(S["power"](v / 100, 3)).alias("m_pow"),
@@ -250,9 +253,9 @@ SELECT event_id,
        round(value / 7, 3) AS m_round3,
        trunc(value)::DOUBLE AS m_trunc,
        round(exp(value / 100), 6) AS m_exp,
-       round(ln(value), 6) AS m_ln,
-       round(log10(value), 6) AS m_log10,
-       round(log2(value), 6) AS m_log2,
+       round(ln(value + 1), 6) AS m_ln,
+       round(log10(value + 1), 6) AS m_log10,
+       round(log2(value + 1), 6) AS m_log2,
        round(sqrt(value), 6) AS m_sqrt,
        round(cbrt(value), 6) AS m_cbrt,
        round(pow(value / 100, 3), 6) AS m_pow,
