@@ -35,6 +35,7 @@ def _registries() -> tuple[dict, dict]:
         functions_suite,
         h2o,
         llm,
+        pipeline,
         recursion,
         relational,
         sources,
@@ -55,6 +56,7 @@ def _registries() -> tuple[dict, dict]:
         aggregates,
         h2o,
         llm,
+        pipeline,
         relational,
         sources,
         udfs,

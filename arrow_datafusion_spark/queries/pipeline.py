@@ -1,0 +1,332 @@
+"""Corpus-curation pipeline suite: the remaining operations a large-scale
+training-data pipeline runs between raw crawl and tokenized shards —
+per-source quota capping, deterministic stratified sampling, sequence
+packing, dedup-cluster resolution (connected components), TF-IDF term
+scoring, and PII-style redaction.
+
+Like queries/llm.py these are beyond the reference's own surface but
+first-class per the north star; every entry is hash-oracled by DuckDB
+running the identical deterministic construction.
+
+Scale notes (100 TB): every entry is one or two hash shuffles on narrow
+keys — no all-pairs, no driver collect (the only driver loop is the
+connected-components fixpoint, which iterates O(graph diameter) ≈ 2-3
+distributed jobs on frontier deltas, not data volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arrow_datafusion_spark.operators import dedup as D
+from arrow_datafusion_spark.operators import text as T
+from arrow_datafusion_spark.plans.recursive import recursive_query
+from arrow_datafusion_spark.session import load_tables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+# --------------------------------------------------------------------------
+def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (CommonCrawl-style domain balancing): keep
+    the top-3 docs per source by quality score. One window over a hash
+    shuffle on `source`; at 100 TB the quota guards against any one domain
+    flooding the mix."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", T.quality_score(F.col("text")).alias("quality"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("source", "rank")
+    )
+
+
+PIPELINE_SOURCE_QUOTA_SQL = r"""
+WITH q AS (
+  SELECT doc_id, source,
+         round(0.4 * (CASE WHEN len(text) BETWEEN 100 AND 1000 THEN 1.0 ELSE 0.5 END)
+             + 0.4 * (len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / greatest(len(text), 1))
+             + 0.2 * least(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x IN ('the','a','of','and','to')))
+                           / greatest(len(string_split_regex(text, '\s+')), 1) * 5,
+                           1.0), 6) AS quality
+  FROM documents
+)
+SELECT doc_id, source, quality, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id) AS rank
+      FROM q)
+WHERE rank <= 3
+ORDER BY source, rank
+"""
+
+
+# --------------------------------------------------------------------------
+def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: bucket = first-6-hex-chars of
+    md5(doc_id) as an integer mod 1000; keep 20% of 'en' docs and 50% of
+    everything else. Hash-based (not random) so the sample is reproducible
+    across engines, runs, and cluster sizes — the property a training-data
+    pipeline actually needs. Per-row, shuffle-free, scan speed at 100 TB."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    keep_below = F.when(F.col("lang") == "en", F.lit(200)).otherwise(F.lit(500))
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < keep_below)
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_HASH_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         list_reduce([strpos('0123456789abcdef',
+                             substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                      for i in range(1, 7)],
+                     (a, d) -> a * 16 + d) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM b
+WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 500 END)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are concatenated in
+    doc_id order and split into 2048-token training sequences; each doc is
+    assigned the sequence its first token lands in. One cumulative-sum
+    window + one groupBy. At 100 TB the order-by key would be a
+    (shard, doc) composite so each shard packs independently — the
+    construction is identical."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(T.ws_tokens(F.col("text")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks = d.select(F.col("doc_id"), n_tok.alias("n_tok"))
+    packed = toks.withColumn(
+        "seq_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048)
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+PIPELINE_PACK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok FROM documents
+), packed AS (
+  SELECT doc_id, n_tok,
+         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / 2048) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY seq_id
+ORDER BY seq_id
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster resolution: connected components over the union of two
+    cheap similarity groupings (shared first-8-words digest, shared 16-bit
+    SimHash) by min-label propagation to fixpoint — the step that turns
+    pairwise near-dup evidence into keep/drop decisions.
+
+    Each grouping contributes star edges (every doc ↔ its group's min
+    doc_id), so |edges| ≤ 2·|docs| — never all-pairs — and the component
+    diameter is ≤ 4, so the fixpoint (plans/recursive.py semi-naive loop)
+    converges in a handful of distributed frontier-delta jobs regardless of
+    corpus size."""
+    d = _docs(spark, sf_dir)
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.substring_index(F.col("text"), " ", 8)).alias("k1"),
+        D.simhash16(T.ws_tokens(F.col("text"))).cast("string").alias("k2"),
+    )
+
+    def star(key: str) -> DataFrame:
+        w = Window.partitionBy(key)
+        return (
+            keyed.withColumn("root", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
+        )
+
+    e = star("k1").unionAll(star("k2"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    base = keyed.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return frontier.join(edges, frontier["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+
+    lbl = recursive_query(base, step, distinct=True, result_partitions=None)
+    return (
+        lbl.groupBy("node")
+        .agg(F.min("label").alias("component"))
+        .orderBy("node")
+    )
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS k1,
+         CAST(list_sum([CASE WHEN list_sum(list_transform(
+                 list_distinct(string_split(text, ' ')),
+                 x -> ((strpos('0123456789abcdef', substring(md5(x), j+1, 1)) - 1) % 2) * 2 - 1
+               )) > 0 THEN 1 << j ELSE 0 END
+               for j in range(0, 16)]) AS VARCHAR) AS k2
+  FROM documents
+), s1 AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k1) AS root FROM keyed
+), s2 AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY k2) AS root FROM keyed
+), e AS (
+  SELECT doc_id AS src, root AS dst FROM s1 WHERE doc_id != root
+  UNION ALL
+  SELECT doc_id AS src, root AS dst FROM s2 WHERE doc_id != root
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+), lbl AS (
+  WITH RECURSIVE prop(node, label) AS (
+    SELECT doc_id, doc_id FROM keyed
+    UNION
+    SELECT e.dst, p.label FROM prop p JOIN edges e ON e.src = p.node
+  )
+  SELECT node, label FROM prop
+)
+SELECT node, min(label) AS component
+FROM lbl
+GROUP BY node
+ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 50): term frequency ×
+    ln(N/df), ranked on the 6-dp-rounded score with term-name tiebreak so
+    the ranking is engine-independent. Two hash shuffles (doc-term counts,
+    term document-frequencies) + a broadcast of the tiny df side."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar: corpus size (a count, not a data collect)
+    terms = d.select(
+        "doc_id", F.explode(T.ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_counts), "term")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rn").cast("int").alias("rn"))
+        .orderBy("doc_id", "rn")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS score
+  FROM tf JOIN dfc USING (term)
+  WHERE doc_id < 50
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
+# --------------------------------------------------------------------------
+def pipeline_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over the event props payload: replace every digit
+    run with a placeholder token and count what was redacted — the
+    regex-scrub shape (emails/phones/ids) every corpus pipeline runs.
+    Pure per-row regexp kernels: scan speed, no shuffle."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), F.lit(0))).alias(
+            "n_redacted"
+        ),
+    ).orderBy("event_id")
+
+
+PIPELINE_REDACT_SQL = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+FROM events
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "pipeline_source_quota": pipeline_source_quota,
+    "pipeline_hash_sample": pipeline_hash_sample,
+    "pipeline_pack": pipeline_pack,
+    "dedup_components": dedup_components,
+    "text_tfidf": text_tfidf,
+    "pipeline_redact": pipeline_redact,
+}
+ORACLE = {
+    "pipeline_source_quota": PIPELINE_SOURCE_QUOTA_SQL,
+    "pipeline_hash_sample": PIPELINE_HASH_SAMPLE_SQL,
+    "pipeline_pack": PIPELINE_PACK_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
+    "text_tfidf": TEXT_TFIDF_SQL,
+    "pipeline_redact": PIPELINE_REDACT_SQL,
+}
