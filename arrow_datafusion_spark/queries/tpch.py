@@ -22,6 +22,10 @@ Spark-first notes:
   order-independent, so Spark's partitioned partial/final agg order vs the
   oracle's sequential sum cannot flip the hash compare), then round and cast
   back to double; all LIMIT queries carry a unique tiebreaker sort key.
+- Quantity sums stay double: l_quantity is integer-valued, and integer
+  double addition is exact in any order below 2^53 — no decimal needed.
+- Final sorts of bounded-cardinality aggregates are single-partition
+  (_sorted_small) instead of range-partitioned — see its docstring.
 """
 
 from __future__ import annotations
@@ -62,6 +66,21 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tabs[n] for n in names]
 
 
+def _sorted_small(df: DataFrame, *cols) -> DataFrame:
+    """Total-order a bounded-cardinality final result.
+
+    For aggregates grouped on enum-like keys (return flags, nations, years,
+    priorities, brand×type×size), the output is a few hundred rows at ANY
+    scale factor, so a range-partitioned global sort — an extra
+    partition-sampling job plus a full exchange per execution — is planner
+    waste; collapsing the (tiny) final-agg output to one task and sorting
+    within it is the plan you'd want on a 1000-executor cluster too. The
+    expensive partial aggregation upstream of the shuffle keeps its full
+    parallelism. Only used where the group-key domain is provably bounded.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 # --------------------------------------------------------------------------
 # q1 — pricing summary report (full-scan agg). Reference: benchmarks/queries/q1.sql
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,43 +88,49 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decimal casts are projected ONCE before the aggregate: Catalyst does not
     # CSE duplicate aggregate children, so the inline form double-converts the
     # columns shared between SUM and AVG (measured 24% slower at sf0.1).
+    # Money stays decimal(38,6) (order-independent at any scale); quantity is
+    # integer-valued (1-50) so its double sum is exact for any addition order
+    # while the total < 2^53 (~9e15 — beyond 100 TB row counts), and discount
+    # is 2dp so its scaled-cents bigint sum is exact — both skip the
+    # Decimal128 accumulator, which dominates this aggregate's CPU.
     pre = lineitem.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     ).select(
         "l_returnflag",
         "l_linestatus",
-        F.col("l_quantity").cast(_DEC).alias("d_qty"),
+        F.col("l_quantity").alias("d_qty"),
         F.col("l_extendedprice").cast(_DEC).alias("d_price"),
         _rev().cast(_DEC).alias("d_disc_price"),
         (_rev() * (1 + F.col("l_tax"))).cast(_DEC).alias("d_charge"),
-        F.col("l_discount").cast(_DEC).alias("d_disc"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_cents"),
     )
     cnt = F.count(F.lit(1))
-    return (
+    return _sorted_small(
         pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("d_qty"), 2).cast("double").alias("sum_qty"),
             F.round(F.sum("d_price"), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum("d_disc_price"), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum("d_charge"), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum("d_qty").cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum("d_qty") / cnt, 4).alias("avg_qty"),
             F.round(F.sum("d_price").cast("double") / cnt, 4).alias("avg_price"),
-            F.round(F.sum("d_disc").cast("double") / cnt, 4).alias("avg_disc"),
+            F.round(F.sum("disc_cents") / 100.0 / cnt, 4).alias("avg_disc"),
             cnt.alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        "l_returnflag",
+        "l_linestatus",
     )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -229,10 +254,10 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") == F.col("l_orderkey"))
         & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
     )
-    return (
+    return _sorted_small(
         late.groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_orderkey").alias("order_count"))
-        .orderBy("o_orderpriority")
+        .agg(F.countDistinct("o_orderkey").alias("order_count")),
+        "o_orderpriority",
     )
 
 
@@ -272,7 +297,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = supplier.join(
         asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
     )
-    return (
+    return _sorted_small(
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -286,8 +311,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(_dsum(_rev(), "revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .agg(_dsum(_rev(), "revenue")),
+        F.desc("revenue"),
+        "n_name",
     )
 
 
@@ -377,10 +403,12 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rev().alias("volume"),
         )
     )
-    return (
+    return _sorted_small(
         shipping.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_dsum("volume", "revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum("volume", "revenue")),
+        "supp_nation",
+        "cust_nation",
+        "l_year",
     )
 
 
@@ -439,7 +467,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_name"),
         )
     )
-    return (
+    return _sorted_small(
         allrows.groupBy("o_year")
         .agg(
             F.round(
@@ -451,8 +479,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("volume").cast(_DEC)).cast("double"),
                 4,
             ).alias("mkt_share")
-        )
-        .orderBy("o_year")
+        ),
+        "o_year",
     )
 
 
@@ -496,10 +524,11 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")).alias("amount"),
         )
     )
-    return (
+    return _sorted_small(
         profit.groupBy("nation", "o_year")
-        .agg(_dsum("amount", "sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
+        .agg(_dsum("amount", "sum_profit")),
+        "nation",
+        F.desc("o_year"),
     )
 
 
@@ -590,7 +619,7 @@ ORDER BY value DESC, n_name
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
+    return _sorted_small(
         orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -601,8 +630,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(high, 1)).alias("high_line_count"),
             F.count(F.when(~high, 1)).alias("low_line_count"),
-        )
-        .orderBy("l_linestatus")
+        ),
+        "l_linestatus",
     )
 
 
@@ -636,10 +665,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
-    return (
+    return _sorted_small(
         c_orders.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .agg(F.count(F.lit(1)).alias("custdist")),
+        F.desc("custdist"),
+        F.desc("c_count"),
     )
 
 
@@ -741,7 +771,7 @@ ORDER BY s_suppkey
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
     bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
+    return _sorted_small(
         part.filter(
             (F.col("p_brand") != "Brand#1")
             & (F.col("p_type") != "PROMO")
@@ -750,8 +780,11 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
         .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")),
+        F.desc("supplier_cnt"),
+        "p_brand",
+        "p_type",
+        "p_size",
     )
 
 
@@ -808,7 +841,9 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         lineitem.groupBy(F.col("l_orderkey").alias("big_orderkey"))
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("order_qty"))
+        # l_quantity is integer-valued, so the double sum is exact in any
+        # addition order (≪ 2^53) — no Decimal128 accumulator needed.
+        .agg(F.sum("l_quantity").alias("order_qty"))
         .filter(F.col("order_qty") > 150)
     )
     return (
@@ -830,7 +865,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+       CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
@@ -962,29 +997,36 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RANGE frames need a numeric sort key; days since an epoch is exact.
         F.datediff("l_shipdate", F.lit("1990-01-01")).alias("ship_int"),
     )
+    # "No OTHER supplier shipped strictly later" ⟺ my ship_int ≥ the max
+    # ship_int among other suppliers' lines. other_max comes from one
+    # UNORDERED window partitioning on l_orderkey (max / max_by / the
+    # conditional max below all share it): one exchange + one sort total,
+    # where per-(orderkey,suppkey) frame counting needed a second exchange
+    # on the composite key. max_by tie-arbitrariness is harmless: if several
+    # suppliers tie at the order's max, other_max = max_ship for every row
+    # either way.
     w_ord = Window.partitionBy("l_orderkey")
-    w_gt = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("ship_int")
-        .rangeBetween(1, Window.unboundedFollowing)
-    )
-    w_gt_own = (
-        Window.partitionBy("l_orderkey", "l_suppkey")
-        .orderBy("ship_int")
-        .rangeBetween(1, Window.unboundedFollowing)
-    )
     li = li.select(
         "l_orderkey",
         "l_suppkey",
         "l_shipdate",
+        "ship_int",
         (F.min("l_suppkey").over(w_ord) != F.max("l_suppkey").over(w_ord)).alias(
             "has_other"
         ),
-        F.count(F.lit(1)).over(w_gt).alias("n_later"),
-        F.count(F.lit(1)).over(w_gt_own).alias("n_later_own"),
+        F.max("ship_int").over(w_ord).alias("max_ship"),
+        F.max_by("l_suppkey", "ship_int").over(w_ord).alias("last_supp"),
+    )
+    li = li.withColumn(
+        "other_max",
+        F.when(F.col("l_suppkey") != F.col("last_supp"), F.col("max_ship")).otherwise(
+            F.max(
+                F.when(F.col("l_suppkey") != F.col("last_supp"), F.col("ship_int"))
+            ).over(w_ord)
+        ),
     )
     return (
-        li.filter(F.col("has_other") & (F.col("n_later") == F.col("n_later_own")))
+        li.filter(F.col("has_other") & (F.col("ship_int") >= F.col("other_max")))
         .join(
             orders.filter(F.col("o_orderstatus") == "F").select(
                 "o_orderkey", "o_orderdate"
@@ -1035,7 +1077,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
+    return _sorted_small(
         customer.filter(cntry.isin(1, 3, 5, 7, 9))
         .join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_acctbal"))
@@ -1044,8 +1086,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             _dsum("c_acctbal", "totacctbal"),
-        )
-        .orderBy("cntrycode")
+        ),
+        "cntrycode",
     )
 
 
