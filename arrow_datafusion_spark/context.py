@@ -264,6 +264,10 @@ class SessionContext:
     def deregister_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._tables.pop(name, None)
+        # keep session.load_tables' registered-view memo honest
+        from arrow_datafusion_spark import session as _session
+
+        _session._VIEW_CACHE.pop((self.spark.sparkContext.applicationId, name), None)
 
     # -- catalog ------------------------------------------------------------
 

@@ -52,6 +52,12 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow-accelerated pandas UDF exchange for the operators that need it.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark's DataFrame debugging captures a Python call site and pushes it
+    # to the JVM on EVERY DataFrame/Column API call (2+ extra py4j
+    # round-trips each) — measured ~0.1-0.2 s of pure plan-construction
+    # overhead per TPC-H query. Error messages lose the Python call-site
+    # annotation; the stack trace itself is unaffected.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -75,6 +81,15 @@ def build_spark(app: str = "arrow-datafusion-spark", cpus: int | None = None) ->
 
 def prepare(spark: SparkSession) -> SparkSession:
     """Idempotently apply runtime confs to an externally-built session."""
+    # The dataFrameDebugging conf above is read ONCE and cached Python-side;
+    # on an externally-built session (the driver's) the cache may already be
+    # True by the time prepare() runs, so seed it directly as well.
+    try:
+        from pyspark.errors import utils as _err_utils
+
+        _err_utils._enable_debugging_cache = False
+    except Exception:
+        pass
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -112,14 +127,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (appId, view name) → sf_dir it was last registered for. Re-registering the
+# same view on every load_tables call costs a py4j/catalog round-trip per
+# table per query (~0.15 s per TPC-H query); skip when nothing changed. If a
+# caller re-points a view name at different data behind our back it must
+# register its own view (SessionContext does — it never routes through here).
+_VIEW_CACHE: dict[tuple[str, str], str] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = ALL_TABLES
 ) -> dict[str, DataFrame]:
     """Load + register temp views (the `register_parquet` role of the
     reference's ListingTable, datafusion/core/src/datasource/listing/table.rs:617)."""
     out: dict[str, DataFrame] = {}
+    app = spark.sparkContext.applicationId
     for name in names:
         df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if _VIEW_CACHE.get((app, name)) != sf_dir:
+            df.createOrReplaceTempView(name)
+            _VIEW_CACHE[(app, name)] = sf_dir
         out[name] = df
     return out
