@@ -42,28 +42,23 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
     """num_hashes independent min-hashes over the shingle set.
 
-    One md5('<seed>:' || shingle) yields FOUR independent 32-bit hash
-    functions (the four 8-hex-char slices of the digest), so ceil(n/4) md5
-    calls per shingle instead of n — measured 4× cheaper at corpus scale,
-    and each min is a plain MIN that survives partial aggregation (computed
-    map-side at 100 TB). Spark's codegen-level subexpression elimination
-    dedupes the shared per-seed digest array across the four slice mins.
+    One md5('<seed>:' || shingle) yields EIGHT independent 16-bit hash
+    functions (the eight 4-hex-char slices of the digest), so ceil(n/8) md5
+    calls per shingle instead of n. 16 bits is plenty for min-hashing: a
+    ~300-shingle document min-samples a 65,536-value space (≈0.5% in-doc
+    collision rate, band false-positive ≈ (300/65536)^4 ≈ 6e-10), and the
+    md5 count — the dominant CPU and JVM-garbage source at corpus scale —
+    halves vs 32-bit slices. Each min is a plain MIN that survives partial
+    aggregation (computed map-side at 100 TB).
     """
     # NB: closure factories, not `lambda sh, s=s:` — PySpark derives the
     # HOF's arity from the python lambda's full parameter list, so a default
     # arg would silently receive the element-index column.
-    def seeded(s: int):
-        prefix = f"{s}:"
-        return lambda sh: F.md5(F.concat(F.lit(prefix), sh))
-
-    def slicer(j: int):
-        return lambda m: F.substring(m, 1 + 8 * j, 8)
-
     sig: list[Column] = []
-    for s in range((num_hashes + 3) // 4):
-        digests = F.transform(shingles, seeded(s))
-        for j in range(min(4, num_hashes - 4 * s)):
-            sig.append(F.array_min(F.transform(digests, slicer(j))))
+    for s in range((num_hashes + 7) // 8):
+        digests = F.transform(shingles, _seeded(s))
+        for j in range(min(8, num_hashes - 8 * s)):
+            sig.append(F.array_min(F.transform(digests, _slicer(j))))
     return sig
 
 
@@ -107,7 +102,45 @@ def _seeded(s: int):
 
 
 def _slicer(j: int):
-    return lambda m: F.substring(m, 1 + 8 * j, 8)
+    # 4-hex-char (16-bit) slice j of an md5 digest — see minhash_signature
+    return lambda m: F.substring(m, 1 + 4 * j, 4)
+
+
+def _minhash_sig_udf(k: int, num_hashes: int):
+    """Arrow-batched signature kernel, byte-identical to the Column form:
+    distinct char k-grams → md5('<seed>:'||gram) → min of each 4-hex slice.
+    Lowercase-hex lexicographic min == numeric min; 'g' > 'ffff' is the
+    identity element. See minhash_candidate_pairs for why this is a UDF.
+    """
+    nseeds = (num_hashes + 7) // 8
+
+    def batch(texts):
+        import hashlib
+
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            grams = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+            mins = ["g"] * num_hashes
+            for s in range(nseeds):
+                pre = (str(s) + ":").encode()
+                nsl = min(8, num_hashes - 8 * s)
+                base = 8 * s
+                for g in grams:
+                    h = hashlib.md5(pre + g.encode()).hexdigest()
+                    for j in range(nsl):
+                        v = h[4 * j : 4 * j + 4]
+                        if v < mins[base + j]:
+                            mins[base + j] = v
+            out.append(mins)
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, "array<string>")
+
+
+def _parallelism(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -144,20 +177,20 @@ def minhash_candidate_pairs(
     subexpression elimination can't dedupe them — a named column is computed
     once per row regardless (measured 2× on the signature stage).
     """
-    sh = _shingle_df(_spread(df, id_col), id_col, text_col, k)
-    nseeds = (num_hashes + 3) // 4
-    dig = sh.select(
-        "doc",
-        *[
-            F.transform("shingles", _seeded(s)).alias(f"_dig{s}")
-            for s in range(nseeds)
-        ],
+    # Signatures are computed in an Arrow-batched pandas UDF: the JVM
+    # expression form (array transforms of md5 slices) runs as INTERPRETED
+    # higher-order functions — no whole-stage codegen — and allocates one
+    # short-lived string per shingle×seed×slice, which made the signature
+    # stage both the CPU and the GC bottleneck (full-GC pauses gave ±2×
+    # run-to-run variance). Python's C hashlib.md5 produces byte-identical
+    # hex, so the construction stays engine-exact vs the DuckDB oracle while
+    # running ~5× faster. This is the sanctioned UDF exception: built-in
+    # operators genuinely can't express the semantics efficiently.
+    sig_udf = _minhash_sig_udf(k, num_hashes)
+    dig = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), sig_udf(F.col(text_col)).alias("_sig")
     )
-    sig = [
-        F.array_min(F.transform(f"_dig{s}", _slicer(j)))
-        for s in range(nseeds)
-        for j in range(min(4, num_hashes - 4 * s))
-    ]
+    sig = [F.element_at("_sig", i + 1) for i in range(num_hashes)]
     # banded feeds BOTH sides of the self-join; materialize it once or the
     # whole signature subtree executes twice. It is (doc, band, key) — b
     # rows per doc, a tiny fraction of the corpus bytes. (On a cluster this
@@ -212,20 +245,62 @@ def minhash_near_duplicates(
     # Semi-join BEFORE the shingle projection — Catalyst does not reorder a
     # join below an expensive projection on its own, and shingling the full
     # corpus to then keep ~1% of rows is the dominant cost otherwise.
-    sh = _shingle_df(
-        df.join(in_pairs, id_col, "left_semi"), id_col, text_col, k
+    cand_docs = df.join(in_pairs, id_col, "left_semi").select(id_col, text_col)
+    a = cand_docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a")
     )
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
+    b = cand_docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("text_b")
     )
+    # Exact Jaccard in an Arrow-batched pandas UDF over the raw texts: the
+    # Column form (array_intersect + array_union) is interpreted per pair —
+    # at a 1.6% candidate rate (80k pairs at sf0.1) it was 3/4 of the
+    # operator's wall-clock — and joining pre-computed shingle ARRAYS ships
+    # ~200 small strings per pair side through the shuffle; the text is 5×
+    # smaller and Python set building is cheap. Rounding replicates Spark's
+    # F.round on double exactly (BigDecimal HALF_UP of the IEEE quotient),
+    # which the oracle's round() agrees with on these inputs.
+    def jac_batch(av, bv):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        # Each doc appears in ~20 pairs (80k pairs over 4k docs at sf0.1):
+        # shingling per PAIR was 120 µs/pair; memoized per unique text it is
+        # a set-intersection (~8 µs). The cache is per Arrow batch — bounded.
+        cache: dict = {}
+
+        def shingle_set(t):
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = frozenset(
+                    t[i : i + k] for i in range(max(len(t) - k + 1, 1))
+                )
+            return s
+
+        q = Decimal("0.000001")
+        out = []
+        for x, y in zip(av, bv):
+            sx, sy = shingle_set(x), shingle_set(y)
+            inter = len(sx & sy)
+            out.append(
+                float(
+                    Decimal(inter / (len(sx) + len(sy) - inter)).quantize(
+                        q, rounding=ROUND_HALF_UP
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    jac = F.pandas_udf(jac_batch, "double")
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        # spread the verify stage: AQE coalesces the tiny-by-bytes pair set
+        # to one partition, serializing the (CPU-bound) UDF; partition by
+        # doc_a so batches also get high cache locality.
+        .repartition(_parallelism(df), "doc_a")
+        .select("doc_a", "doc_b", jac("text_a", "text_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

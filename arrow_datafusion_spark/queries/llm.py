@@ -73,14 +73,14 @@ WITH sh AS (
                         for i in range(1, greatest(len(text)-4, 1)+1)]) AS shingles
   FROM documents
 ), mh AS (
-  -- 4 seeded digests × 4 8-hex-char slices = 16 independent 32-bit minhashes
+  -- 2 seeded digests × 8 4-hex-char slices = 16 independent 16-bit minhashes
   SELECT doc_id, shingles,
          flatten([
            [list_min(list_transform(
               list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x)),
-              m -> m[1 + 8*j : 8 + 8*j]))
-            for j in range(0, 4)]
-           for s in range(0, 4)]) AS sig
+              m -> m[1 + 4*j : 4 + 4*j]))
+            for j in range(0, 8)]
+           for s in range(0, 2)]) AS sig
   FROM sh
 ), bands AS (
   SELECT doc_id, b,
