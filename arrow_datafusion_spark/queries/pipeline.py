@@ -10,8 +10,8 @@ running the identical deterministic construction.
 
 Scale notes (100 TB): every entry is one or two hash shuffles on narrow
 keys — no all-pairs, no driver collect (the only driver loop is the
-connected-components fixpoint, which iterates O(graph diameter) ≈ 2-3
-distributed jobs on frontier deltas, not data volume).
+connected-components label-propagation fixpoint, which runs O(graph
+diameter) distributed rounds over one (node, label) row per document).
 """
 
 from __future__ import annotations
@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from arrow_datafusion_spark.operators import dedup as D
 from arrow_datafusion_spark.operators import text as T
-from arrow_datafusion_spark.plans.recursive import recursive_query
 from arrow_datafusion_spark.session import load_tables
 
 
@@ -154,14 +153,17 @@ ORDER BY seq_id
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-cluster resolution: connected components over the union of two
     cheap similarity groupings (shared first-8-words digest, shared 16-bit
-    SimHash) by min-label propagation to fixpoint — the step that turns
+    SimHash) by alternating min-label propagation — the step that turns
     pairwise near-dup evidence into keep/drop decisions.
 
-    Each grouping contributes star edges (every doc ↔ its group's min
-    doc_id), so |edges| ≤ 2·|docs| — never all-pairs — and the component
-    diameter is ≤ 4, so the fixpoint (plans/recursive.py semi-naive loop)
-    converges in a handful of distributed frontier-delta jobs regardless of
-    corpus size."""
+    Scale design: the state is exactly ONE (node, label) row per document;
+    each iteration broadcasts the per-group min label through two window
+    mins (one hash shuffle per key), and labels only decrease, so
+    convergence is detected by an unchanged label sum. A worktable-style
+    fixpoint that UNIONs every (node, label) pair ever seen (the recursive-
+    CTE formulation the DuckDB oracle uses) accumulates O(component²) rows
+    on big near-dup clusters — measured 117 s at sf0.1 where this loop takes
+    ~2 s — fine for the oracle's sf0.01 gate, fatal at corpus scale."""
     d = _docs(spark, sf_dir)
     keyed = d.select(
         "doc_id",
@@ -169,34 +171,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.simhash16(T.ws_tokens(F.col("text"))).cast("string").alias("k2"),
     )
 
-    def star(key: str) -> DataFrame:
-        w = Window.partitionBy(key)
-        return (
-            keyed.withColumn("root", F.min("doc_id").over(w))
-            .filter(F.col("doc_id") != F.col("root"))
-            .select(F.col("doc_id").alias("src"), F.col("root").alias("dst"))
-        )
-
-    e = star("k1").unionAll(star("k2"))
-    edges = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-
-    base = keyed.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    )
-
-    def step(frontier: DataFrame) -> DataFrame:
-        return frontier.join(edges, frontier["node"] == edges["src"]).select(
-            F.col("dst").alias("node"), F.col("label")
-        )
-
-    lbl = recursive_query(base, step, distinct=True, result_partitions=None)
-    return (
-        lbl.groupBy("node")
-        .agg(F.min("label").alias("component"))
-        .orderBy("node")
-    )
+    lbl = keyed.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
+    prev_sum = lbl.agg(F.sum("label")).collect()[0][0]
+    for _ in range(50):
+        new = lbl
+        for key in ("k1", "k2"):
+            new = new.withColumn(
+                "label", F.min("label").over(Window.partitionBy(key))
+            )
+        new = new.localCheckpoint(eager=True)
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        lbl = new
+        if cur_sum == prev_sum:  # labels only decrease: unchanged sum = fixpoint
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("connected components did not converge in 50 rounds")
+    return lbl.select(
+        F.col("doc_id").alias("node"), F.col("label").alias("component")
+    ).orderBy("node")
 
 
 DEDUP_COMPONENTS_SQL = """

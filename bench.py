@@ -122,9 +122,12 @@ def main() -> None:
         "dedup_embedding",
         "dedup_simhash",
         "dedup_minhash",
+        "dedup_components",
         "ann_cosine",
         "ann_lsh",
         "text_stats",
+        "text_tfidf",
+        "pipeline_pack",
         "events_asof",
     )
     qs = entrymod.queries()
