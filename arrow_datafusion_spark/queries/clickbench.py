@@ -168,6 +168,70 @@ _PACK: list[tuple[str, str, str | None]] = [
         """,
         None,
     ),
+    (
+        # CB q5-q7 shape: several COUNT(DISTINCT) over the full scan in one pass
+        "cb_multi_distinct",
+        """
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(DISTINCT event_type) AS n_types,
+               count(DISTINCT user_id % 100) AS n_user_buckets,
+               count(*) AS n
+        FROM events
+        """,
+        None,
+    ),
+    (
+        # CB q21-q22 shape: GROUP BY a substring expression of a string column
+        "cb_substring_group",
+        """
+        SELECT substring(props, 8, 2) AS key2,
+               count(*) AS c,
+               count(DISTINCT user_id) AS u
+        FROM events
+        WHERE props LIKE '{"k":%'
+        GROUP BY substring(props, 8, 2)
+        ORDER BY c DESC, key2
+        LIMIT 10
+        """,
+        None,
+    ),
+    (
+        # CB q35 shape: latest-N scan ordered by timestamp
+        "cb_latest",
+        """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        ORDER BY ts DESC, event_id
+        LIMIT 10
+        """,
+        None,
+    ),
+    (
+        # CB q32 shape: heavy-hitter users via HAVING on the grouped count
+        "cb_heavy_users",
+        """
+        SELECT user_id, count(*) AS c,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_v
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) > 30
+        ORDER BY c DESC, user_id
+        LIMIT 20
+        """,
+        None,
+    ),
+    (
+        # CB nested-aggregate shape: average per-user event count (agg of an agg)
+        "cb_avg_user_rate",
+        """
+        SELECT count(*) AS n_users,
+               CAST(ROUND(SUM(c) * 1.0 / count(*), 4) AS DOUBLE) AS avg_events_per_user,
+               max(c) AS max_events
+        FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id) t
+        """,
+        None,
+    ),
 ]
 
 

@@ -307,6 +307,55 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with the held-out eval set (doc_id < 20) — the overlap check every
+    LLM data pipeline runs before training.
+
+    Scale shape: grams explode per doc, dedup per side, then ONE equi-join
+    on the gram string (the eval side is tiny — thousands of grams even for
+    a large benchmark suite — so Catalyst broadcasts it and the corpus side
+    never shuffles); never all-pairs over documents."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            D.word_ngrams(F.split(F.col("text"), " "), 5)
+        ).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    train = grams.filter(F.col("doc_id") >= 20)
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_DECONTAMINATE_SQL = """
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                 for i in range(1, greatest(len(toks)-4, 1)+1)])) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ev AS (SELECT doc_id AS eval_doc, gram FROM g WHERE doc_id < 20)
+SELECT g.doc_id,
+       count(DISTINCT g.gram) AS n_shared_grams,
+       count(DISTINCT eval_doc) AS n_eval_docs
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id >= 20
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 QUERIES = {
     "pipeline_source_quota": pipeline_source_quota,
     "pipeline_hash_sample": pipeline_hash_sample,
@@ -314,6 +363,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "text_tfidf": text_tfidf,
     "pipeline_redact": pipeline_redact,
+    "pipeline_decontaminate": pipeline_decontaminate,
 }
 ORACLE = {
     "pipeline_source_quota": PIPELINE_SOURCE_QUOTA_SQL,
@@ -322,4 +372,5 @@ ORACLE = {
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "text_tfidf": TEXT_TFIDF_SQL,
     "pipeline_redact": PIPELINE_REDACT_SQL,
+    "pipeline_decontaminate": PIPELINE_DECONTAMINATE_SQL,
 }
