@@ -237,51 +237,67 @@ def minhash_near_duplicates(
     pairs = minhash_candidate_pairs(
         df, id_col, text_col, k, num_hashes, rows_per_band
     ).localCheckpoint(eager=True)
-    in_pairs = (
+
+    def gram_fn(t: str):
+        return frozenset(t[i : i + k] for i in range(max(len(t) - k + 1, 1)))
+
+    return _verify_pairs_jaccard(pairs, df, id_col, text_col, gram_fn, threshold)
+
+
+def _verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_fn,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, shared by the MinHash
+    (char-shingle) and n-gram (word-gram) dedup operators.
+
+    Exact Jaccard runs in an Arrow-batched pandas UDF over the raw texts:
+    the Column form (array_intersect + array_union) is interpreted per pair
+    — at a 1.6% candidate rate (80k pairs at sf0.1) it was 3/4 of the
+    operator's wall-clock — and joining pre-computed gram ARRAYS ships
+    hundreds of small strings per pair side through the shuffle; the text is
+    ~5× smaller and Python set building is cheap. Rounding replicates
+    Spark's F.round on double exactly (BigDecimal HALF_UP of the IEEE
+    quotient), which the oracle's round() agrees with on these inputs.
+    """
+    cand_docs = df.select(id_col, text_col).join(
         pairs.select(F.col("doc_a").alias(id_col))
         .unionAll(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+        .distinct(),
+        id_col,
+        "left_semi",
     )
-    # Semi-join BEFORE the shingle projection — Catalyst does not reorder a
-    # join below an expensive projection on its own, and shingling the full
-    # corpus to then keep ~1% of rows is the dominant cost otherwise.
-    cand_docs = df.join(in_pairs, id_col, "left_semi").select(id_col, text_col)
     a = cand_docs.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a")
     )
     b = cand_docs.select(
         F.col(id_col).alias("doc_b"), F.col(text_col).alias("text_b")
     )
-    # Exact Jaccard in an Arrow-batched pandas UDF over the raw texts: the
-    # Column form (array_intersect + array_union) is interpreted per pair —
-    # at a 1.6% candidate rate (80k pairs at sf0.1) it was 3/4 of the
-    # operator's wall-clock — and joining pre-computed shingle ARRAYS ships
-    # ~200 small strings per pair side through the shuffle; the text is 5×
-    # smaller and Python set building is cheap. Rounding replicates Spark's
-    # F.round on double exactly (BigDecimal HALF_UP of the IEEE quotient),
-    # which the oracle's round() agrees with on these inputs.
+
     def jac_batch(av, bv):
         from decimal import ROUND_HALF_UP, Decimal
 
         import pandas as pd
 
         # Each doc appears in ~20 pairs (80k pairs over 4k docs at sf0.1):
-        # shingling per PAIR was 120 µs/pair; memoized per unique text it is
-        # a set-intersection (~8 µs). The cache is per Arrow batch — bounded.
+        # gram-building per PAIR was 120 µs/pair; memoized per unique text
+        # it is a set-intersection (~8 µs). The cache is per Arrow batch.
         cache: dict = {}
 
-        def shingle_set(t):
+        def grams(t):
             s = cache.get(t)
             if s is None:
-                s = cache[t] = frozenset(
-                    t[i : i + k] for i in range(max(len(t) - k + 1, 1))
-                )
+                s = cache[t] = gram_fn(t)
             return s
 
         q = Decimal("0.000001")
         out = []
         for x, y in zip(av, bv):
-            sx, sy = shingle_set(x), shingle_set(y)
+            sx, sy = grams(x), grams(y)
             inter = len(sx & sy)
             out.append(
                 float(
@@ -369,7 +385,7 @@ def ngram_jaccard_pairs(
     g = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         word_ngrams(F.split(F.col(text_col), " "), n).alias("grams"),
-    ).localCheckpoint(eager=True)  # feeds anchor join + both verify sides
+    ).localCheckpoint(eager=True)  # feeds both sides of the anchor self-join
     anchored = g.select(
         "doc",
         F.explode(
@@ -387,15 +403,15 @@ def ngram_jaccard_pairs(
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    a = g.select(F.col("doc").alias("doc_a"), F.col("grams").alias("g_a"))
-    b = g.select(F.col("doc").alias("doc_b"), F.col("grams").alias("g_b"))
-    jac = F.round(
-        F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b")),
-        6,
-    )
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    def gram_fn(t: str):
+        toks = t.split(" ")
+        # join of the ≤n tokens at each start — matches word_ngrams'
+        # concat_ws over element_at (NULLs past the end are skipped) and the
+        # oracle's truncating list slice.
+        return frozenset(
+            " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))
+        )
+
+    return _verify_pairs_jaccard(
+        cand.localCheckpoint(eager=True), df, id_col, text_col, gram_fn, threshold
     )
