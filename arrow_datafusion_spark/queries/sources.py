@@ -239,6 +239,77 @@ SELECT n_regionkey, n_nations FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# (appId, sf_dir) → (lineitem table name, orders table name) — bucketed
+# copies are written once per session+scale, like a real lakehouse layout.
+_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BUCKETED.get(key)
+    if cached is not None:
+        return cached
+    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    names = (f"lineitem_bkt_{tag}", f"orders_bkt_{tag}")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for df, name, bucket_col in (
+        (li, names[0], "l_orderkey"),
+        (orders, names[1], "o_orderkey"),
+    ):
+        (
+            df.write.format("parquet")
+            .bucketBy(8, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", _tmp(name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    _BUCKETED[key] = names
+    return names
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join over BUCKETED storage: lineitem and orders are
+    written bucketed (8 buckets) and sorted by their order key — Spark's
+    analog of the reference's pre-partitioned ListingTable layouts
+    (output_ordering / Distribution in datafusion/core/src/datasource/
+    listing/table.rs) — so the join needs NO exchange on either side: each
+    task merge-joins bucket i with bucket i straight off storage. At 100 TB
+    this is THE technique for repeated fact-to-fact joins — the shuffle is
+    paid once at write time, not per query (tests/test_plans.py asserts the
+    exchange-free plan)."""
+    li_name, ord_name = _bucketed_tables(spark, sf_dir)
+    li, orders = spark.table(li_name), spark.table(ord_name)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderstatus,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "scan_csv": scan_csv,
     "scan_ndjson": scan_ndjson,
@@ -246,6 +317,7 @@ QUERIES = {
     "scan_avro": scan_avro,
     "write_parquet_roundtrip": write_parquet_roundtrip,
     "sql_ddl_insert": sql_ddl_insert,
+    "bucketed_join": bucketed_join,
 }
 ORACLE = {
     "scan_csv": SCAN_CSV_SQL,
@@ -254,4 +326,5 @@ ORACLE = {
     "scan_avro": SCAN_AVRO_SQL,
     "write_parquet_roundtrip": WRITE_PARQUET_ROUNDTRIP_SQL,
     "sql_ddl_insert": SQL_DDL_INSERT_SQL,
+    "bucketed_join": BUCKETED_JOIN_SQL,
 }

@@ -117,3 +117,24 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[_bucket", plan), plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The bucketed fact-to-fact join must merge-join buckets straight off
+    storage: no Exchange on either input (the shuffle was paid at write
+    time). Broadcast is disabled for the assertion so the small sf0.001
+    orders table can't sidestep the bucketed path."""
+    from arrow_datafusion_spark.queries.sources import _bucketed_tables
+
+    li_name, ord_name = _bucketed_tables(spark, _SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, orders = spark.table(li_name), spark.table(ord_name)
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("SelectedBucketsCount") == 2, plan
