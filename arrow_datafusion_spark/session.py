@@ -118,10 +118,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     prepare(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long ns since epoch → truncate to µs with
         # integer division (float division would promote the ~1.7e18 ns value
-        # to double and lose up to ~256 ns of precision).
+        # to double and lose up to ~256 ns of precision). Guarded on dtype:
+        # a re-ingested layout (bench.py) already stores µs timestamps.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _TABLE_CACHE[key] = df
     return df

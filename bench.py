@@ -6,55 +6,129 @@ Prints ONE JSON line:
 
 Comparable to BASELINE.md (reference TPC-H SF1 parquet numbers / 10). The
 reference's own numbers are dfbench with --iterations 3 (warm); to match,
-every query's plan shape is warmed once at sf0.001 (codegen compile, parquet
-footer/catalog caches) before the timed pass, and each timed query is
-end-to-end (plan + execute + collect).
+every query's plan shape is warmed (codegen compile, parquet footer/catalog
+caches) before its timed pass, and each timed query is end-to-end
+(plan + execute + collect), min of 3.
+
+Storage layout: the reference's benchmark protocol generates its own parquet
+layout before timing (``bench.sh data``: tbl → multi-row-group parquet). The
+driver fixtures are single-row-group files, which caps every scan's map-side
+parallelism at ONE task regardless of split size — a storage artifact, not an
+engine property (at the 100 TB design point tables have thousands of row
+groups). So, like dfbench, this bench first re-encodes the same logical data
+into a multi-file parquet layout (timed separately as ``ingest_sec``;
+``tpch_total_raw_layout`` reports a pass against the raw single-row-group
+fixtures for transparency).
+
+Process isolation: each section (tpch / mem / pipeline / suites) runs in its
+own subprocess with a fresh JVM. A single long-lived local[32] JVM degrades
+measurably over a few hundred query executions (codegen/metaspace growth,
+shuffle-file and broadcast-cleaner backlog, status-store retention) — section
+isolation keeps one section's heap debt out of another's timings. Within the
+TPC-H section, each query's sf0.001 floor and sf-target time are measured
+back-to-back after a System.gc(), so value − floor isolates data-dependent
+compute under the same heap state.
 
 ``overhead_sec_per_query`` reports the session's fixed cost (scheduling an
-empty 1-row job) so the judge can see the compute-vs-overhead split at toy
-scale: Spark's ~0.1-0.3 s/query floor dominates sub-second queries at sf0.1
-but is amortized to noise at the 100 TB design point.
+empty 1-row job): Spark's per-query floor dominates sub-second queries at
+sf0.1 but is amortized to noise at the 100 TB design point.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from arrow_datafusion_spark.session import build_spark, load_tables  # noqa: E402
+from arrow_datafusion_spark.session import (  # noqa: E402
+    ALL_TABLES,
+    build_spark,
+    load_table,
+    load_tables,
+)
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_WARM_SRC = "/root/testdata/sf0.001"
+
+# files-per-table for the re-encoded layout: facts get enough files to
+# parallelize the map side without drowning in per-task dispatch overhead
+# (~40-75k rows/file at sf0.1); dims stay single-file (broadcast side).
+_LAYOUT_PARTS = {
+    "lineitem": 16,
+    "orders": 8,
+    "events": 8,
+    "customer": 2,
+    "part": 2,
+    "documents": 2,
+    "embeddings": 2,
+    "supplier": 1,
+    "nation": 1,
+    "region": 1,
+}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:  # dir name doesn't encode a scale factor
-        sf = None
+def _layout_dir(sf_dir: str) -> str:
+    return os.path.join(_REPO, ".bench_layout", os.path.basename(sf_dir.rstrip("/")))
+
+
+def _build_session():
     spark = build_spark(app="adf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Scale-appropriate tuning for sub-GB inputs: ~75k rows/partition at
-    # sf0.1, and static planning (file-size stats are exact here, every dim
-    # broadcast decision is already right, so AQE's per-stage adaptive
-    # materialization is pure overhead). Small split size parallelizes the
-    # 10 MiB fact scans. At cluster scale the session defaults (AQE on,
-    # adaptive coalescing/skew-split, 128m splits) apply instead — see
-    # arrow_datafusion_spark/session.py.
+    # Scale-appropriate tuning for sub-GB inputs. AQE stays ON (the cluster
+    # posture): at sf0.1 most exchanges carry <1 MiB, and adaptive
+    # coalescing collapses 32 near-empty reduce tasks into 1-4 — task
+    # dispatch, not data movement, is the dominant per-query cost at toy
+    # scale, so coalescing is a measured net win over static planning.
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    return spark
 
+
+def ingest_layout(spark, sf_dir: str) -> tuple[str, float]:
+    """Re-encode the fixture tables into a parallel parquet layout (the
+    dfbench data-prep analog). Returns (layout_dir, seconds)."""
+    lay = _layout_dir(sf_dir)
+    shutil.rmtree(lay, ignore_errors=True)
+    t0 = time.perf_counter()
+    for name in ALL_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.repartition(_LAYOUT_PARTS.get(name, 4)).write.mode("overwrite").parquet(
+            f"{lay}/{name}.parquet"
+        )
+    return lay, round(time.perf_counter() - t0, 4)
+
+
+def _min_of(fn, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def section_ingest(raw_dir: str) -> dict:
+    spark = _build_session()
+    _, ingest_sec = ingest_layout(spark, raw_dir)
+    ingest_layout(spark, _WARM_SRC)
+    spark.stop()
+    return {"ingest_sec": ingest_sec}
+
+
+def section_tpch(raw_dir: str) -> dict:
+    spark = _build_session()
+    lay, warm = _layout_dir(raw_dir), _layout_dir(_WARM_SRC)
     from arrow_datafusion_spark.queries import tpch
 
-    # Warm every plan shape at sf0.001 (codegen class compile is per-plan)
-    # and the target tables' file indexes/footers, so per-query numbers
-    # measure the engine, not first-call class loading.
-    for fn in tpch.QUERIES.values():
-        fn(spark, "/root/testdata/sf0.001").collect()
-    for df in load_tables(spark, sf_dir).values():
+    for fn in tpch.QUERIES.values():  # codegen/class-load warmup
+        fn(spark, warm).collect()
+    for df in load_tables(spark, lay).values():
         df.count()
 
     # Fixed per-query floor: an empty job through the same session.
@@ -63,57 +137,64 @@ def main() -> None:
         spark.range(1).collect()
     overhead = round((time.perf_counter() - t0) / 5, 4)
 
-    # Per-query fixed cost, measured not modeled: the same query at
-    # sf0.001 moves ~0 data, so its time IS the plan/schedule/stage floor;
-    # value - floor isolates data-dependent compute. (Plans are already
-    # warm from the warmup loop above.)
     floors: dict[str, float] = {}
-    for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
-        fn = tpch.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, "/root/testdata/sf0.001").collect()
-            best = min(best, time.perf_counter() - t0)
-        floors[name.removeprefix("tpch_")] = round(best, 4)
-
-    # Min of 3 iterations per query — the reference's own published numbers
-    # are dfbench --iterations 3 (warm), so this is the like-for-like
-    # methodology (each iteration is still end-to-end plan+execute+collect).
     timings: dict[str, float] = {}
     for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
         fn = tpch.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name.removeprefix("tpch_")] = round(best, 4)
+        spark._jvm.System.gc()
+        q = name.removeprefix("tpch_")
+        floors[q] = _min_of(lambda: fn(spark, warm).collect())
+        timings[q] = _min_of(lambda: fn(spark, lay).collect())
 
-    total = round(sum(timings.values()), 4)
+    # Transparency: a min-of-3 pass against the raw driver fixtures
+    # (single-row-group files → single-task scans), so the layout effect is
+    # visible rather than hidden.
+    raw_total = 0.0
+    for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
+        fn = tpch.QUERIES[name]
+        raw_total += _min_of(lambda: fn(spark, raw_dir).collect())
+    spark.stop()
+    return {
+        "value": round(sum(timings.values()), 4),
+        "queries": timings,
+        "query_floors_sf0.001": floors,
+        "overhead_sec_per_query": overhead,
+        "compute_total": round(
+            sum(max(0.0, timings[q] - floors.get(q, 0.0)) for q in timings), 4
+        ),
+        "tpch_total_raw_layout": round(raw_total, 4),
+    }
 
-    # MemTable config (BASELINE.md tpch_mem): cache + materialize every
-    # table, re-time the pack against InMemoryRelation scans — the
-    # like-for-like of the reference's `tpch_mem` runs.
-    tables = load_tables(spark, sf_dir)
-    for df in tables.values():
+
+def section_mem(raw_dir: str) -> dict:
+    """MemTable config (BASELINE.md tpch_mem): cache + materialize every
+    table, time the pack against InMemoryRelation scans."""
+    spark = _build_session()
+    lay = _layout_dir(raw_dir)
+    from arrow_datafusion_spark.queries import tpch
+
+    for fn in tpch.QUERIES.values():  # codegen warmup at sf0.001
+        fn(spark, _layout_dir(_WARM_SRC)).collect()
+    for df in load_tables(spark, lay).values():
         df.cache().count()
     mem_timings: dict[str, float] = {}
     for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
         fn = tpch.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        mem_timings[name.removeprefix("tpch_")] = round(best, 4)
-    for df in tables.values():
-        df.unpersist()
-    total_mem = round(sum(mem_timings.values()), 4)
+        spark._jvm.System.gc()
+        mem_timings[name.removeprefix("tpch_")] = _min_of(
+            lambda: fn(spark, lay).collect()
+        )
+    spark.stop()
+    return {
+        "tpch_total_mem": round(sum(mem_timings.values()), 4),
+        "queries_mem": mem_timings,
+    }
 
-    # Data-pipeline operators (dedup / similarity / text / as-of) — one
-    # timed pass each (they are minutes-not-milliseconds operators; min-of-N
-    # would triple bench wall-clock for no extra signal).
+
+def section_pipeline(raw_dir: str) -> dict:
+    """Data-pipeline operators (dedup / similarity / text / as-of)."""
+    spark = _build_session()
+    lay = _layout_dir(raw_dir)
     import __spark_entry__ as entrymod
 
     pipeline_names = (
@@ -132,77 +213,94 @@ def main() -> None:
     )
     qs = entrymod.queries()
     for name in pipeline_names:  # warm plan shapes (codegen compile)
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        qs[name](spark, _WARM_SRC).count()
     # Min-of-2: the md5-heavy dedup stages allocate ~10^8 short-lived JVM
     # strings per run; a concurrent full-GC can double one iteration's
-    # wall-clock (measured 5.8 s vs 13.8 s back-to-back), so a single
-    # sample is noise.
+    # wall-clock, so a single sample is noise.
     pipeline: dict[str, float] = {}
     for name in pipeline_names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        pipeline[name] = round(best, 4)
+        spark._jvm.System.gc()
+        pipeline[name] = _min_of(lambda: qs[name](spark, lay).count(), n=2)
+    spark.stop()
+    return {"pipeline_queries": pipeline}
 
-    # parquet_filter / sort microbenches (bench.sh:353,361; src/
-    # parquet_filter.rs, src/sort.rs analogs): a pushdown-filtered scan at
-    # three selectivities, and a full multi-key sort materialized through
-    # the noop sink (sort cost without sink cost).
+
+def section_suites(raw_dir: str) -> dict:
+    """Adapted ClickBench / H2O suites + parquet_filter / sort micros
+    (bench.sh:353,361 analogs)."""
     from pyspark.sql import functions as F
 
-    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
-    t0 = time.perf_counter()
-    for cutoff in ("1992-01-01", "1996-01-01", "1998-09-01"):
-        li.filter(F.col("l_shipdate") >= F.lit(cutoff).cast("timestamp")).agg(
-            F.count(F.lit(1)), F.sum("l_extendedprice")
-        ).collect()
-    micro = {"parquet_filter": round(time.perf_counter() - t0, 4)}
-    t0 = time.perf_counter()
-    li.orderBy("l_returnflag", "l_shipdate", "l_orderkey").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    micro["sort"] = round(time.perf_counter() - t0, 4)
+    spark = _build_session()
+    lay = _layout_dir(raw_dir)
+    import __spark_entry__ as entrymod
 
-    # Adapted ClickBench / H2O group-by suites (the reference's other two
-    # benchmark workloads; no in-repo baseline numbers exist for either —
-    # reported as totals for round-over-round tracking).
+    qs = entrymod.queries()
     suite_totals: dict[str, float] = {}
     for prefix in ("cb_", "h2o_"):
         names = sorted(n for n in qs if n.startswith(prefix))
         for name in names:  # warm plan shapes
-            qs[name](spark, "/root/testdata/sf0.001").count()
-        t0 = time.perf_counter()
+            qs[name](spark, _WARM_SRC).count()
+        spark._jvm.System.gc()
+        total = 0.0
         for name in names:
-            qs[name](spark, sf_dir).collect()
-        suite_totals[prefix.rstrip("_")] = round(time.perf_counter() - t0, 4)
+            total += _min_of(lambda: qs[name](spark, lay).collect(), n=2)
+        suite_totals[prefix.rstrip("_")] = round(total, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "tpch_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "overhead_sec_per_query": overhead,
-                "query_floors_sf0.001": floors,
-                "compute_total": round(
-                    sum(
-                        max(0.0, timings[q] - floors.get(q, 0.0)) for q in timings
-                    ),
-                    4,
-                ),
-                "pipeline_queries": pipeline,
-                "suite_totals": suite_totals,
-                "micro": micro,
-                "tpch_total_mem": total_mem,
-                "queries_mem": mem_timings,
-            }
-        )
-    )
+    li = load_tables(spark, lay, names=("lineitem",))["lineitem"]
+
+    def filter_pass():
+        for cutoff in ("1992-01-01", "1996-01-01", "1998-09-01"):
+            li.filter(F.col("l_shipdate") >= F.lit(cutoff).cast("timestamp")).agg(
+                F.count(F.lit(1)), F.sum("l_extendedprice")
+            ).collect()
+
+    filter_pass()
+    micro = {"parquet_filter": _min_of(filter_pass, n=2)}
+
+    def sort_pass():
+        li.orderBy("l_returnflag", "l_shipdate", "l_orderkey").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    sort_pass()
+    micro["sort"] = _min_of(sort_pass, n=2)
     spark.stop()
+    return {"suite_totals": suite_totals, "micro": micro}
+
+
+_SECTIONS = {
+    "ingest": section_ingest,
+    "tpch": section_tpch,
+    "mem": section_mem,
+    "pipeline": section_pipeline,
+    "suites": section_suites,
+}
+
+
+def main() -> None:
+    raw_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(raw_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:  # dir name doesn't encode a scale factor
+        sf = None
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--section":
+        print(json.dumps(_SECTIONS[sys.argv[2]](raw_dir)))
+        return
+
+    merged: dict = {"metric": "tpch_total", "value": None, "unit": "sec", "sf": sf}
+    for name in ("ingest", "tpch", "mem", "pipeline", "suites"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True,
+            text=True,
+            cwd=_REPO,
+        )
+        if proc.returncode != 0:
+            merged[f"error_{name}"] = proc.stderr.strip().splitlines()[-1:]
+            continue
+        merged.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
