@@ -90,8 +90,14 @@ def agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         A["last_value"](F.col("s_name"), F.col("s_suppkey")).alias("last_name"),
         A["nth_value"](F.col("s_name"), 2).alias("second_name"),
         A["string_agg"](F.col("s_name"), ",").alias("names_csv"),
-        A["array_agg_ordered"](F.col("s_name")).alias("names_arr"),
-        A["array_agg_distinct"](F.col("s_suppkey") % 5).alias("mod5_set"),
+        # '|'-joined for the driver canonicalizer (it can't hash array cells);
+        # the aggregate itself still returns a real ARRAY.
+        F.array_join(
+            A["array_agg_ordered"](F.col("s_name")).cast("array<string>"), "|"
+        ).alias("names_arr"),
+        F.array_join(
+            A["array_agg_distinct"](F.col("s_suppkey") % 5).cast("array<string>"), "|"
+        ).alias("mod5_set"),
         A["count"]().alias("n"),
         A["count_distinct"](F.col("s_suppkey") % 5).alias("n_mod5"),
     ).orderBy("s_nationkey")
@@ -103,8 +109,8 @@ SELECT s_nationkey,
        arg_max(s_name, s_suppkey) AS last_name,
        list_sort(list(s_name))[2] AS second_name,
        string_agg(s_name, ',' ORDER BY s_name) AS names_csv,
-       list_sort(list(s_name)) AS names_arr,
-       list_sort(list_distinct(list(s_suppkey % 5))) AS mod5_set,
+       array_to_string(list_sort(list(s_name)), '|') AS names_arr,
+       array_to_string(list_sort(list_distinct(list(s_suppkey % 5))), '|') AS mod5_set,
        count(*) AS n,
        count(DISTINCT s_suppkey % 5) AS n_mod5
 FROM supplier

@@ -124,6 +124,16 @@ FROM documents
 
 # --------------------------------------------------------------------------
 # regex (regex/)
+#
+# Array-valued outputs (regexp_extract_all here; most of fn_array below) are
+# serialized to '|'-joined strings on BOTH sides: the driver's canonicalizer
+# hashes cell values via pandas factorize, which cannot hash ndarray cells.
+# The underlying function still returns a real ARRAY — only the test
+# projection flattens it.
+def _aj(col) -> F.Column:
+    return F.array_join(col.cast("array<string>"), "|")
+
+
 def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     text, lang = F.col("text"), F.col("lang")
@@ -131,7 +141,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         S["regexp_like"](text, "^key").alias("r_like"),
         S["regexp_match"](text, "[a-z]+e").alias("r_match"),
-        S["regexp_extract_all"](text, F.lit("ta[a-z]+")).alias("r_all"),
+        _aj(S["regexp_extract_all"](text, F.lit("ta[a-z]+"))).alias("r_all"),
         S["regexp_replace"](text, "a", "@").alias("r_repl"),
         S["regexp_count"](text, F.lit("scan")).alias("r_count"),
         S["regexp_like"](S["upper"](lang), "en", "i").alias("r_casei"),
@@ -142,7 +152,7 @@ FN_REGEX_SQL = """
 SELECT doc_id,
        regexp_matches(text, '^key') AS r_like,
        coalesce(regexp_extract(text, '[a-z]+e'), '') AS r_match,
-       regexp_extract_all(text, 'ta[a-z]+') AS r_all,
+       coalesce(array_to_string(regexp_extract_all(text, 'ta[a-z]+'), '|'), '') AS r_all,
        regexp_replace(text, 'a', '@', 'g') AS r_repl,
        len(regexp_extract_all(text, 'scan')) AS r_count,
        regexp_matches(upper(lang), '(?i)en') AS r_casei
@@ -352,22 +362,24 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         S["array_element"](words, F.lit(2)).alias("l_elem2"),
         S["array_contains"](words, F.lit("the")).alias("l_has_the"),
         S["array_position"](words, F.lit("the")).cast("bigint").alias("l_pos_the"),
-        S["array_sort"](S["array_distinct"](w5)).alias("l_dedup_sorted"),
-        S["array_reverse"](w5).alias("l_rev"),
-        S["array_slice"](words, F.lit(2), F.lit(4)).alias("l_slice"),
-        S["array_append"](w5, F.lit("zz")).alias("l_append"),
-        S["array_prepend"](F.lit("aa"), w5).alias("l_prepend"),
-        S["array_concat"](w5, S["array_slice"](words, F.lit(6), F.lit(7))).alias("l_concat"),
-        S["array_repeat"](F.col("lang"), F.lit(3)).alias("l_repeat"),
-        S["array_remove_all"](w5, F.lit("a")).alias("l_remove_all"),
-        S["array_pop_back"](w5).alias("l_pop_back"),
-        S["array_pop_front"](w5).alias("l_pop_front"),
+        _aj(S["array_sort"](S["array_distinct"](w5))).alias("l_dedup_sorted"),
+        _aj(S["array_reverse"](w5)).alias("l_rev"),
+        _aj(S["array_slice"](words, F.lit(2), F.lit(4))).alias("l_slice"),
+        _aj(S["array_append"](w5, F.lit("zz"))).alias("l_append"),
+        _aj(S["array_prepend"](F.lit("aa"), w5)).alias("l_prepend"),
+        _aj(S["array_concat"](w5, S["array_slice"](words, F.lit(6), F.lit(7)))).alias("l_concat"),
+        _aj(S["array_repeat"](F.col("lang"), F.lit(3))).alias("l_repeat"),
+        _aj(S["array_remove_all"](w5, F.lit("a"))).alias("l_remove_all"),
+        _aj(S["array_pop_back"](w5)).alias("l_pop_back"),
+        _aj(S["array_pop_front"](w5)).alias("l_pop_front"),
         S["array_to_string"](w5, "-").alias("l_join"),
         S["array_empty"](words).alias("l_empty"),
-        S["flatten"](
-            F.array(S["array_slice"](words, F.lit(1), F.lit(2)), S["array_slice"](words, F.lit(3), F.lit(4)))
+        _aj(
+            S["flatten"](
+                F.array(S["array_slice"](words, F.lit(1), F.lit(2)), S["array_slice"](words, F.lit(3), F.lit(4)))
+            )
         ).alias("l_flat"),
-        S["generate_series"](F.lit(1), (F.col("doc_id") % 5 + 1).cast("int")).alias("l_series"),
+        _aj(S["generate_series"](F.lit(1), (F.col("doc_id") % 5 + 1).cast("int"))).alias("l_series"),
     )
 
 
@@ -379,20 +391,20 @@ SELECT doc_id,
        words[2] AS l_elem2,
        list_contains(words, 'the') AS l_has_the,
        CAST(coalesce(list_position(words, 'the'), 0) AS BIGINT) AS l_pos_the,
-       list_sort(list_distinct(words[1:5])) AS l_dedup_sorted,
-       list_reverse(words[1:5]) AS l_rev,
-       words[2:4] AS l_slice,
-       list_append(words[1:5], 'zz') AS l_append,
-       list_prepend('aa', words[1:5]) AS l_prepend,
-       list_concat(words[1:5], words[6:7]) AS l_concat,
-       [lang for i in range(3)] AS l_repeat,
-       list_filter(words[1:5], x -> x != 'a') AS l_remove_all,
-       words[1:len(words[1:5]) - 1] AS l_pop_back,
-       words[2:5] AS l_pop_front,
+       array_to_string(list_sort(list_distinct(words[1:5])), '|') AS l_dedup_sorted,
+       array_to_string(list_reverse(words[1:5]), '|') AS l_rev,
+       array_to_string(words[2:4], '|') AS l_slice,
+       array_to_string(list_append(words[1:5], 'zz'), '|') AS l_append,
+       array_to_string(list_prepend('aa', words[1:5]), '|') AS l_prepend,
+       array_to_string(list_concat(words[1:5], words[6:7]), '|') AS l_concat,
+       array_to_string([lang for i in range(3)], '|') AS l_repeat,
+       array_to_string(list_filter(words[1:5], x -> x != 'a'), '|') AS l_remove_all,
+       array_to_string(words[1:len(words[1:5]) - 1], '|') AS l_pop_back,
+       array_to_string(words[2:5], '|') AS l_pop_front,
        array_to_string(words[1:5], '-') AS l_join,
        len(words) = 0 AS l_empty,
-       list_concat(words[1:2], words[3:4]) AS l_flat,
-       range(1, CAST(doc_id % 5 + 2 AS INT)) AS l_series
+       array_to_string(list_concat(words[1:2], words[3:4]), '|') AS l_flat,
+       array_to_string(range(1, CAST(doc_id % 5 + 2 AS INT)), '|') AS l_series
 FROM w
 """
 

@@ -43,14 +43,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn(
         "norm_key", F.substring_index(F.col("text"), " ", 8)
     )
-    return D.exact_dedup_groups(d, "doc_id", "norm_key").orderBy("digest")
+    return (
+        D.exact_dedup_groups(d, "doc_id", "norm_key")
+        # '|'-joined for the driver canonicalizer (can't hash array cells)
+        .withColumn(
+            "member_ids", F.array_join(F.col("member_ids").cast("array<string>"), "|")
+        )
+        .orderBy("digest")
+    )
 
 
 DEDUP_EXACT_SQL = """
 SELECT md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS digest,
        min(doc_id) AS keep_id,
        count(*) AS n_copies,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), '|') AS member_ids
 FROM documents
 GROUP BY 1
 ORDER BY digest

@@ -110,20 +110,34 @@ def table_path(sf_dir: str, name: str) -> str:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to plain TIMESTAMP regardless of
+    how the fixture stored it. Seen in the wild across driver rounds:
+    - ``timestamp[us]`` NTZ (current fixture) → arrives as TIMESTAMP_NTZ;
+      the session is pinned UTC so a cast to TIMESTAMP is lossless.
+    - TIMESTAMP(NANOS) + nanosAsLong → arrives as BIGINT ns since epoch;
+      truncate to µs with integer division (float division would promote the
+      ~1.7e18 ns value to double and lose up to ~256 ns of precision).
+    Shared by the batch reader below and streaming.read_events_stream so both
+    execution modes see identical event-time semantics."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing types (ns-timestamp → µs)."""
+    """Read one testdata table, normalizing types (ts → TIMESTAMP)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     prepare(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long ns since epoch → truncate to µs with
-        # integer division (float division would promote the ~1.7e18 ns value
-        # to double and lose up to ~256 ns of precision). Guarded on dtype:
-        # a re-ingested layout (bench.py) already stores µs timestamps.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

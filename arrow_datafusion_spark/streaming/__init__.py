@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arrow_datafusion_spark.session import prepare, table_path
+from arrow_datafusion_spark.session import normalize_ts, prepare, table_path
 
 __all__ = [
     "read_events_stream",
@@ -27,29 +27,28 @@ __all__ = [
     "run_available_now",
 ]
 
-# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the stream schema
-# sees a long column which we truncate to µs exactly like the batch path.
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-replay unbounded source over the events fixture (StreamTable
     role). maxFilesPerTrigger=1 gives multi-microbatch replay on multi-file
     inputs; the fixture is a single file, so tests see one deterministic
-    batch."""
+    batch.
+
+    The stream schema is taken from the parquet footer (one batch-read
+    footer job at setup) rather than hard-coded, so fixture storage-type
+    changes (ns-as-long vs µs NTZ) can't desynchronize batch and stream;
+    normalize_ts then applies the same ts policy as the batch path."""
     prepare(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # FileStreamSource requires a directory or glob, not a bare file path —
     # a single-char glob on the suffix keeps the base path at the directory.
     path = table_path(sf_dir, "events")[:-1] + "[t]"
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def windowed_counts(
