@@ -310,12 +310,17 @@ def _verify_pairs_jaccard(
 
     jac = F.pandas_udf(jac_batch, "double")
     return (
-        pairs.join(a, "doc_a")
+        # Repartition the PAIRS (two ids/row) before attaching texts, not
+        # after: repartitioning the joined result shipped text_a+text_b
+        # (~4 KB/pair — ~300 MB at sf0.1's 80k pairs) through the exchange
+        # and tripled verify wall-clock; this way only ids cross that
+        # exchange, the text joins land after it, and the UDF runs in the
+        # same stage as the joins. Partitioning by doc_a both spreads the
+        # CPU-bound UDF across cores (AQE would coalesce the tiny-by-bytes
+        # pair set to one partition) and gives batches cache locality.
+        pairs.repartition(_parallelism(df), "doc_a")
+        .join(a, "doc_a")
         .join(b, "doc_b")
-        # spread the verify stage: AQE coalesces the tiny-by-bytes pair set
-        # to one partition, serializing the (CPU-bound) UDF; partition by
-        # doc_a so batches also get high cache locality.
-        .repartition(_parallelism(df), "doc_a")
         .select("doc_a", "doc_b", jac("text_a", "text_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
