@@ -231,27 +231,48 @@ class SessionContext:
         """Newline-delimited JSON (NdJsonExec, physical_plan/json.rs:53)."""
         self.register_table(name, self.spark.read.options(**options).json(path))
 
+    # appId → state shared across SessionContext instances on one session:
+    # whether the spark-avro jar answered the probe, and which Python data
+    # sources are already registered (re-registering costs a py4j round-trip
+    # and a Python-worker spin-up each time).
+    _AVRO_JAR: dict[str, bool] = {}
+    _PY_SOURCES: set[tuple[str, str]] = set()
+
+    def _ensure_py_source(self, fmt: str) -> None:
+        key = (self.spark.sparkContext.applicationId, fmt)
+        if key in SessionContext._PY_SOURCES:
+            return
+        if fmt == "avro_py":
+            from arrow_datafusion_spark.sources import avro as _mod
+        else:
+            from arrow_datafusion_spark.sources import arrow_ipc as _mod
+        _mod.register(self.spark)
+        SessionContext._PY_SOURCES.add(key)
+
     def register_avro(self, name: str, path: str) -> None:
         """Avro scan (AvroExec, physical_plan/avro.rs:38). Prefers the
         spark-avro connector; falls back to the built-in pure-Python block-
-        parallel reader (sources/avro.py) when the jar is absent."""
-        try:
-            df = self.spark.read.format("avro").load(path)
-        except Exception:
-            from arrow_datafusion_spark.sources import avro as _avro
-
-            _avro.register(self.spark)
-            df = self.spark.read.format("avro_py").load(path)
-        self.register_table(name, df)
+        parallel reader (sources/avro.py) when the jar is absent. The jar
+        probe result is cached per session."""
+        app = self.spark.sparkContext.applicationId
+        if SessionContext._AVRO_JAR.get(app, True):
+            try:
+                df = self.spark.read.format("avro").load(path)
+                SessionContext._AVRO_JAR[app] = True
+                self.register_table(name, df)
+                return
+            except Exception:
+                SessionContext._AVRO_JAR[app] = False
+        self._ensure_py_source("avro_py")
+        self.register_table(name, self.spark.read.format("avro_py").load(path))
 
     def register_arrow(self, name: str, path: str) -> None:
-        """Arrow IPC file (ArrowExec, physical_plan/arrow_file.rs:49) — read
-        via pyarrow into a DataFrame (no native Spark IPC source)."""
-        import pyarrow.ipc as ipc
-
-        with open(path, "rb") as fh:
-            tbl = ipc.open_file(fh).read_all()
-        self.register_table(name, self.spark.createDataFrame(tbl.to_pandas()))
+        """Arrow IPC file or directory of files (ArrowExec,
+        physical_plan/arrow_file.rs:49) — served by the block-parallel
+        Python data source in sources/arrow_ipc.py (one task per IPC record
+        batch); rows never pass through the driver."""
+        self._ensure_py_source("arrow_ipc")
+        self.register_table(name, self.spark.read.format("arrow_ipc").load(path))
 
     def register_view(self, name: str, sql: str) -> None:
         self.register_table(name, self.sql(sql))

@@ -100,22 +100,17 @@ GROUP BY event_type ORDER BY event_type
 
 # --------------------------------------------------------------------------
 def scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → Arrow IPC file → register_arrow (pyarrow bridge,
-    ArrowExec role) → per-lang aggregate."""
-    import pyarrow as pa
-    import pyarrow.ipc as ipc
+    """documents → per-partition Arrow IPC files (executor-side
+    mapInPandas sink — nothing through the driver) → register_arrow
+    (batch-parallel arrow_ipc data source, ArrowExec role) → per-lang
+    aggregate."""
+    from arrow_datafusion_spark.sources.arrow_ipc import write_arrow_partitioned
 
     ctx = SessionContext(spark)
-    path = _tmp("documents.arrow")
-    pdf = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .toPandas()
+    path = _tmp("documents_arrow")
+    write_arrow_partitioned(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"), path
     )
-    with pa.OSFile(path, "wb") as fh:
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        with ipc.new_file(fh, tbl.schema) as writer:
-            writer.write_table(tbl)
     ctx.register_arrow("documents_arrow", path)
     return ctx.sql("""
         SELECT lang, count(*) AS n, sum(n_chars) AS chars
@@ -131,19 +126,15 @@ FROM documents GROUP BY lang ORDER BY lang
 
 # --------------------------------------------------------------------------
 def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """supplier → Avro container file (deflate, multi-block) → register_avro
-    (spark-avro jar absent here, so the pure-Python block-parallel
-    DataSource in sources/avro.py serves the scan) → per-nation aggregate."""
+    """supplier → Avro container files (deflate, one per partition,
+    executor-side foreachPartition — nothing through the driver) →
+    register_avro (spark-avro jar absent here, so the pure-Python
+    block-parallel DataSource in sources/avro.py serves the scan) →
+    per-nation aggregate."""
     from arrow_datafusion_spark.sources import avro as A
 
     ctx = SessionContext(spark)
-    path = _tmp("supplier.avro")
-    rows = [
-        (r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal)
-        for r in _t(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-        .collect()
-    ]
+    path = _tmp("supplier_avro")
     schema = {
         "type": "record",
         "name": "supplier",
@@ -154,7 +145,15 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"name": "s_acctbal", "type": "double"},
         ],
     }
-    A.write_avro(path, schema, rows, codec="deflate", rows_per_block=64)
+    A.write_avro_partitioned(
+        _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ),
+        path,
+        schema,
+        codec="deflate",
+        rows_per_block=64,
+    )
     ctx.register_avro("supplier_avro", path)
     return ctx.sql("""
         SELECT s_nationkey, count(*) AS n,
@@ -167,6 +166,74 @@ SCAN_AVRO_SQL = """
 SELECT s_nationkey, count(*) AS n,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
 FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+def scan_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro COMPLEX types through the pure-Python reader (the
+    avro_to_arrow/schema.rs composite coverage): an array field, a map
+    field, and a nested record per row, written executor-side, read back
+    block-parallel, and unpacked with Spark array/map/struct accessors."""
+    from arrow_datafusion_spark.sources import avro as A
+
+    ctx = SessionContext(spark)
+    path = _tmp("nation_avro_nested")
+    schema = {
+        "type": "record",
+        "name": "nation_nested",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "words", "type": {"type": "array", "items": "string"}},
+            {"name": "stats", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "info",
+                "type": {
+                    "type": "record",
+                    "name": "info",
+                    "fields": [
+                        {"name": "name", "type": "string"},
+                        {"name": "region", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.split("n_name", "A").alias("words"),
+        F.create_map(
+            F.lit("len"), F.length("n_name").cast("long"),
+            F.lit("key2"), (F.col("n_nationkey") * 2).cast("long"),
+        ).alias("stats"),
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").cast("long").alias("region"),
+        ).alias("info"),
+    )
+    A.write_avro_partitioned(nation, path, schema, codec="deflate", rows_per_block=8)
+    ctx.register_avro("nation_nested", path)
+    return ctx.sql("""
+        SELECT n_nationkey,
+               size(words) AS n_words,
+               words[0] AS first_word,
+               stats['len'] AS comment_len,
+               stats['key2'] AS key2,
+               info.name AS name,
+               info.region AS region
+        FROM nation_nested ORDER BY n_nationkey
+    """)
+
+
+SCAN_AVRO_NESTED_SQL = """
+SELECT n_nationkey,
+       len(string_split(n_name, 'A')) AS n_words,
+       string_split(n_name, 'A')[1] AS first_word,
+       CAST(length(n_name) AS BIGINT) AS comment_len,
+       n_nationkey * 2 AS key2,
+       n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS region
+FROM nation ORDER BY n_nationkey
 """
 
 
@@ -315,6 +382,7 @@ QUERIES = {
     "scan_ndjson": scan_ndjson,
     "scan_arrow": scan_arrow,
     "scan_avro": scan_avro,
+    "scan_avro_nested": scan_avro_nested,
     "write_parquet_roundtrip": write_parquet_roundtrip,
     "sql_ddl_insert": sql_ddl_insert,
     "bucketed_join": bucketed_join,
@@ -324,6 +392,7 @@ ORACLE = {
     "scan_ndjson": SCAN_NDJSON_SQL,
     "scan_arrow": SCAN_ARROW_SQL,
     "scan_avro": SCAN_AVRO_SQL,
+    "scan_avro_nested": SCAN_AVRO_NESTED_SQL,
     "write_parquet_roundtrip": WRITE_PARQUET_ROUNDTRIP_SQL,
     "sql_ddl_insert": SQL_DDL_INSERT_SQL,
     "bucketed_join": BUCKETED_JOIN_SQL,

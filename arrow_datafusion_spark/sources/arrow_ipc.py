@@ -1,0 +1,122 @@
+"""Arrow IPC file source/sink — the ArrowExec analog
+(/root/reference/datafusion/core/src/datasource/physical_plan/arrow_file.rs:49)
+without a native Spark connector.
+
+Exposed through PySpark's Python Data Source API as
+``spark.read.format("arrow_ipc").load(path)``:
+
+- Planning (driver): list the ``*.arrow`` files (or take the single file)
+  and read ONE footer for the schema; each record batch of each file
+  becomes an InputPartition — the same batch-level split parallelism
+  ArrowExec derives from the IPC footer.
+- Execution (executors): each task memory-maps its file and yields just its
+  record batch — pyarrow does zero-copy reads off the footer index.
+
+The sink side (`write_arrow_partitioned`) writes one IPC file per DataFrame
+partition via mapInPandas — no driver materialization, mirroring how a
+cluster job would emit IPC shards to shared storage.
+"""
+
+from __future__ import annotations
+
+
+def _list_files(path: str) -> list[str]:
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        _glob.glob(_os.path.join(path, "*.arrow")) if _os.path.isdir(path) else [path]
+    )
+
+
+def write_arrow_partitioned(df, path: str) -> None:
+    """Each DataFrame partition → one ``part-NNNNN.arrow`` IPC file under
+    ``path`` (executor-side; Arrow batches pass through mapInPandas so no
+    row ever reaches the driver)."""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+
+    def _write_part(pdfs):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        writer = None
+        pid = TaskContext.get().partitionId()
+        for pdf in pdfs:
+            tbl = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+            if writer is None:
+                sink = pa.OSFile(os.path.join(path, f"part-{pid:05d}.arrow"), "wb")
+                writer = ipc.new_file(sink, arrow_schema)
+            writer.write_table(tbl)
+        if writer is not None:
+            writer.close()
+            sink.close()
+        return iter(())  # sink-only: emit no rows
+
+    # mapInPandas gives Arrow-batched input; the empty-schema output makes
+    # this a pure side-effecting sink stage (count() forces execution).
+    df.mapInPandas(_write_part, "ok int").count()
+
+
+try:  # Python Data Source API (Spark 4+)
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _IpcBatch(InputPartition):
+        def __init__(self, path: str, batch: int):
+            self.path, self.batch = path, batch
+
+    class _IpcReader(DataSourceReader):
+        def __init__(self, options):
+            self.files = _list_files(options["path"])
+
+        def partitions(self):
+            import pyarrow.ipc as ipc
+
+            parts = []
+            for f in self.files:
+                with ipc.open_file(f) as r:
+                    parts.extend(_IpcBatch(f, i) for i in range(r.num_record_batches))
+            return parts
+
+        def read(self, partition: _IpcBatch):
+            import pyarrow.ipc as ipc
+
+            with ipc.open_file(partition.path) as r:
+                batch = r.get_batch(partition.batch)
+            for row in zip(*(c.to_pylist() for c in batch.columns)):
+                yield row
+
+    class ArrowIpcDataSource(DataSource):
+        """``spark.read.format("arrow_ipc").load(path)`` — one Spark task
+        per IPC record batch."""
+
+        @classmethod
+        def name(cls):
+            return "arrow_ipc"
+
+        def schema(self):
+            import pyarrow.ipc as ipc
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            with ipc.open_file(_list_files(self.options["path"])[0]) as r:
+                return from_arrow_schema(r.schema)
+
+        def reader(self, schema):
+            return _IpcReader(self.options)
+
+    def register(spark) -> None:
+        spark.dataSource.register(ArrowIpcDataSource)
+
+except ImportError:  # pragma: no cover — pre-4.0 PySpark
+
+    def register(spark) -> None:
+        raise NotImplementedError(
+            "arrow_ipc needs the Python Data Source API (Spark 4+)"
+        )

@@ -18,9 +18,11 @@ directly and exposed through PySpark's Python Data Source API
   spec's binary encoding (zigzag-varint longs, little-endian IEEE floats,
   length-prefixed strings/bytes, union-index-prefixed nullable fields).
 
-Supported schema subset: a record of primitive fields (boolean, int, long,
-float, double, string, bytes) each optionally nullable via a
-``["null", T]`` union — the same subset the test fixtures use. A writer
+Supported schema: a record whose field types may be primitives (boolean,
+int, long, float, double, string, bytes), arrays, maps (string keys, per
+the spec), nested records, and ``["null", T]`` unions of any of those —
+the same composite coverage as the reference's avro_to_arrow schema
+mapping (datafusion/core/src/datasource/avro_to_arrow/schema.rs). A writer
 (`write_avro`) exists for fixtures/tests only, mirroring the reference's
 read-only posture.
 """
@@ -70,8 +72,37 @@ def _read_long(buf: io.BytesIO) -> int:
         shift += 7
 
 
-def _write_value(buf: io.BytesIO, typ: str, v) -> None:
-    if typ == "boolean":
+def _write_value(buf: io.BytesIO, typ, v) -> None:
+    """Recursive binary encoder over an Avro type (str primitive, list union,
+    or dict complex — array/map/record per the 1.x spec)."""
+    if isinstance(typ, list):  # ["null", T] union: zigzag branch index first
+        if v is None:
+            _write_long(buf, typ.index("null"))
+            return
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        _write_long(buf, branch)
+        _write_value(buf, typ[branch], v)
+    elif isinstance(typ, dict):
+        kind = typ["type"]
+        if kind == "array":
+            if v:
+                _write_long(buf, len(v))
+                for item in v:
+                    _write_value(buf, typ["items"], item)
+            _write_long(buf, 0)  # block terminator
+        elif kind == "map":
+            if v:
+                _write_long(buf, len(v))
+                for k, item in v.items():
+                    _write_value(buf, "string", k)
+                    _write_value(buf, typ["values"], item)
+            _write_long(buf, 0)
+        elif kind == "record":
+            for f, item in zip(typ["fields"], v):
+                _write_value(buf, f["type"], item)
+        else:  # {"type": "long"}-style wrapping of a primitive
+            _write_value(buf, kind, v)
+    elif typ == "boolean":
         buf.write(b"\x01" if v else b"\x00")
     elif typ in ("int", "long"):
         _write_long(buf, int(v))
@@ -90,7 +121,41 @@ def _write_value(buf: io.BytesIO, typ: str, v) -> None:
         raise ValueError(f"unsupported avro type {typ!r}")
 
 
-def _read_value(buf: io.BytesIO, typ: str):
+def _read_value(buf: io.BytesIO, typ):
+    """Recursive binary decoder — inverse of _write_value. Arrays decode to
+    lists, maps to dicts, nested records to tuples (the shapes PySpark's
+    Python Data Source maps onto array/map/struct columns)."""
+    if isinstance(typ, list):  # union: zigzag branch index prefix
+        branch = typ[_read_long(buf)]
+        return None if branch == "null" else _read_value(buf, branch)
+    if isinstance(typ, dict):
+        kind = typ["type"]
+        if kind == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # spec: negative count → byte size follows
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    out.append(_read_value(buf, typ["items"]))
+        if kind == "map":
+            out = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    k = _read_value(buf, "string")
+                    out[k] = _read_value(buf, typ["values"])
+        if kind == "record":
+            return tuple(_read_value(buf, f["type"]) for f in typ["fields"])
+        return _read_value(buf, kind)
     if typ == "boolean":
         return buf.read(1) == b"\x01"
     if typ in ("int", "long"):
@@ -106,8 +171,9 @@ def _read_value(buf: io.BytesIO, typ: str):
     raise ValueError(f"unsupported avro type {typ!r}")
 
 
-def _field_types(schema: dict) -> list[tuple[str, str, bool]]:
-    """→ [(name, primitive_type, nullable)] for a record-of-primitives."""
+def _field_types(schema: dict) -> list[tuple[str, object, bool]]:
+    """→ [(name, type_json, nullable)] for a record schema; type_json is the
+    field's Avro type with any ["null", T] union unwrapped to T."""
     if schema.get("type") != "record":
         raise ValueError("only record schemas supported")
     out = []
@@ -115,13 +181,11 @@ def _field_types(schema: dict) -> list[tuple[str, str, bool]]:
         t = f["type"]
         if isinstance(t, list):  # ["null", T] union
             nn = [x for x in t if x != "null"]
-            if len(nn) != 1 or nn[0] not in _PRIMITIVES:
+            if len(nn) != 1:
                 raise ValueError(f"unsupported union {t!r}")
             out.append((f["name"], nn[0], True))
-        elif t in _PRIMITIVES:
-            out.append((f["name"], t, False))
         else:
-            raise ValueError(f"unsupported field type {t!r}")
+            out.append((f["name"], t, False))
     return out
 
 
@@ -170,6 +234,42 @@ def write_avro(
             fh.write(blk.getvalue())
             fh.write(payload)
             fh.write(sync_marker)
+
+
+def write_avro_partitioned(
+    df,
+    path: str,
+    schema: dict,
+    codec: str = "deflate",
+    rows_per_block: int = 1000,
+) -> None:
+    """Distributed Avro write: each DataFrame partition writes its own
+    ``part-NNNNN.avro`` container file under ``path`` (executor-side
+    foreachPartition — no driver materialization; the reader's dir scan
+    picks up all parts). Targets a filesystem shared by the executors, the
+    same contract as any Spark file sink."""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    cols = [f["name"] for f in schema["fields"]]
+
+    def _write_part(rows_iter):
+        from pyspark import TaskContext
+
+        rows = [tuple(r[c] for c in cols) for r in rows_iter]
+        if rows:
+            pid = TaskContext.get().partitionId()
+            write_avro(
+                os.path.join(path, f"part-{pid:05d}.avro"),
+                schema,
+                rows,
+                codec=codec,
+                rows_per_block=rows_per_block,
+            )
+
+    df.foreachPartition(_write_part)
 
 
 # ---------------------------------------------------------------- file reader
@@ -244,9 +344,29 @@ _SPARK_TYPES = {
 }
 
 
+def _spark_type(typ) -> str:
+    """Avro type JSON → Spark DDL type (avro_to_arrow/schema.rs mapping)."""
+    if isinstance(typ, list):
+        nn = [t for t in typ if t != "null"]
+        return _spark_type(nn[0])
+    if isinstance(typ, dict):
+        kind = typ["type"]
+        if kind == "array":
+            return f"array<{_spark_type(typ['items'])}>"
+        if kind == "map":
+            return f"map<string,{_spark_type(typ['values'])}>"
+        if kind == "record":
+            inner = ", ".join(
+                f"{f['name']}: {_spark_type(f['type'])}" for f in typ["fields"]
+            )
+            return f"struct<{inner}>"
+        return _spark_type(kind)
+    return _SPARK_TYPES[typ]
+
+
 def _spark_schema(schema: dict) -> str:
     return ", ".join(
-        f"{name} {_SPARK_TYPES[typ]}" for name, typ, _ in _field_types(schema)
+        f"{name} {_spark_type(typ)}" for name, typ, _ in _field_types(schema)
     )
 
 
