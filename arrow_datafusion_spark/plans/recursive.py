@@ -9,9 +9,18 @@ feeds the next step — the textbook semi-naive evaluation, which is also what
 keeps this viable at scale (the step input is the delta, not the whole
 accumulated result).
 
-Scale notes: each iteration's frontier is localCheckpoint()ed to truncate
-the lineage — without it, iteration k's plan contains k nested copies of the
-step and Catalyst analysis goes quadratic.
+Scale notes:
+- Each round's materialization is localCheckpoint()ed to truncate lineage —
+  without it, iteration k's plan contains k nested copies of the step and
+  Catalyst analysis goes quadratic.
+- Iterations are UNROLLED in batches of ``unroll``: the composed steps
+  step(f), step(step(f)), ... are unioned (tagged with their depth) and
+  materialized by ONE job. The fixpoint's cost at toy scale is pure
+  per-job scheduling floor (~25 ms × 3 jobs × N iterations when driven one
+  iteration at a time); batching divides that by the unroll factor while
+  producing the exact same multiset per iteration. On huge working sets an
+  unroll of 1 (the classic loop) minimizes per-batch memory; the default
+  suits the common small-frontier regime.
 """
 
 from __future__ import annotations
@@ -19,6 +28,9 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEPTH = "__rq_depth"
 
 
 def recursive_query(
@@ -27,6 +39,7 @@ def recursive_query(
     distinct: bool = True,
     max_iterations: int = 100,
     result_partitions: int | None = 1,
+    unroll: int = 16,
 ) -> DataFrame:
     """Evaluate ``WITH RECURSIVE r AS (base UNION [ALL] step(r)) SELECT *``.
 
@@ -41,20 +54,52 @@ def recursive_query(
     frontiers — pure task-scheduling overhead. Pass None for genuinely
     large closures.
     """
+    unroll = max(1, unroll)
     frontier = base.localCheckpoint(eager=True)
     acc = frontier
-    for _ in range(max_iterations):
-        nxt = step(frontier)
+    done = 0
+    while done < max_iterations:
+        k = min(unroll, max_iterations - done)
+        # Compose k steps lazily; tag each composed frontier with its depth
+        # so one materialized batch can serve as (a) the rows of iterations
+        # done+1..done+k, (b) the next batch's starting frontier (max depth
+        # slice), and (c) the emptiness probe.
+        # No per-step dedup inside the batch: each distinct() is a shuffle
+        # stage, and 8 of them per batch job cost more than they save. The
+        # batch-end distinct-vs-acc bounds the accumulated state; within a
+        # batch the frontier can transiently grow by out-degree^unroll on
+        # dense cyclic graphs — callers with such graphs pass a small
+        # ``unroll``.
+        tagged = None
+        f = frontier
+        for j in range(1, k + 1):
+            f = step(f)
+            tf = f.withColumn(_DEPTH, F.lit(j))
+            tagged = tf if tagged is None else tagged.unionAll(tf)
+        if result_partitions:
+            tagged = tagged.coalesce(result_partitions)
+        batch = tagged.localCheckpoint(eager=True)
+        done += k
+
         if distinct:
-            nxt = nxt.distinct().subtract(acc)
-        if result_partitions:
-            nxt = nxt.coalesce(result_partitions)
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            return acc
-        acc = acc.unionAll(nxt)
-        if result_partitions:
-            acc = acc.coalesce(result_partitions)
-        acc = acc.localCheckpoint(eager=True)
-        frontier = nxt
+            new = batch.drop(_DEPTH).distinct().subtract(acc)
+            if result_partitions:
+                new = new.coalesce(result_partitions)
+            new = new.localCheckpoint(eager=True)
+            if new.isEmpty():
+                return acc
+            acc = acc.unionAll(new)
+            if result_partitions:
+                acc = acc.coalesce(result_partitions)
+            # checkpoint keeps the subtract target flat for the next batch
+            acc = acc.localCheckpoint(eager=True)
+            frontier = new
+        else:
+            acc = acc.unionAll(batch.drop(_DEPTH))
+            # step(empty) is empty, so an empty deepest slice means every
+            # later iteration is empty too — fixpoint reached.
+            deepest = batch.filter(F.col(_DEPTH) == k).drop(_DEPTH)
+            if deepest.isEmpty():
+                return acc
+            frontier = deepest
     raise RuntimeError(f"recursive query did not converge in {max_iterations} iterations")
