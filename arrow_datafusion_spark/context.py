@@ -125,6 +125,35 @@ def _rewrite_sql(q: str) -> str:
     return q
 
 
+def _bind_placeholders(query: str, params) -> tuple[str, dict]:
+    """Rewrite DataFusion placeholders to Spark named-parameter markers.
+
+    ``$1``/``$2`` bind positionally from a list/tuple; ``$name`` binds from
+    a dict. Both become ``:pN``/``:name`` so repeated and out-of-order
+    references work (Spark's ``?`` markers are strictly in-order).
+    String literals are shielded so quoted ``$`` text is untouched.
+    """
+    lits: list[str] = []
+
+    def _shield(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    q = re.sub(r"'(?:[^']|'')*'", _shield, query)
+    args: dict = {}
+    if isinstance(params, (list, tuple)):
+        for i, v in enumerate(params, start=1):
+            args[f"p{i}"] = v
+        q = re.sub(r"\$(\d+)", lambda m: f":p{m.group(1)}", q)
+    elif isinstance(params, dict):
+        args = dict(params)
+        q = re.sub(r"\$([A-Za-z_][A-Za-z0-9_]*)", lambda m: f":{m.group(1)}", q)
+    else:
+        raise TypeError("params must be a list/tuple ($1-style) or dict ($name-style)")
+    q = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], q)
+    return q, args
+
+
 def _strip_strings(q: str) -> str:
     """Blank out '...' literals so keyword scans can't match quoted text."""
     return re.sub(r"'(?:[^']|'')*'", "''", q)
@@ -318,18 +347,75 @@ class SessionContext:
 
     # -- the entry point ----------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, params=None) -> DataFrame:
         """Parse/plan/optimize via Catalyst (SURVEY.md §3.1 steps 1–7).
+
+        ``params`` binds DataFusion-style placeholders (``$1``/``$2``
+        positional from a list, ``$name`` named from a dict — the
+        ``Placeholder`` expression, datafusion/expr/src/expr.rs:925) by
+        rewriting them to Spark named-parameter markers and delegating to
+        ``spark.sql(..., args=...)`` — server-side literal binding, not
+        string splicing, so values can't inject SQL.
 
         ``WITH RECURSIVE`` (Spark has no recursion primitive) is detached
         here and driven through the semi-naive fixpoint in plans/recursive.py
-        (RecursiveQueryExec analog, recursive_query.rs:57); everything else
+        (RecursiveQueryExec analog, recursive_query.rs:57); ``COPY ... TO``
+        (statement.rs:186 CopyTo) lowers onto ``df.write``; everything else
         goes straight to ``spark.sql``.
         """
         self._ensure_macros()
+        args = None
+        if params is not None:
+            query, args = _bind_placeholders(query, params)
+        if re.match(r"\s*COPY\b", query, re.IGNORECASE):
+            return self._sql_copy_to(query, args)
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query)
+        if args is not None:
+            return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
+
+    def _sql_copy_to(self, query: str, args=None) -> DataFrame:
+        """``COPY (query | table) TO 'path' [STORED AS fmt]`` →  df.write.
+
+        Mirrors DataFusion's CopyTo statement (sql/src/statement.rs:186,
+        logical plan CopyTo): the source runs as a regular query, the sink
+        is a Spark file writer (distributed, per-partition files), and the
+        statement returns a single-row ``count`` DataFrame like the
+        reference does.
+        """
+        m = re.match(
+            r"\s*COPY\s+(.+?)\s+TO\s+'([^']+)'"
+            r"(?:\s+STORED\s+AS\s+(\w+)|\s+FORMAT\s+(\w+))?\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse COPY statement: {query[:80]!r}")
+        source, path, fmt = m.group(1).strip(), m.group(2), (
+            m.group(3) or m.group(4) or ""
+        ).lower()
+        if not fmt:
+            # DataFusion infers the format from the target extension
+            ext = path.rsplit(".", 1)[-1].lower() if "." in path else "parquet"
+            fmt = {"csv": "csv", "json": "json", "ndjson": "json"}.get(ext, "parquet")
+        if source.startswith("("):
+            df = self.sql(source[1:-1].strip(), params=None) if args is None else (
+                self.spark.sql(_rewrite_sql(source[1:-1].strip()), args=args)
+            )
+        else:
+            df = self.table(source)
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.format(fmt).save(path)
+        # row count from the WRITTEN files (parquet: footer metadata only),
+        # not a re-execution of the source query.
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        n = reader.format(fmt).load(path).count()
+        return self.spark.createDataFrame([(n,)], "count bigint")
 
     def _sql_recursive(self, query: str) -> DataFrame:
         """Evaluate ``WITH RECURSIVE c1 AS (...), c2 AS (...) <select>``.
@@ -421,6 +507,45 @@ class SessionContext:
                 )
             )
         )
+
+    def analyze(self, query: str) -> str:
+        """EXPLAIN ANALYZE analog (AnalyzeExec,
+        /root/reference/datafusion/physical-plan/src/analyze.rs:42): execute
+        the query, then render the EXECUTED physical plan — the AQE final
+        plan — with each operator's runtime metrics (output rows, timings,
+        shuffle/scan sizes) inlined, the way the reference appends
+        ``metrics=[...]`` per operator."""
+        df = self.sql(query)
+        df.collect()  # run it; metrics accumulate on the executed plan
+        qe = df._jdf.queryExecution()
+        lines: list[str] = []
+
+        def walk(node, depth: int) -> None:
+            name = node.nodeName()
+            # AQE wrapper nodes: descend into the (final) executed subplan
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan(), depth)
+                return
+            if cls in ("QueryStageExec", "ShuffleQueryStageExec",
+                       "BroadcastQueryStageExec", "TableCacheQueryStageExec",
+                       "ResultQueryStageExec"):
+                walk(node.plan(), depth)
+                return
+            shown = []
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                kv = mit.next()
+                v = kv._2().value()
+                if v:  # only metrics that actually accumulated
+                    shown.append(f"{kv._1()}={v}")
+            lines.append("  " * depth + f"{name} metrics=[{', '.join(sorted(shown))}]")
+            it = node.children().iterator()
+            while it.hasNext():
+                walk(it.next(), depth + 1)
+
+        walk(qe.executedPlan(), 0)
+        return "\n".join(lines)
 
     # -- UDF surface (SURVEY.md §2.11) --------------------------------------
 

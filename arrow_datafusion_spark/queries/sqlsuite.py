@@ -193,8 +193,81 @@ ORDER BY p_partkey
 """
 
 
+# --------------------------------------------------------------------------
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepared-statement analog: DataFusion ``$1`` placeholders bound
+    server-side via ctx.sql(query, params) (Placeholder expr,
+    datafusion/expr/src/expr.rs:925). Positional, repeated, and named
+    binds all exercised; the oracle runs the same query with the literals
+    inlined."""
+    ctx = _ctx(spark, sf_dir)
+    return ctx.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+        FROM customer
+        WHERE c_acctbal BETWEEN $1 AND $2 AND c_mktsegment <> $3
+        GROUP BY c_mktsegment
+        HAVING count(*) > $1 / 100
+        ORDER BY c_mktsegment
+        """,
+        [100, 5000, "AUTOMOBILE"],
+    )
+
+
+SQL_PARAMS_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+FROM customer
+WHERE c_acctbal BETWEEN 100 AND 5000 AND c_mktsegment <> 'AUTOMOBILE'
+GROUP BY c_mktsegment
+HAVING count(*) > 100 / 100
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+def sql_copy_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY (query) TO 'path' STORED AS PARQUET`` through ctx.sql
+    (DFStatement::CopyTo, datafusion/sql/src/statement.rs:186): the sink
+    writes distributed parquet, then the written files are re-scanned and
+    aggregated — a broken writer or a wrong written row set shows up
+    against the fixture-side oracle."""
+    import os
+    import tempfile
+
+    ctx = _ctx(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"adfspark-{os.getpid()}", "orders_copy"
+    )
+    copied = ctx.sql(
+        f"""COPY (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_totalprice > 150000)
+            TO '{path}' STORED AS PARQUET"""
+    )
+    assert copied.collect()[0]["count"] >= 0
+    ctx.register_parquet("orders_copied", path)
+    return ctx.sql("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+        FROM orders_copied GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+
+
+SQL_COPY_TO_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 150000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "sql_basic": sql_basic,
+    "sql_params": sql_params,
+    "sql_copy_to": sql_copy_to,
     "sql_tilde_regex": sql_tilde_regex,
     "sql_macros": sql_macros,
     "sql_cte_subquery": sql_cte_subquery,
@@ -203,6 +276,8 @@ QUERIES = {
 }
 ORACLE = {
     "sql_basic": SQL_BASIC_SQL,
+    "sql_params": SQL_PARAMS_SQL,
+    "sql_copy_to": SQL_COPY_TO_SQL,
     "sql_tilde_regex": SQL_TILDE_REGEX_SQL,
     "sql_macros": SQL_MACROS_SQL,
     "sql_cte_subquery": SQL_CTE_SUBQUERY_SQL,
