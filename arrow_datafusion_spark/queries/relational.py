@@ -310,8 +310,37 @@ ORDER BY e.event_id
 """
 
 
+# --------------------------------------------------------------------------
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortMergeJoinExec exercised for RESULTS, not just plan shape: the
+    merge hint forces SMJ (join_v2.rs sort-merge path) for a fact-to-fact
+    orders⋈lineitem join too big to broadcast in spirit; the oracle checks
+    the aggregate of the joined rows."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        orders.hint("merge")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_SORTMERGE_SQL = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "setops": setops,
+    "join_sortmerge": join_sortmerge,
     "skew_salted_agg": skew_salted_agg,
     "skew_salted_join": skew_salted_join,
     "join_outer": join_outer,
@@ -323,6 +352,7 @@ QUERIES = {
 }
 ORACLE = {
     "setops": SETOPS_SQL,
+    "join_sortmerge": JOIN_SORTMERGE_SQL,
     "skew_salted_agg": SKEW_SALTED_AGG_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
     "join_outer": JOIN_OUTER_SQL,

@@ -218,3 +218,42 @@ def test_analyze_reports_runtime_metrics(spark, sf_dir):
     assert "Scan parquet" in out or "FileScan" in out
     # the scan's actual row count (25 nations) must appear as a metric value
     assert "numOutputRows=25" in out
+
+
+def test_spill_paths_match_in_memory_results(spark, sf_dir):
+    """Spill-to-disk correctness (the reference's spill-capable
+    AggregateExec/SortExec, SURVEY §2.4/§2.6): force the window and
+    sort buffers to spill after a handful of rows and assert results are
+    identical to the in-memory run."""
+    from arrow_datafusion_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def run():
+        w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+        return (
+            li.select(
+                "l_returnflag",
+                "l_orderkey",
+                "l_linenumber",
+                F.row_number().over(w).alias("rn"),
+                F.sum("l_quantity").over(w).alias("running_qty"),
+            )
+            .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+            .collect()
+        )
+
+    in_mem = run()
+    # ~4k-row buffers over ~60k rows per partition → a handful of real
+    # spill files per task (a 16-row threshold spills thousands of files
+    # and takes down the local JVM on fd exhaustion).
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "4096")
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+    try:
+        spilled = run()
+    finally:
+        spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+        spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+    assert in_mem == spilled
