@@ -96,15 +96,25 @@ def _build_session():
 
 def ingest_layout(spark, sf_dir: str) -> tuple[str, float]:
     """Re-encode the fixture tables into a parallel parquet layout (the
-    dfbench data-prep analog). Returns (layout_dir, seconds)."""
+    dfbench data-prep analog). Returns (layout_dir, seconds).
+
+    Tables are written from a thread pool: each write is a separate Spark
+    job, and concurrent submission keeps all cores busy across the many
+    small dims instead of serializing on per-job scheduling."""
+    from concurrent.futures import ThreadPoolExecutor
+
     lay = _layout_dir(sf_dir)
     shutil.rmtree(lay, ignore_errors=True)
     t0 = time.perf_counter()
-    for name in ALL_TABLES:
+
+    def _write(name: str) -> None:
         df = load_table(spark, sf_dir, name)
         df.repartition(_LAYOUT_PARTS.get(name, 4)).write.mode("overwrite").parquet(
             f"{lay}/{name}.parquet"
         )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_write, ALL_TABLES))
     return lay, round(time.perf_counter() - t0, 4)
 
 
