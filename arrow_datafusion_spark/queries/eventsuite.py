@@ -10,6 +10,8 @@ closest analog) — this surface is capability-parity-plus per the north star.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -213,8 +215,70 @@ ORDER BY d, h NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+_STREAM_SEQ = [0]
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingTableExec exercised END-TO-END for the driver: the events
+    fixture replays through readStream (file-replay source) into the
+    watermarked tumbling-window aggregation, drained with
+    trigger(availableNow) into a memory sink — and the drained result is
+    hash-compared to the oracle's batch time_bucket aggregation. Stream and
+    batch MUST agree at end-of-replay; a schema/type/watermark bug shows up
+    as a mismatch (exactly the r02 ts-type regression this guards)."""
+    from arrow_datafusion_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    _STREAM_SEQ[0] += 1
+    name = f"drv_stream_counts_{os.getpid()}_{_STREAM_SEQ[0]}"
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(windowed_counts(stream), name)
+
+
+STREAM_WINDOWED_COUNTS_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01') AS w_start,
+       time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01') + INTERVAL '1 hour' AS w_end,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded equi-join (SymmetricHashJoinExec analog,
+    joins/symmetric_hash_join.rs:167) drained with availableNow and
+    hash-compared to the oracle's batch interval join."""
+    from arrow_datafusion_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    _STREAM_SEQ[0] += 1
+    name = f"drv_stream_join_{os.getpid()}_{_STREAM_SEQ[0]}"
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        stream_stream_join(stream), name, output_mode="append"
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id AS c_user
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
+    "stream_windowed_counts": stream_windowed_counts,
+    "stream_join_clicks_views": stream_join_clicks_views,
     "range_join_bucketed": range_join_bucketed,
     "hypertable_rollup": hypertable_rollup,
     "events_sliding": events_sliding,
@@ -223,6 +287,8 @@ QUERIES = {
 }
 ORACLE = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
+    "stream_windowed_counts": STREAM_WINDOWED_COUNTS_SQL,
+    "stream_join_clicks_views": STREAM_JOIN_SQL,
     "range_join_bucketed": RANGE_JOIN_BUCKETED_SQL,
     "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,

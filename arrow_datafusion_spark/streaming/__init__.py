@@ -156,13 +156,31 @@ def run_available_now(
     Default output mode is ``complete`` so windows the watermark hasn't
     closed yet are still visible at end-of-replay (append mode would hold
     them back — correct for production sinks, wrong for a drain-and-assert
-    test)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    test).
+
+    Stateful operators (windowed agg, stream-stream join, dedup) open one
+    state store PER shuffle partition; on an untuned session (200
+    partitions) store initialization dwarfs the actual work at test scale,
+    so the shuffle-partition conf is pinned to the session's parallelism
+    for the duration of the drain (it is read at query start) and restored
+    after. On a real cluster the partition count is a capacity decision the
+    operator must not override — hence scoped here, not in the DataFrame
+    transformations."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(timeout_s)
-    return df.sparkSession.table(name)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
