@@ -174,6 +174,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl = keyed.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
     prev_sum = lbl.agg(F.sum("label")).collect()[0][0]
     for _ in range(50):
+        # One k1+k2 propagation round per materialization. (Chaining two
+        # rounds of window mins per job was measured: the extra in-plan
+        # exchanges cost more than the saved driver round-trips.)
         new = lbl
         for key in ("k1", "k2"):
             new = new.withColumn(
