@@ -229,18 +229,24 @@ def _split_recursive_union(body: str) -> tuple[str, str, bool]:
 class SessionContext:
     """DataFusion-shaped session facade over a tuned SparkSession."""
 
+    # TEMPORARY FUNCTIONs are session-global, so macro registration is keyed
+    # by applicationId, not by SessionContext instance — code that builds a
+    # fresh context per query (the source entries do) would otherwise replay
+    # 11 DDL round-trips each time (~0.2 s/query of pure overhead).
+    _MACROS_DONE: set[str] = set()
+
     def __init__(self, spark: SparkSession | None = None):
         self.spark = prepare(spark) if spark is not None else build_spark()
         self._tables: dict[str, DataFrame] = {}
-        self._macros_done = False
 
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
     def _ensure_macros(self) -> None:
-        if not self._macros_done:
+        app = self.spark.sparkContext.applicationId
+        if app not in SessionContext._MACROS_DONE:
             for ddl in _SQL_MACROS:
                 self.spark.sql(ddl)
-            self._macros_done = True
+            SessionContext._MACROS_DONE.add(app)
 
     def register_table(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
