@@ -497,6 +497,23 @@ def _regex_escape(d) -> str:
     return re.escape(d) if isinstance(d, str) else d
 
 
+# map functions (datafusion/functions-nested/src/map*.rs)
+MAP: dict[str, Callable[..., Column]] = {
+    # map(keys_array, values_array) — map.rs
+    "map": lambda k, v: F.map_from_arrays(_c(k), _c(v)),
+    # make_map(k1, v1, k2, v2, ...) — map.rs `make_map`
+    "make_map": lambda *kv: F.create_map(*[_c(x) for x in kv]),
+    "map_keys": lambda m: F.map_keys(_c(m)),  # map_keys.rs
+    "map_values": lambda m: F.map_values(_c(m)),  # map_values.rs
+    # map_extract returns a LIST holding the value (or empty) — map_extract.rs
+    "map_extract": lambda m, k: F.filter(
+        F.array(F.element_at(_c(m), _c(k) if not isinstance(k, str) else k)),
+        lambda x: x.isNotNull(),
+    ),
+    "map_entries": lambda m: F.map_entries(_c(m)),
+}
+
+
 FAMILIES: dict[str, dict[str, Callable[..., Column]]] = {
     "string": STRING,
     "unicode": UNICODE,
@@ -506,6 +523,7 @@ FAMILIES: dict[str, dict[str, Callable[..., Column]]] = {
     "core": CORE,
     "crypto": CRYPTO,
     "array": ARRAY,
+    "map": MAP,
 }
 
 SCALAR: dict[str, Callable[..., Column]] = {}

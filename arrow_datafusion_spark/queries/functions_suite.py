@@ -409,8 +409,45 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# map (functions-nested/src/map*.rs) — constructed from document fields;
+# map-typed intermediates are reduced to scalar/string outputs for hashing
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    m = S["map"](
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    m2 = S["make_map"](F.lit("id2"), (F.col("doc_id") * 2).cast("string"))
+    return d.select(
+        "doc_id",
+        _aj(S["map_keys"](m)).alias("p_keys"),
+        _aj(S["map_values"](m)).alias("p_vals"),
+        _aj(S["map_extract"](m, "lang")).alias("p_lang"),
+        _aj(S["map_extract"](m, "missing")).alias("p_missing"),
+        _aj(S["map_values"](m2)).alias("p_id2"),
+        F.size(S["map_entries"](m)).alias("p_n"),
+    )
+
+
+FN_MAP_SQL = """
+WITH w AS (SELECT doc_id, map(['lang','source'], [lang, source]) AS m,
+                  map(['id2'], [CAST(doc_id * 2 AS VARCHAR)]) AS m2
+           FROM documents)
+SELECT doc_id,
+       array_to_string(map_keys(m), '|') AS p_keys,
+       array_to_string(map_values(m), '|') AS p_vals,
+       array_to_string(map_extract(m, 'lang'), '|') AS p_lang,
+       coalesce(array_to_string(map_extract(m, 'missing'), '|'), '') AS p_missing,
+       array_to_string(map_values(m2), '|') AS p_id2,
+       cardinality(m) AS p_n
+FROM w
+"""
+
+
 QUERIES = {
     "fn_string": fn_string,
+    "fn_map": fn_map,
     "fn_unicode": fn_unicode,
     "fn_regex": fn_regex,
     "fn_datetime": fn_datetime,
@@ -421,6 +458,7 @@ QUERIES = {
 }
 ORACLE = {
     "fn_string": FN_STRING_SQL,
+    "fn_map": FN_MAP_SQL,
     "fn_unicode": FN_UNICODE_SQL,
     "fn_regex": FN_REGEX_SQL,
     "fn_datetime": FN_DATETIME_SQL,

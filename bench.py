@@ -220,9 +220,12 @@ def section_pipeline(raw_dir: str) -> dict:
         "dedup_components",
         "ann_cosine",
         "ann_lsh",
+        "ann_ivf",
         "text_stats",
+        "text_lang_fingerprint",
         "text_tfidf",
         "pipeline_pack",
+        "pipeline_decontaminate",
         "events_asof",
     )
     qs = entrymod.queries()
