@@ -373,6 +373,14 @@ class SessionContext:
         args = None
         if params is not None:
             query, args = _bind_placeholders(query, params)
+        m = re.match(r"\s*EXPLAIN\s+ANALYZE\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
+        if m:
+            # DataFusion's EXPLAIN ANALYZE returns a (plan_type, plan) table
+            # of the executed plan with metrics — mirror that shape.
+            text = self.analyze(m.group(1))
+            return self.spark.createDataFrame(
+                [("Plan with Metrics", text)], "plan_type string, plan string"
+            )
         if re.match(r"\s*COPY\b", query, re.IGNORECASE):
             return self._sql_copy_to(query, args)
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):

@@ -257,3 +257,16 @@ def test_spill_paths_match_in_memory_results(spark, sf_dir):
         spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
         spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
     assert in_mem == spilled
+
+
+def test_explain_analyze_sql_form(spark, sf_dir):
+    """DataFusion's `EXPLAIN ANALYZE <query>` SQL surface returns a
+    (plan_type, plan) row whose plan text carries runtime metrics."""
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    ctx.register_testdata(sf_dir)
+    rows = ctx.sql("EXPLAIN ANALYZE SELECT count(*) FROM nation").collect()
+    assert len(rows) == 1
+    assert rows[0].plan_type == "Plan with Metrics"
+    assert "numOutputRows" in rows[0].plan
