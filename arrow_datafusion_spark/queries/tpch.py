@@ -49,6 +49,21 @@ def _dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
     return F.round(F.sum(_c(col).cast(_DEC)), scale).cast("double").alias(alias)
 
 
+def _esum(col: Column | str, alias: str) -> Column:
+    """Order-independent money sum for summands PROVABLY on the 1e-4 grid
+    (price×(1−disc): 2dp×2dp; price×disc; a bare 2dp column): accumulate as
+    an e4-scaled bigint instead of Decimal128 — the decimal accumulator is
+    the dominant CPU in these aggregates (q1's disc_cents / q9's amount_e4
+    pattern). round() recovers the exact integer from double noise (~1e-8
+    ulp against the 1e-4 grid); the final round-to-cents happens in
+    exactly-representable integer space (s/100.0 is an exact X.5 double at
+    any |X| < 2^52, so HALF_UP agrees with the oracle's decimal rounding).
+    Exact while a group's sum < 2^63/1e4 ≈ 9e14 money units — past SF1000
+    for every TPC-H group here; beyond that use _dsum."""
+    s = F.sum(F.round(_c(col) * 10000).cast("long"))
+    return (F.round(s / 100.0) / 100.0).alias(alias)
+
+
 def _davg(col: Column | str, alias: str, scale: int = 4) -> Column:
     """Order-independent average: exact decimal sum / count, one double division."""
     return F.round(
@@ -212,7 +227,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_dsum(_rev(), "revenue"))
+        .agg(_esum(_rev(), "revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate")
         )
@@ -311,7 +326,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(_dsum(_rev(), "revenue")),
+        .agg(_esum(_rev(), "revenue")),
         F.desc("revenue"),
         "n_name",
     )
@@ -339,7 +354,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
-        ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+        ).agg(_esum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
 
 
@@ -405,7 +420,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _sorted_small(
         shipping.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_dsum("volume", "revenue")),
+        .agg(_esum("volume", "revenue")),
         "supp_nation",
         "cust_nation",
         "l_year",
@@ -578,7 +593,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_dsum(_rev(), "revenue"))
+        .agg(_esum(_rev(), "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -918,7 +933,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(_dsum(_rev(), "revenue"))
+        .agg(_esum(_rev(), "revenue"))
     )
 
 
@@ -1108,7 +1123,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(cntry.alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _dsum("c_acctbal", "totacctbal"),
+            _esum("c_acctbal", "totacctbal"),
         ),
         "cntrycode",
     )
