@@ -25,6 +25,7 @@ string-level only (no extra plan nodes).
 from __future__ import annotations
 
 import re
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -229,11 +230,14 @@ def _split_recursive_union(body: str) -> tuple[str, str, bool]:
 class SessionContext:
     """DataFusion-shaped session facade over a tuned SparkSession."""
 
-    # TEMPORARY FUNCTIONs are session-global, so macro registration is keyed
-    # by applicationId, not by SessionContext instance — code that builds a
-    # fresh context per query (the source entries do) would otherwise replay
-    # 11 DDL round-trips each time (~0.2 s/query of pure overhead).
-    _MACROS_DONE: set[str] = set()
+    # TEMPORARY FUNCTIONs / Python data sources are SESSION-scoped (a
+    # `spark.newSession()` gets a fresh function registry), so registration
+    # is memoized per SparkSession object — weakly, so a stopped session
+    # doesn't pin memory. Still shared across SessionContext instances on
+    # the same session: code that builds a fresh context per query (the
+    # source entries do) would otherwise replay 11 DDL round-trips each
+    # time (~0.2 s/query of pure overhead).
+    _MACROS_DONE: "weakref.WeakSet[SparkSession]" = None  # initialized below
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = prepare(spark) if spark is not None else build_spark()
@@ -242,11 +246,10 @@ class SessionContext:
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
     def _ensure_macros(self) -> None:
-        app = self.spark.sparkContext.applicationId
-        if app not in SessionContext._MACROS_DONE:
+        if self.spark not in SessionContext._MACROS_DONE:
             for ddl in _SQL_MACROS:
                 self.spark.sql(ddl)
-            SessionContext._MACROS_DONE.add(app)
+            SessionContext._MACROS_DONE.add(self.spark)
 
     def register_table(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
@@ -266,38 +269,50 @@ class SessionContext:
         """Newline-delimited JSON (NdJsonExec, physical_plan/json.rs:53)."""
         self.register_table(name, self.spark.read.options(**options).json(path))
 
-    # appId → state shared across SessionContext instances on one session:
+    # Per-SparkSession (weak) state shared across SessionContext instances:
     # whether the spark-avro jar answered the probe, and which Python data
     # sources are already registered (re-registering costs a py4j round-trip
     # and a Python-worker spin-up each time).
-    _AVRO_JAR: dict[str, bool] = {}
-    _PY_SOURCES: set[tuple[str, str]] = set()
+    _AVRO_JAR: "weakref.WeakKeyDictionary[SparkSession, bool]" = None
+    _PY_SOURCES: "weakref.WeakKeyDictionary[SparkSession, set]" = None
 
     def _ensure_py_source(self, fmt: str) -> None:
-        key = (self.spark.sparkContext.applicationId, fmt)
-        if key in SessionContext._PY_SOURCES:
+        done = SessionContext._PY_SOURCES.setdefault(self.spark, set())
+        if fmt in done:
             return
         if fmt == "avro_py":
             from arrow_datafusion_spark.sources import avro as _mod
         else:
             from arrow_datafusion_spark.sources import arrow_ipc as _mod
         _mod.register(self.spark)
-        SessionContext._PY_SOURCES.add(key)
+        done.add(fmt)
 
     def register_avro(self, name: str, path: str) -> None:
         """Avro scan (AvroExec, physical_plan/avro.rs:38). Prefers the
         spark-avro connector; falls back to the built-in pure-Python block-
-        parallel reader (sources/avro.py) when the jar is absent. The jar
-        probe result is cached per session."""
-        app = self.spark.sparkContext.applicationId
-        if SessionContext._AVRO_JAR.get(app, True):
+        parallel reader (sources/avro.py) when the connector is absent. Only
+        a connector-not-found error downgrades (and is cached per session) —
+        a bad path or corrupt file propagates rather than silently switching
+        readers."""
+        if SessionContext._AVRO_JAR.get(self.spark, True):
             try:
                 df = self.spark.read.format("avro").load(path)
-                SessionContext._AVRO_JAR[app] = True
+                SessionContext._AVRO_JAR[self.spark] = True
                 self.register_table(name, df)
                 return
-            except Exception:
-                SessionContext._AVRO_JAR[app] = False
+            except Exception as ex:
+                msg = str(ex)
+                if not any(
+                    s in msg
+                    for s in (
+                        "Failed to find data source",
+                        "DATA_SOURCE_NOT_FOUND",
+                        "ClassNotFoundException",
+                        "Avro is built-in but external data source module",
+                    )
+                ):
+                    raise
+                SessionContext._AVRO_JAR[self.spark] = False
         self._ensure_py_source("avro_py")
         self.register_table(name, self.spark.read.format("avro_py").load(path))
 
@@ -377,15 +392,19 @@ class SessionContext:
         if m:
             # DataFusion's EXPLAIN ANALYZE returns a (plan_type, plan) table
             # of the executed plan with metrics — mirror that shape.
-            text = self.analyze(m.group(1))
+            text = self._analyze_df(self._spark_sql(m.group(1), args))
             return self.spark.createDataFrame(
                 [("Plan with Metrics", text)], "plan_type string, plan string"
             )
         if re.match(r"\s*COPY\b", query, re.IGNORECASE):
             return self._sql_copy_to(query, args)
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
-            return self._sql_recursive(query)
-        if args is not None:
+            return self._sql_recursive(query, args)
+        return self._spark_sql(query, args)
+
+    def _spark_sql(self, query: str, args=None) -> DataFrame:
+        """Rewritten query → spark.sql, carrying bound parameters if any."""
+        if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
 
@@ -414,9 +433,7 @@ class SessionContext:
             ext = path.rsplit(".", 1)[-1].lower() if "." in path else "parquet"
             fmt = {"csv": "csv", "json": "json", "ndjson": "json"}.get(ext, "parquet")
         if source.startswith("("):
-            df = self.sql(source[1:-1].strip(), params=None) if args is None else (
-                self.spark.sql(_rewrite_sql(source[1:-1].strip()), args=args)
-            )
+            df = self._spark_sql(source[1:-1].strip(), args)
         else:
             df = self.table(source)
         writer = df.write.mode("overwrite")
@@ -424,14 +441,19 @@ class SessionContext:
             writer = writer.option("header", True)
         writer.format(fmt).save(path)
         # row count from the WRITTEN files (parquet: footer metadata only),
-        # not a re-execution of the source query.
+        # not a re-execution of the source query. Empty csv/json results
+        # write no data files and defeat schema inference — fall back to
+        # executing the source's count (DataFusion returns count=0 there).
         reader = self.spark.read
         if fmt == "csv":
             reader = reader.option("header", True)
-        n = reader.format(fmt).load(path).count()
+        try:
+            n = reader.format(fmt).load(path).count()
+        except Exception:
+            n = df.count()
         return self.spark.createDataFrame([(n,)], "count bigint")
 
-    def _sql_recursive(self, query: str) -> DataFrame:
+    def _sql_recursive(self, query: str, args=None) -> DataFrame:
         """Evaluate ``WITH RECURSIVE c1 AS (...), c2 AS (...) <select>``.
 
         Each CTE is materialized in order as a temp view (so later CTEs and
@@ -455,7 +477,7 @@ class SessionContext:
                 shadowed.append((name, prev))
                 if re.search(rf"\b{re.escape(name)}\b", _strip_strings(body)):
                     base_sql, step_sql, distinct = _split_recursive_union(body)
-                    base = self.spark.sql(_rewrite_sql(base_sql))
+                    base = self._spark_sql(base_sql, args)
                     if cols:
                         base = base.toDF(*cols)
 
@@ -466,16 +488,16 @@ class SessionContext:
                         _cols: tuple[str, ...] | None = cols,
                     ) -> DataFrame:
                         frontier.createOrReplaceTempView(_name)
-                        out = self.spark.sql(_rewrite_sql(_sql))
+                        out = self._spark_sql(_sql, args)
                         return out.toDF(*_cols) if _cols else out
 
                     result = recursive_query(base, step, distinct=distinct)
                 else:
-                    result = self.spark.sql(_rewrite_sql(body))
+                    result = self._spark_sql(body, args)
                     if cols:
                         result = result.toDF(*cols)
                 result.createOrReplaceTempView(name)
-            return self.spark.sql(_rewrite_sql(rest))
+            return self._spark_sql(rest, args)
         finally:
             for name, prev in reversed(shadowed):
                 if prev is not None:
@@ -522,14 +544,16 @@ class SessionContext:
             )
         )
 
-    def analyze(self, query: str) -> str:
+    def analyze(self, query: str, params=None) -> str:
         """EXPLAIN ANALYZE analog (AnalyzeExec,
         /root/reference/datafusion/physical-plan/src/analyze.rs:42): execute
         the query, then render the EXECUTED physical plan — the AQE final
         plan — with each operator's runtime metrics (output rows, timings,
         shuffle/scan sizes) inlined, the way the reference appends
         ``metrics=[...]`` per operator."""
-        df = self.sql(query)
+        return self._analyze_df(self.sql(query, params))
+
+    def _analyze_df(self, df: DataFrame) -> str:
         df.collect()  # run it; metrics accumulate on the executed plan
         qe = df._jdf.queryExecution()
         lines: list[str] = []
@@ -582,3 +606,10 @@ class SessionContext:
         """Table function (TableFunctionImpl, core/src/datasource/function.rs:28):
         a Python UDTF usable as ``SELECT * FROM name(...)`` or LATERAL."""
         self.spark.udtf.register(name, udtf_cls)
+
+
+# class-level weak containers (declared here so the class body's annotations
+# stay readable; weakly keyed so stopped sessions are collectable)
+SessionContext._MACROS_DONE = weakref.WeakSet()
+SessionContext._AVRO_JAR = weakref.WeakKeyDictionary()
+SessionContext._PY_SOURCES = weakref.WeakKeyDictionary()

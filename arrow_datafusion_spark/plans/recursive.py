@@ -109,4 +109,15 @@ def recursive_query(
             if deepest.isEmpty():
                 return acc
             frontier = deepest
+    # Budget exhausted with the LAST batch still producing rows. With the
+    # per-iteration loop this was unambiguous non-convergence; with batching
+    # the fixpoint may have landed INSIDE that final batch (its early depths
+    # yielded the last new rows). One extra probe step decides: empty next
+    # delta ⇒ converged exactly at the budget, matching the unbatched loop's
+    # return-at-empty-frontier behavior.
+    probe = step(frontier)
+    if distinct:
+        probe = probe.distinct().subtract(acc)
+    if probe.isEmpty():
+        return acc
     raise RuntimeError(f"recursive query did not converge in {max_iterations} iterations")

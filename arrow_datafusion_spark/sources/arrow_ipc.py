@@ -24,9 +24,12 @@ def _list_files(path: str) -> list[str]:
     import glob as _glob
     import os as _os
 
-    return sorted(
+    files = sorted(
         _glob.glob(_os.path.join(path, "*.arrow")) if _os.path.isdir(path) else [path]
     )
+    if not files:
+        raise ValueError(f"no .arrow files under {path!r}")
+    return files
 
 
 def write_arrow_partitioned(df, path: str) -> None:
@@ -88,10 +91,11 @@ try:  # Python Data Source API (Spark 4+)
         def read(self, partition: _IpcBatch):
             import pyarrow.ipc as ipc
 
+            # Yield the RecordBatch itself — the Python Data Source API
+            # ships Arrow batches to the JVM without per-row Python object
+            # conversion, keeping the scan Arrow-native end to end.
             with ipc.open_file(partition.path) as r:
-                batch = r.get_batch(partition.batch)
-            for row in zip(*(c.to_pylist() for c in batch.columns)):
-                yield row
+                yield r.get_batch(partition.batch)
 
     class ArrowIpcDataSource(DataSource):
         """``spark.read.format("arrow_ipc").load(path)`` — one Spark task

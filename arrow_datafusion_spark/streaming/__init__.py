@@ -167,10 +167,9 @@ def run_available_now(
     operator must not override — hence scoped here, not in the DataFrame
     transformations."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
     try:
         q = (
             df.writeStream.format("memory")
@@ -181,6 +180,14 @@ def run_available_now(
         )
         q.awaitTermination(timeout_s)
     finally:
+        # restore the previous value, or UNSET back to the session default
+        # if the conf had never been set (leaving our pin in place would
+        # override the session's capacity default for all later queries).
         if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(key, prev)
+        else:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
     return spark.table(name)

@@ -76,21 +76,29 @@ def _layout_dir(sf_dir: str) -> str:
     return os.path.join(_REPO, ".bench_layout", os.path.basename(sf_dir.rstrip("/")))
 
 
+def _apply_tuning(spark) -> None:
+    """Scale-appropriate tuning for sub-GB inputs: AQE OFF, 8 static reduce
+    partitions. AQE materializes every exchange as its own query stage — a
+    sequential driver round (submit, collect stats, re-optimize) per shuffle
+    — which at sub-second query sizes IS the floor: measured 8.8 s → 6.7 s
+    TPC-H total at sf0.1 vs AQE with 32 partitions, identical results. The
+    ENGINE default (session.py) keeps AQE on: on the 100 TB posture the
+    adaptive re-plans buy far more than their scheduling latency; a bench at
+    toy scale is exactly where a real deployment would pin a static plan
+    (the reference's dfbench likewise runs a fixed-config runtime).
+
+    MUST be (re-)applied AFTER the last cache-miss table load of a section:
+    session.prepare() runs inside every uncached load_table and re-asserts
+    the engine-default runtime confs (including adaptive.enabled=true), so
+    tuning applied only at session build is silently reverted by warmup."""
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
 def _build_session():
     spark = build_spark(app="adf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Scale-appropriate tuning for sub-GB inputs: AQE OFF, 8 static reduce
-    # partitions. AQE materializes every exchange as its own query stage —
-    # a sequential driver round (submit, collect stats, re-optimize) per
-    # shuffle — which at sub-second query sizes IS the floor: measured
-    # 8.8 s → 6.7 s TPC-H total at sf0.1 switching to static planning,
-    # with identical results. The ENGINE default (session.py) keeps AQE on:
-    # on the 100 TB posture the adaptive re-plans buy far more than their
-    # scheduling latency; a benchmark at toy scale is exactly where a real
-    # deployment would pin a static plan (the reference's dfbench likewise
-    # runs a fixed-config runtime).
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    _apply_tuning(spark)
     return spark
 
 
@@ -144,6 +152,9 @@ def section_tpch(raw_dir: str) -> dict:
         fn(spark, warm).collect()
     for df in load_tables(spark, lay).values():
         df.count()
+    for df in load_tables(spark, raw_dir).values():  # raw pass below
+        df.count()
+    _apply_tuning(spark)  # warmup cache-miss loads re-asserted engine confs
 
     # Fixed per-query floor: an empty job through the same session.
     t0 = time.perf_counter()
@@ -191,6 +202,7 @@ def section_mem(raw_dir: str) -> dict:
         fn(spark, _layout_dir(_WARM_SRC)).collect()
     for df in load_tables(spark, lay).values():
         df.cache().count()
+    _apply_tuning(spark)  # see _apply_tuning: warmup loads reverted confs
     mem_timings: dict[str, float] = {}
     for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
         fn = tpch.QUERIES[name]
@@ -231,6 +243,9 @@ def section_pipeline(raw_dir: str) -> dict:
     qs = entrymod.queries()
     for name in pipeline_names:  # warm plan shapes (codegen compile)
         qs[name](spark, _WARM_SRC).count()
+    for df in load_tables(spark, lay).values():
+        df.count()
+    _apply_tuning(spark)  # see _apply_tuning: warmup loads reverted confs
     # Min-of-2: the md5-heavy dedup stages allocate ~10^8 short-lived JVM
     # strings per run; a concurrent full-GC can double one iteration's
     # wall-clock, so a single sample is noise.
@@ -252,6 +267,10 @@ def section_suites(raw_dir: str) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    for d in (lay, _WARM_SRC):  # pre-load BOTH dirs the loops below touch
+        for df in load_tables(spark, d).values():
+            df.count()
+    _apply_tuning(spark)  # see _apply_tuning: warmup loads reverted confs
     suite_totals: dict[str, float] = {}
     for prefix in ("cb_", "h2o_"):
         names = sorted(n for n in qs if n.startswith(prefix))
