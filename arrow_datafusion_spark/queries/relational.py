@@ -194,6 +194,43 @@ WHERE i <= len(w3)
 
 
 # --------------------------------------------------------------------------
+def unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column unnest with null padding (UnnestExec's multi-list mode,
+    unnest.rs:60: lists of different lengths unnest in lockstep, shorter
+    ones padded with NULL): arrays_zip + explode_outer."""
+    d = _t(spark, sf_dir, "documents")
+    pre = d.select(
+        "doc_id",
+        F.slice(F.split(F.col("text"), " "), 1, 2).alias("wa"),
+        F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<bigint>"))
+        .otherwise(F.sequence(F.lit(1).cast("bigint"), F.col("doc_id") % 3))
+        .alias("na"),
+    )
+    return pre.select(
+        "doc_id", F.explode_outer(F.arrays_zip("wa", "na")).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.wa").alias("word"),
+        F.col("z.na").alias("num"),
+    )
+
+
+UNNEST_MULTI_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         (string_split(text, ' '))[1:2] AS wa,
+         CASE WHEN doc_id % 3 = 0 THEN [] ELSE range(1, doc_id % 3 + 1) END AS na
+  FROM documents
+), idx AS (SELECT unnest(range(1, 3)) AS i)
+SELECT doc_id,
+       CASE WHEN i <= len(wa) THEN wa[CAST(i AS INT)] END AS word,
+       CASE WHEN i <= len(na) THEN na[CAST(i AS INT)] END AS num
+FROM t, idx
+WHERE i <= greatest(len(wa), len(na), 1)
+"""
+
+
+# --------------------------------------------------------------------------
 def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GlobalLimit + offset (limit.rs:43,267; Spark 3.4+ offset)."""
     o = _t(spark, sf_dir, "orders")
@@ -347,6 +384,7 @@ QUERIES = {
     "join_semi_anti": join_semi_anti,
     "join_theta_cross": join_theta_cross,
     "unnest_struct": unnest_struct,
+    "unnest_multi": unnest_multi,
     "limit_offset": limit_offset,
     "sort_null_order": sort_null_order,
 }
@@ -359,6 +397,7 @@ ORACLE = {
     "join_semi_anti": JOIN_SEMI_ANTI_SQL,
     "join_theta_cross": JOIN_THETA_CROSS_SQL,
     "unnest_struct": UNNEST_STRUCT_SQL,
+    "unnest_multi": UNNEST_MULTI_SQL,
     "limit_offset": LIMIT_OFFSET_SQL,
     "sort_null_order": SORT_NULL_ORDER_SQL,
 }
