@@ -260,9 +260,10 @@ def _verify_pairs_jaccard(
     — at a 1.6% candidate rate (80k pairs at sf0.1) it was 3/4 of the
     operator's wall-clock — and joining pre-computed gram ARRAYS ships
     hundreds of small strings per pair side through the shuffle; the text is
-    ~5× smaller and Python set building is cheap. Rounding replicates
-    Spark's F.round on double exactly (BigDecimal HALF_UP of the IEEE
-    quotient), which the oracle's round() agrees with on these inputs.
+    ~5× smaller and Python set building is cheap. The score is the RAW IEEE
+    quotient of the two set sizes — correctly-rounded division of identical
+    integers is bit-identical on every engine, so no cross-engine rounding
+    convention is needed for exact hash comparison.
     """
     cand_docs = df.select(id_col, text_col).join(
         pairs.select(F.col("doc_a").alias(id_col))
@@ -279,8 +280,6 @@ def _verify_pairs_jaccard(
     )
 
     def jac_batch(av, bv):
-        from decimal import ROUND_HALF_UP, Decimal
-
         import pandas as pd
 
         # Each doc appears in ~20 pairs (80k pairs over 4k docs at sf0.1):
@@ -294,18 +293,14 @@ def _verify_pairs_jaccard(
                 s = cache[t] = gram_fn(t)
             return s
 
-        q = Decimal("0.000001")
         out = []
         for x, y in zip(av, bv):
             sx, sy = grams(x), grams(y)
             inter = len(sx & sy)
-            out.append(
-                float(
-                    Decimal(inter / (len(sx) + len(sy) - inter)).quantize(
-                        q, rounding=ROUND_HALF_UP
-                    )
-                )
-            )
+            # ONE IEEE division of two exact integers — correctly rounded,
+            # therefore bit-identical to the oracle's CAST(int)/int division
+            # (no decimal-rounding convention to keep in sync across engines)
+            out.append(inter / (len(sx) + len(sy) - inter))
         return pd.Series(out)
 
     jac = F.pandas_udf(jac_batch, "double")

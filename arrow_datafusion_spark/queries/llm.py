@@ -98,8 +98,8 @@ WITH sh AS (
   FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
 ), scored AS (
   SELECT doc_a, doc_b,
-         round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-               / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS jaccard
+         CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
   FROM cand
   JOIN sh s1 ON s1.doc_id = doc_a
   JOIN sh s2 ON s2.doc_id = doc_b
@@ -132,8 +132,8 @@ WITH g AS (
   FROM anch a JOIN anch b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
 ), scored AS (
   SELECT doc_a, doc_b,
-         round(CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
-               / len(list_distinct(list_concat(g1.grams, g2.grams))), 6) AS jaccard
+         CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(g1.grams, g2.grams))) AS jaccard
   FROM cand JOIN g g1 ON g1.doc_id = doc_a JOIN g g2 ON g2.doc_id = doc_b
 )
 SELECT * FROM scored WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b
