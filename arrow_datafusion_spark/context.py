@@ -398,9 +398,74 @@ class SessionContext:
             )
         if re.match(r"\s*COPY\b", query, re.IGNORECASE):
             return self._sql_copy_to(query, args)
+        if re.match(r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\b", query, re.IGNORECASE):
+            return self._sql_create_external(query)
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)
         return self._spark_sql(query, args)
+
+    def _sql_create_external(self, query: str) -> DataFrame:
+        """DataFusion's registration DDL
+        (``CREATE EXTERNAL TABLE name [(cols)] STORED AS fmt
+        [WITH HEADER ROW] [DELIMITER c] LOCATION 'path'`` —
+        sql/src/statement.rs `CreateExternalTable`): routes to the matching
+        register_* method, so DataFusion SQL scripts register tables
+        unchanged. Returns an empty 0-row frame like the reference."""
+        m = re.match(
+            r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(\([^)]*\))?\s*"
+            r"STORED\s+AS\s+(\w+)\s*"
+            r"(.*?)"
+            r"LOCATION\s+'([^']+)'\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE EXTERNAL TABLE: {query[:80]!r}")
+        name, cols, fmt, opts, path = (
+            m.group(1),
+            m.group(2),
+            m.group(3).lower(),
+            m.group(4) or "",
+            m.group(5),
+        )
+        header = bool(re.search(r"WITH\s+HEADER\s+ROW", opts, re.IGNORECASE))
+        delim = re.search(r"DELIMITER\s+'([^']+)'", opts, re.IGNORECASE)
+        schema = None
+        if cols:
+            # "name type, ..." column defs: map postgres type names per token
+            defs = []
+            for coldef in cols.strip()[1:-1].split(","):
+                parts = coldef.split()
+                if len(parts) >= 2:
+                    parts[1] = _TYPE_MAP.get(parts[1].lower(), parts[1])
+                defs.append(" ".join(parts))
+            schema = ", ".join(defs)
+        if fmt == "parquet":
+            self.register_parquet(name, path)
+        elif fmt == "csv":
+            reader = self.spark.read.option("header", header)
+            if delim:
+                reader = reader.option("sep", delim.group(1))
+            if schema:
+                reader = reader.schema(schema)
+            else:
+                reader = reader.option("inferSchema", True)
+            self.register_table(name, reader.csv(path))
+        elif fmt in ("json", "ndjson"):
+            reader = self.spark.read
+            if schema:
+                reader = reader.schema(schema)
+            self.register_table(name, reader.json(path))
+        elif fmt == "avro":
+            self.register_avro(name, path)
+        elif fmt == "arrow":
+            self.register_arrow(name, path)
+        else:
+            raise ValueError(f"unsupported STORED AS {fmt!r}")
+        return self.spark.createDataFrame([], "result string")
 
     def _spark_sql(self, query: str, args=None) -> DataFrame:
         """Rewritten query → spark.sql, carrying bound parameters if any."""

@@ -271,3 +271,35 @@ def test_explain_analyze_sql_form(spark, sf_dir):
     assert len(rows) == 1
     assert rows[0].plan_type == "Plan with Metrics"
     assert "numOutputRows" in rows[0].plan
+
+
+def test_create_external_table_ddl(spark, sf_dir, tmp_path):
+    """DataFusion's CREATE EXTERNAL TABLE DDL routes to register_* so
+    reference SQL scripts register tables unchanged
+    (sql/src/statement.rs CreateExternalTable)."""
+    from pyspark.sql import functions as F
+
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.session import load_tables
+
+    ctx = SessionContext(spark)
+    nation = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    # parquet
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE nation_ext STORED AS PARQUET "
+        f"LOCATION '{sf_dir}/nation.parquet'"
+    )
+    assert ctx.sql("SELECT count(*) AS n FROM nation_ext").first().n == nation.count()
+    # csv with header + explicit schema + postgres type names
+    csv_dir = str(tmp_path / "nation_csv")
+    nation.select("n_nationkey", "n_name").write.option("header", True).csv(csv_dir)
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE nation_csv (n_nationkey int8, n_name text) "
+        f"STORED AS CSV WITH HEADER ROW LOCATION '{csv_dir}'"
+    )
+    got = ctx.sql(
+        "SELECT n_nationkey, n_name FROM nation_csv ORDER BY n_nationkey"
+    ).collect()
+    exp = nation.select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert dict(ctx.table("nation_csv").dtypes)["n_nationkey"] == "bigint"
