@@ -155,6 +155,29 @@ def _bind_placeholders(query: str, params) -> tuple[str, dict]:
     return q, args
 
 
+def _parse_execute_args(arglist: str | None) -> list:
+    """Parse EXECUTE's literal argument list: 'strings' (with '' escapes),
+    integers, floats, booleans, NULL."""
+    if not arglist or not arglist.strip():
+        return []
+    out = []
+    # quoted branch first WITH leading whitespace, so a string literal
+    # containing a comma isn't split by the bare [^,]+ fallback
+    for tok in re.findall(r"\s*'(?:[^']|'')*'|[^,]+", arglist):
+        t = tok.strip()
+        if t.startswith("'"):
+            out.append(t[1:-1].replace("''", "'"))
+        elif t.upper() == "NULL":
+            out.append(None)
+        elif t.upper() in ("TRUE", "FALSE"):
+            out.append(t.upper() == "TRUE")
+        elif re.fullmatch(r"[+-]?\d+", t):
+            out.append(int(t))
+        else:
+            out.append(float(t))
+    return out
+
+
 def _strip_strings(q: str) -> str:
     """Blank out '...' literals so keyword scans can't match quoted text."""
     return re.sub(r"'(?:[^']|'')*'", "''", q)
@@ -242,6 +265,7 @@ class SessionContext:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = prepare(spark) if spark is not None else build_spark()
         self._tables: dict[str, DataFrame] = {}
+        self._prepared: dict[str, str] = {}
 
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
@@ -400,6 +424,30 @@ class SessionContext:
             return self._sql_copy_to(query, args)
         if re.match(r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\b", query, re.IGNORECASE):
             return self._sql_create_external(query)
+        m = re.match(
+            r"\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s+(.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # PREPARE name [(types)] AS query (sql/src/statement.rs Prepare):
+            # store the text; EXECUTE binds $n placeholders positionally.
+            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\((.*)\))?\s*;?\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            stored = self._prepared.get(m.group(1).lower())
+            if stored is None:
+                raise ValueError(f"no prepared statement named {m.group(1)!r}")
+            return self.sql(stored, _parse_execute_args(m.group(2)))
+        m = re.match(r"\s*DEALLOCATE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$", query, re.IGNORECASE)
+        if m:
+            self._prepared.pop(m.group(1).lower(), None)
+            return self.spark.createDataFrame([], "result string")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)
         return self._spark_sql(query, args)

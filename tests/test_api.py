@@ -303,3 +303,23 @@ def test_create_external_table_ddl(spark, sf_dir, tmp_path):
     exp = nation.select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert dict(ctx.table("nation_csv").dtypes)["n_nationkey"] == "bigint"
+
+
+def test_prepare_execute_statements(spark, sf_dir):
+    """PREPARE / EXECUTE / DEALLOCATE statement forms
+    (sql/src/statement.rs Prepare/Execute)."""
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    ctx.register_testdata(sf_dir)
+    ctx.sql(
+        "PREPARE count_below (BIGINT, TEXT) AS "
+        "SELECT count(*) AS n FROM nation WHERE n_nationkey < $1 AND n_name <> $2"
+    )
+    assert ctx.sql("EXECUTE count_below (10, 'NATION_1')").first().n == 9
+    assert ctx.sql("EXECUTE count_below (5, 'no,such')").first().n == 5
+    ctx.sql("DEALLOCATE count_below")
+    import pytest
+
+    with pytest.raises(ValueError):
+        ctx.sql("EXECUTE count_below (1, 'x')")
