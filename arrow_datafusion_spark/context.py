@@ -155,6 +155,30 @@ def _bind_placeholders(query: str, params) -> tuple[str, dict]:
     return q, args
 
 
+def _column_defs_to_ddl(cols: str) -> str:
+    """'name type, ...' column defs → Spark DDL schema string: split on
+    top-level commas only (types like DECIMAL(10,2) contain commas) and map
+    postgres type names."""
+    defs, depth, start = [], 0, 0
+    for i, c in enumerate(cols + ","):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            coldef = cols[start:i].strip()
+            start = i + 1
+            if not coldef:
+                continue
+            cname, _, ctype = coldef.partition(" ")
+            ctype = ctype.strip()
+            # Spark rejects char/varchar in table schemas — they ARE string
+            if re.fullmatch(r"(?:var)?char\s*(?:\(\s*\d+\s*\))?", ctype, re.IGNORECASE):
+                ctype = "STRING"
+            defs.append(f"{cname} {_TYPE_MAP.get(ctype.lower(), ctype)}")
+    return ", ".join(defs)
+
+
 def _parse_execute_args(arglist: str | None) -> list:
     """Parse EXECUTE's literal argument list: 'strings' (with '' escapes),
     integers, floats, booleans, NULL."""
@@ -282,16 +306,25 @@ class SessionContext:
     def register_parquet(self, name: str, path: str) -> None:
         self.register_table(name, self.spark.read.parquet(path))
 
-    def register_csv(self, name: str, path: str, **options) -> None:
-        """CSV with schema inference at registration time — the reference
-        infers on register too (file_format/csv.rs ``infer_schema``)."""
+    def register_csv(self, name: str, path: str, schema: str | None = None, **options) -> None:
+        """CSV registration — explicit DDL ``schema`` wins; otherwise infer
+        at registration time like the reference (file_format/csv.rs
+        ``infer_schema``)."""
         options.setdefault("header", True)
-        options.setdefault("inferSchema", True)
-        self.register_table(name, self.spark.read.options(**options).csv(path))
+        reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
+            options.pop("inferSchema", None)
+        else:
+            options.setdefault("inferSchema", True)
+        self.register_table(name, reader.options(**options).csv(path))
 
-    def register_json(self, name: str, path: str, **options) -> None:
+    def register_json(self, name: str, path: str, schema: str | None = None, **options) -> None:
         """Newline-delimited JSON (NdJsonExec, physical_plan/json.rs:53)."""
-        self.register_table(name, self.spark.read.options(**options).json(path))
+        reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
+        self.register_table(name, reader.options(**options).json(path))
 
     # Per-SparkSession (weak) state shared across SessionContext instances:
     # whether the spark-avro jar answered the probe, and which Python data
@@ -425,7 +458,9 @@ class SessionContext:
         if re.match(r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\b", query, re.IGNORECASE):
             return self._sql_create_external(query)
         m = re.match(
-            r"\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s+(.*)$",
+            # the optional type list may nest parens (DECIMAL(10,2))
+            r"\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
+            r"(?:\((?:[^()]|\([^()]*\))*\))?\s+AS\s+(.*)$",
             query,
             re.IGNORECASE | re.DOTALL,
         )
@@ -446,67 +481,78 @@ class SessionContext:
             return self.sql(stored, _parse_execute_args(m.group(2)))
         m = re.match(r"\s*DEALLOCATE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$", query, re.IGNORECASE)
         if m:
-            self._prepared.pop(m.group(1).lower(), None)
+            if self._prepared.pop(m.group(1).lower(), None) is None:
+                # reference errors on deallocating an unknown statement
+                raise ValueError(f"no prepared statement named {m.group(1)!r}")
             return self.spark.createDataFrame([], "result string")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)
         return self._spark_sql(query, args)
 
     def _sql_create_external(self, query: str) -> DataFrame:
-        """DataFusion's registration DDL
-        (``CREATE EXTERNAL TABLE name [(cols)] STORED AS fmt
-        [WITH HEADER ROW] [DELIMITER c] LOCATION 'path'`` —
-        sql/src/statement.rs `CreateExternalTable`): routes to the matching
-        register_* method, so DataFusion SQL scripts register tables
-        unchanged. Returns an empty 0-row frame like the reference."""
-        m = re.match(
+        """DataFusion's registration DDL — sql/src/statement.rs
+        `CreateExternalTable` / parser.rs `parse_create_external_table`:
+        ``CREATE [UNBOUNDED] EXTERNAL TABLE [IF NOT EXISTS] name [(cols)]
+        STORED AS fmt [clauses...]`` where the clauses — ``LOCATION 'p'``,
+        ``OPTIONS ('k' 'v', ...)`` (the current surface:
+        ``format.has_header``, ``format.delimiter``), legacy
+        ``WITH HEADER ROW`` / ``DELIMITER 'c'``, and ``PARTITIONED BY`` /
+        ``WITH ORDER`` (accepted, advisory here — Spark derives both from
+        the files) — may appear in any order. Routes to the matching
+        register_* method so DataFusion SQL scripts register tables
+        unchanged; returns an empty 0-row frame like the reference."""
+        head = re.match(
             r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
-            r"(?:IF\s+NOT\s+EXISTS\s+)?"
-            r"([A-Za-z_][A-Za-z0-9_]*)\s*"
-            r"(\([^)]*\))?\s*"
-            r"STORED\s+AS\s+(\w+)\s*"
-            r"(.*?)"
-            r"LOCATION\s+'([^']+)'\s*;?\s*$",
+            r"(IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*",
             query,
-            re.IGNORECASE | re.DOTALL,
+            re.IGNORECASE,
         )
-        if not m:
+        if not head:
             raise ValueError(f"cannot parse CREATE EXTERNAL TABLE: {query[:80]!r}")
-        name, cols, fmt, opts, path = (
-            m.group(1),
-            m.group(2),
-            m.group(3).lower(),
-            m.group(4) or "",
-            m.group(5),
-        )
-        header = bool(re.search(r"WITH\s+HEADER\s+ROW", opts, re.IGNORECASE))
-        delim = re.search(r"DELIMITER\s+'([^']+)'", opts, re.IGNORECASE)
-        schema = None
-        if cols:
-            # "name type, ..." column defs: map postgres type names per token
-            defs = []
-            for coldef in cols.strip()[1:-1].split(","):
-                parts = coldef.split()
-                if len(parts) >= 2:
-                    parts[1] = _TYPE_MAP.get(parts[1].lower(), parts[1])
-                defs.append(" ".join(parts))
-            schema = ", ".join(defs)
+        if_not_exists, name = bool(head.group(1)), head.group(2)
+        pos = head.end()
+        cols = None
+        if query[pos : pos + 1] == "(":  # balanced scan: types may nest parens
+            depth, i = 1, pos + 1
+            while depth and i < len(query):
+                depth += {"(": 1, ")": -1}.get(query[i], 0)
+                i += 1
+            cols = query[pos + 1 : i - 1]
+            pos = i
+        rest = query[pos:]
+        m = re.search(r"STORED\s+AS\s+(\w+)", rest, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"CREATE EXTERNAL TABLE missing STORED AS: {query[:80]!r}")
+        fmt = m.group(1).lower()
+        m = re.search(r"LOCATION\s+'([^']+)'", rest, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"CREATE EXTERNAL TABLE missing LOCATION: {query[:80]!r}")
+        path = m.group(1)
+        # format options: current OPTIONS('k' 'v' | 'k' = 'v', ...) plus the
+        # legacy standalone clauses the reference used to accept
+        opts: dict[str, str] = {}
+        mo = re.search(r"OPTIONS\s*\(((?:[^()']|'(?:[^']|'')*')*)\)", rest, re.IGNORECASE)
+        if mo:
+            kvs = re.findall(r"'((?:[^']|'')*)'\s*=?\s*'((?:[^']|'')*)'", mo.group(1))
+            opts = {k.lower(): v for k, v in kvs}
+        header = bool(re.search(r"WITH\s+HEADER\s+ROW", rest, re.IGNORECASE)) or opts.get(
+            "format.has_header", opts.get("has_header", "")
+        ).lower() in ("true", "1")
+        md = re.search(r"DELIMITER\s+'([^']+)'", rest, re.IGNORECASE)
+        delim = md.group(1) if md else opts.get("format.delimiter", opts.get("delimiter"))
+        if if_not_exists and self.table_exist(name):
+            return self.spark.createDataFrame([], "result string")
+        schema = _column_defs_to_ddl(cols) if cols else None
         if fmt == "parquet":
             self.register_parquet(name, path)
         elif fmt == "csv":
-            reader = self.spark.read.option("header", header)
+            kw: dict = {"header": header}
             if delim:
-                reader = reader.option("sep", delim.group(1))
-            if schema:
-                reader = reader.schema(schema)
-            else:
-                reader = reader.option("inferSchema", True)
-            self.register_table(name, reader.csv(path))
+                kw["sep"] = delim
+            self.register_csv(name, path, schema=schema, **kw)
         elif fmt in ("json", "ndjson"):
-            reader = self.spark.read
-            if schema:
-                reader = reader.schema(schema)
-            self.register_table(name, reader.json(path))
+            self.register_json(name, path, schema=schema)
         elif fmt == "avro":
             self.register_avro(name, path)
         elif fmt == "arrow":

@@ -201,7 +201,13 @@ def unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pre = d.select(
         "doc_id",
-        F.slice(F.split(F.col("text"), " "), 1, 2).alias("wa"),
+        # coalesce: NULL text must mean EMPTY list, not a NULL array —
+        # arrays_zip(NULL, x) nulls the whole zip and would diverge from the
+        # oracle's per-list length arithmetic on a future NULL-bearing fixture
+        F.coalesce(
+            F.slice(F.split(F.col("text"), " "), 1, 2),
+            F.array().cast("array<string>"),
+        ).alias("wa"),
         F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<bigint>"))
         .otherwise(F.sequence(F.lit(1).cast("bigint"), F.col("doc_id") % 3))
         .alias("na"),
@@ -218,7 +224,7 @@ def unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNNEST_MULTI_SQL = """
 WITH t AS (
   SELECT doc_id,
-         (string_split(text, ' '))[1:2] AS wa,
+         coalesce((string_split(text, ' '))[1:2], []) AS wa,
          CASE WHEN doc_id % 3 = 0 THEN [] ELSE range(1, doc_id % 3 + 1) END AS na
   FROM documents
 ), idx AS (SELECT unnest(range(1, 3)) AS i)
