@@ -487,7 +487,33 @@ class SessionContext:
             return self.spark.createDataFrame([], "result string")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)
+        if re.search(r"\binformation_schema\s*\.\s*(tables|columns)\b", _strip_strings(query), re.IGNORECASE):
+            query = self._bind_information_schema(query)
         return self._spark_sql(query, args)
+
+    def _bind_information_schema(self, query: str) -> str:
+        """SQL-queryable information_schema (information_schema.rs:45-54):
+        ``information_schema.tables`` / ``.columns`` references are rebound
+        to freshly-materialized temp views over the live catalog (Spark has
+        no information_schema catalog for temp views)."""
+        self.information_schema_tables().createOrReplaceTempView("__info_schema_tables")
+        rows = []
+        for t in self.spark.catalog.listTables():
+            for i, c in enumerate(self.spark.catalog.listColumns(t.name)):
+                rows.append((t.name, c.name, i, c.dataType, c.nullable))
+        self.spark.createDataFrame(
+            rows,
+            "table_name string, column_name string, ordinal_position int, "
+            "data_type string, is_nullable boolean",
+        ).createOrReplaceTempView("__info_schema_columns")
+        query = re.sub(
+            r"\binformation_schema\s*\.\s*tables\b", "__info_schema_tables", query,
+            flags=re.IGNORECASE,
+        )
+        return re.sub(
+            r"\binformation_schema\s*\.\s*columns\b", "__info_schema_columns", query,
+            flags=re.IGNORECASE,
+        )
 
     def _sql_create_external(self, query: str) -> DataFrame:
         """DataFusion's registration DDL — sql/src/statement.rs

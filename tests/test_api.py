@@ -323,3 +323,22 @@ def test_prepare_execute_statements(spark, sf_dir):
 
     with pytest.raises(ValueError):
         ctx.sql("EXECUTE count_below (1, 'x')")
+
+
+def test_information_schema_sql(spark, sf_dir):
+    """SQL-queryable information_schema.tables / .columns
+    (information_schema.rs:45-54)."""
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    ctx.register_testdata(sf_dir)
+    tables = {
+        r.table_name
+        for r in ctx.sql("SELECT table_name FROM information_schema.tables").collect()
+    }
+    assert {"nation", "lineitem"} <= tables
+    cols = ctx.sql(
+        "SELECT column_name FROM information_schema.columns "
+        "WHERE table_name = 'nation' ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
