@@ -196,62 +196,91 @@ def ivf_cosine_topk(
     centroid quality differs, which is a training concern, not an engine
     concern). Assignment argmax is made engine-exact by ranking on
     ``round(sim, 6) - c_id * 1e-9``: the perturbation is below the rounding
-    resolution yet totally orders the ≤n_centroids candidates, so Spark's
-    ``max_by`` and the oracle's ``arg_max`` cannot disagree on ties.
+    resolution yet totally orders the ≤n_centroids candidates, so the
+    lexicographic array_max and the oracle's ``arg_max`` cannot disagree.
+
+    The centroid table is collected to the driver ONCE (n_centroids × dims
+    floats — the persisted index artifact) and inlined as literal arrays, so
+    cluster assignment is a pure map-side projection over the corpus. The
+    earlier broadcast-crossJoin + groupBy(n_id) form shipped every corpus
+    VECTOR n_centroids× through the argmax shuffle — corpus × 16 rows of
+    64 doubles of exchange traffic that this formulation simply deletes.
     """
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col), _as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .collect()
+    )
+
+    def _py_norm(vals) -> float:
+        # the exact Python replay of _norm's sequential fold: IEEE doubles,
+        # same operation order → bit-identical to the Column form
+        import math
+
+        acc = 0.0
+        for x in vals:
+            acc += x * x
+        return math.sqrt(acc)
+
+    # TRUE array literals (F.lit(list)) — a per-row CreateArray of 64
+    # literal nodes per centroid costs more than the folds themselves;
+    # float32→double widening is exact so the collected Python floats
+    # reproduce the JVM cast bit-for-bit. Norms are driver-computed once.
+    cents = [
+        (int(r[0]), F.lit([float(x) for x in r[1]])) for r in cent_rows
+    ]
+    cent_norms = {
+        int(r[0]): F.lit(_py_norm([float(x) for x in r[1]])) for r in cent_rows
+    }
+
     e = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
     ).withColumn("nn", _norm(F.col("nv")))
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("cn", _norm(F.col("cv")))
+
+    def _scored_structs(vec: Column, nrm: Column, negate: bool) -> Column:
+        """array<struct<s,c>> of per-centroid scores; lexicographic struct
+        order then ranks by score (negated for descending picks)."""
+        entries = []
+        for cid, cv in cents:
+            s = F.round(_cosine_n(vec, cv, nrm, cent_norms[cid]), 6)
+            if negate:
+                s = -s
+            else:
+                s = s - F.lit(float(cid)) * 1e-9
+            entries.append(F.struct(s.alias("s"), F.lit(cid).alias("c")))
+        return F.array(*entries)
+
+    assigned = e.select(
+        "n_id",
+        "nv",
+        "nn",
+        # argmax by (score-with-tiebreak): map-side, no shuffle
+        F.array_max(_scored_structs(F.col("nv"), F.col("nn"), negate=False))
+        .getField("c")
+        .alias("cluster"),
     )
-    assigned = (
-        e.crossJoin(cent)
-        .select(
-            "n_id",
-            "nv",
-            "nn",
-            "c_id",
-            (
-                F.round(
-                    _cosine_n(F.col("nv"), F.col("cv"), F.col("nn"), F.col("cn")), 6
-                )
-                - F.col("c_id").cast("double") * 1e-9
-            ).alias("a_score"),
-        )
-        .groupBy("n_id")
-        .agg(
-            F.max_by("c_id", "a_score").alias("cluster"),
-            F.first("nv").alias("nv"),  # constant per n_id — deterministic
-            F.first("nn").alias("nn"),
-        )
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
-        ).withColumn("qn", _norm(F.col("qv")))
-    )
-    probes = (
-        q.crossJoin(cent)
-        .select(
-            "q_id",
-            "qv",
-            "qn",
-            F.col("c_id").alias("cluster"),
-            F.round(
-                _cosine_n(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
-            ).alias("c_sim"),
-        )
-        .withColumn(
-            "c_rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
-            ),
-        )
-        .filter(F.col("c_rn") <= nprobe)
-        .select("q_id", "qv", "qn", "cluster")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    probes = q.select(
+        "q_id",
+        "qv",
+        "qn",
+        # nprobe nearest clusters: sort (−score, c_id) ascending ≡ the
+        # (DESC c_sim, ASC cluster) ranking — again map-side, no window
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        _scored_structs(F.col("qv"), F.col("qn"), negate=True)
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda st: st.getField("c"),
+            )
+        ).alias("cluster"),
     )
     sims = (
         probes.join(assigned, "cluster")
