@@ -1,0 +1,95 @@
+"""Logical-plan interchange: a JSON wire format executed against the engine —
+the Spark-first analog of datafusion-proto's plan round-trip
+(/root/reference/datafusion/proto/src/logical_plan/mod.rs: to/from-proto for
+scan, projection, filter, aggregate, join, sort, limit, union, values).
+
+A client serializes a logical plan as a JSON tree of operator nodes;
+``run_json_plan`` deserializes it onto the DataFrame API so Catalyst plans
+and executes it — the same division of labor as the reference, where a
+deserialized plan re-enters the normal optimizer. Expressions travel as SQL
+strings (parsed by ``F.expr`` — the engine's expression front end), matching
+how datafusion-proto delegates expression semantics to the engine rather
+than re-defining them.
+
+Node shapes (op → fields):
+    scan        {"table": name} | {"parquet"|"csv"|"json": path}
+    values      {"rows": [[...], ...], "schema": "a int, b string"}
+    projection  {"input": node, "exprs": ["expr AS name", ...]}
+    filter      {"input": node, "predicate": "expr"}
+    aggregate   {"input": node, "group_by": [...], "aggs": ["agg AS name", ...]}
+    join        {"left": node, "right": node, "on": "cond", "how": "inner"}
+    sort        {"input": node, "by": ["col DESC", ...]}
+    limit       {"input": node, "n": int, "offset": int?}
+    union       {"inputs": [node, ...], "distinct": bool?}
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_json_plan(ctx, plan: dict | str) -> DataFrame:
+    """Execute a JSON logical plan against a SessionContext's catalog."""
+    if isinstance(plan, str):
+        plan = json.loads(plan)
+    return _node(ctx, plan)
+
+
+def _node(ctx, n: dict) -> DataFrame:
+    op = n["op"]
+    if op == "scan":
+        if "table" in n:
+            return ctx.table(n["table"])
+        if "parquet" in n:
+            return ctx.read_parquet(n["parquet"])
+        if "csv" in n:
+            return ctx.read_csv(n["csv"])
+        if "json" in n:
+            return ctx.read_json(n["json"])
+        raise ValueError(f"scan needs table/parquet/csv/json: {n!r}")
+    if op == "values":
+        return ctx.spark.createDataFrame(
+            [tuple(r) for r in n["rows"]], n["schema"]
+        )
+    if op == "projection":
+        return _node(ctx, n["input"]).selectExpr(*n["exprs"])
+    if op == "filter":
+        return _node(ctx, n["input"]).filter(F.expr(n["predicate"]))
+    if op == "aggregate":
+        df = _node(ctx, n["input"])
+        aggs = [F.expr(a) for a in n["aggs"]]
+        if n.get("group_by"):
+            return df.groupBy(*[F.expr(g) for g in n["group_by"]]).agg(*aggs)
+        return df.agg(*aggs)
+    if op == "join":
+        left, right = _node(ctx, n["left"]), _node(ctx, n["right"])
+        how = n.get("how", "inner")
+        if "on" in n:
+            return left.join(right, F.expr(n["on"]), how)
+        return left.join(right, n.get("using", []), how)
+    if op == "sort":
+        df = _node(ctx, n["input"])
+        return df.orderBy(*[_sort_col(s) for s in n["by"]])
+    if op == "limit":
+        df = _node(ctx, n["input"])
+        if n.get("offset"):
+            df = df.offset(int(n["offset"]))
+        return df.limit(int(n["n"]))
+    if op == "union":
+        dfs = [_node(ctx, i) for i in n["inputs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionAll(d)
+        return out.distinct() if n.get("distinct") else out
+    raise ValueError(f"unknown plan op {op!r}")
+
+
+def _sort_col(spec: str):
+    parts = spec.rsplit(None, 1)
+    if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+        col = F.expr(parts[0])
+        return col.desc() if parts[1].upper() == "DESC" else col.asc()
+    return F.expr(spec)

@@ -342,3 +342,77 @@ def test_information_schema_sql(spark, sf_dir):
         "WHERE table_name = 'nation' ORDER BY ordinal_position"
     ).collect()
     assert [c.column_name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_json_plan_interchange(spark, sf_dir):
+    """JSON logical-plan execution (datafusion-proto round-trip analog,
+    proto/src/logical_plan/mod.rs): a serialized plan tree re-enters the
+    engine and must produce the same result as the equivalent SQL."""
+    import json
+
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.serde import run_json_plan
+
+    ctx = SessionContext(spark)
+    ctx.register_testdata(sf_dir)
+    plan = {
+        "op": "limit",
+        "n": 3,
+        "input": {
+            "op": "sort",
+            "by": ["n_supp DESC", "r_name ASC"],
+            "input": {
+                "op": "aggregate",
+                "group_by": ["r_name"],
+                "aggs": [
+                    "count(1) AS n_supp",
+                    # decimal accumulate: double-sum order varies with partitioning
+                    "cast(round(sum(cast(s_acctbal as decimal(38,6))), 2) as double) AS bal",
+                ],
+                "input": {
+                    "op": "join",
+                    "on": "s_nationkey = n_nationkey",
+                    "how": "inner",
+                    "left": {
+                        "op": "filter",
+                        "predicate": "s_acctbal > 0",
+                        "input": {"op": "scan", "table": "supplier"},
+                    },
+                    "right": {
+                        "op": "projection",
+                        "exprs": ["n_nationkey", "n_regionkey"],
+                        "input": {"op": "scan", "table": "nation"},
+                    },
+                },
+            },
+        },
+    }
+    # r_name needs region in the plan: graft the nation⋈region subtree in
+    plan["input"]["input"]["input"]["right"] = {
+        "op": "join",
+        "on": "n_regionkey = r_regionkey",
+        "left": {"op": "scan", "table": "nation"},
+        "right": {"op": "scan", "table": "region"},
+    }
+    got = run_json_plan(ctx, json.dumps(plan)).collect()
+    exp = ctx.sql("""
+        SELECT r_name, count(1) AS n_supp,
+               cast(round(sum(cast(s_acctbal as decimal(38,6))), 2) as double) AS bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE s_acctbal > 0
+        GROUP BY r_name ORDER BY n_supp DESC, r_name ASC LIMIT 3
+    """).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    # values + union + projection ops
+    v = {
+        "op": "union",
+        "distinct": True,
+        "inputs": [
+            {"op": "values", "rows": [[1, "a"], [2, "b"]], "schema": "i int, s string"},
+            {"op": "values", "rows": [[2, "b"], [3, "c"]], "schema": "i int, s string"},
+        ],
+    }
+    from arrow_datafusion_spark.plans.serde import run_json_plan as rp
+
+    assert rp(ctx, {"op": "aggregate", "aggs": ["count(1) AS n"], "input": v}).first().n == 3
