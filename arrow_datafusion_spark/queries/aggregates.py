@@ -149,7 +149,7 @@ SELECT n_regionkey,
        median(n_nationkey) AS med_key,
        min(n_nationkey) AS min_key,
        max(n_nationkey) AS max_key,
-       sum(n_nationkey) AS sum_key,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
        avg(n_nationkey) AS avg_key
 FROM nation
 GROUP BY n_regionkey
@@ -249,15 +249,50 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 # --------------------------------------------------------------------------
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (approx_distinct.rs HLL, approx_percentile_cont.rs
-    t-digest → Spark HyperLogLog++ / KLL). No SQL oracle — different sketch
-    families give different (both valid) approximations; tests/test_aggregates
-    bounds the relative error against exact values instead."""
+    t-digest → Spark HyperLogLog++ / KLL).
+
+    Raw sketch values can never hash-match a different engine's sketch
+    family, so the entry emits *bound checks* instead: each approx value is
+    compared against the exact value (computed in the same query) and the
+    result is a 0/1 column. The oracle emits the exact ndv cross-engine plus
+    constant-1 check columns — a hash match therefore certifies both the
+    exact ndv agreement and that every Spark sketch landed inside its
+    documented error bound (HLL++ rsd 0.05 → ±10%; percentile ±5%)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        A["approx_distinct"](F.col("l_partkey")).alias("nd_parts"),
-        A["approx_median"](F.col("l_extendedprice")).alias("med_price"),
-        A["approx_percentile_cont"](F.col("l_extendedprice"), 0.9).alias("p90_price"),
+    price = F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        A["approx_distinct"](F.col("l_partkey")).alias("nd_a"),
+        F.countDistinct(F.col("l_partkey")).alias("nd_e"),
+        A["approx_median"](price).alias("med_a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_e"),
+        A["approx_percentile_cont"](price, 0.9).alias("p90_a"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_e"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("nd_e").cast("long").alias("nd_exact"),
+        (F.abs(F.col("nd_a") - F.col("nd_e")) <= 0.10 * F.col("nd_e"))
+        .cast("int")
+        .alias("nd_ok"),
+        (F.abs(F.col("med_a") - F.col("med_e")) <= 0.05 * F.col("med_e"))
+        .cast("int")
+        .alias("med_ok"),
+        (F.abs(F.col("p90_a") - F.col("p90_e")) <= 0.05 * F.col("p90_e"))
+        .cast("int")
+        .alias("p90_ok"),
     ).orderBy("l_returnflag")
+
+
+AGG_APPROX_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+       1 AS nd_ok,
+       1 AS med_ok,
+       1 AS p90_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 QUERIES = {
@@ -276,5 +311,5 @@ ORACLE = {
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
-    # agg_approx intentionally has no oracle (rows-only check)
+    "agg_approx": AGG_APPROX_SQL,
 }

@@ -119,7 +119,7 @@ def scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCAN_ARROW_SQL = """
-SELECT lang, count(*) AS n, sum(n_chars) AS chars
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 

@@ -1,0 +1,138 @@
+"""Local emulation of the driver's correctness gate, stricter than the
+pytest oracle harness.
+
+For each registry entry (in registration order — the driver's check order)
+run the Spark query and the DuckDB oracle at sf0.01, then compare:
+
+- row count
+- column-name set (case-insensitive)
+- a value hash over the column-name-sorted, row-sorted value matrix, with
+  dtype-class strictness: an int64 on one side and a float64 on the other
+  is a MISMATCH even when the numbers are equal (this is exactly the DuckDB
+  HUGEINT → pandas float64 artifact that produced the round-3 red rows).
+  Floats are normalized to 12 significant digits before hashing.
+
+Usage:
+    python tools/driver_check.py             # all entries
+    python tools/driver_check.py 0 50        # entries [0, 50)
+    python tools/driver_check.py --only name1,name2
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _norm_cell(v):
+    import datetime as _dt
+
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "f:NaN"
+        if f == 0:
+            f = 0.0
+        return f"f:{f:.12g}"
+    if isinstance(v, (np.bool_, bool)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (np.integer, int)):
+        return f"i:{int(v)}"
+    if isinstance(v, bytes):
+        return "y:" + v.hex()
+    if isinstance(v, _dt.datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, _dt.timedelta):
+        return f"dt:{v.total_seconds():.9g}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return "s:" + str(v)
+
+
+def _matrix(df) -> tuple[list[str], str]:
+    """(sorted column names, value hash) for a pandas DataFrame."""
+    cols = sorted(df.columns, key=str.lower)
+    rows = []
+    for _, row in df[cols].iterrows():
+        rows.append("|".join(_norm_cell(v) for v in row))
+    rows.sort()
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return [c.lower() for c in cols], h
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    only = None
+    if argv and argv[0] == "--only":
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    lo = int(argv[0]) if argv else 0
+    hi = int(argv[1]) if len(argv) > 1 else 10**9
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_harness import duckdb_con
+
+    from arrow_datafusion_spark.session import build_spark
+
+    spark = build_spark("driver-check")
+    con = duckdb_con(SF_DIR)
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    names = list(queries)[lo:hi]
+    if only:
+        names = [n for n in names if n in only]
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for i, name in enumerate(names):
+        t0 = time.time()
+        rec: dict = {}
+        try:
+            sdf = queries[name](spark, SF_DIR).toPandas()
+            if name in oracles:
+                ddf = con.sql(oracles[name]).df()
+                s_cols, s_hash = _matrix(sdf)
+                d_cols, d_hash = _matrix(ddf)
+                rec = {
+                    "rows_match": len(sdf) == len(ddf),
+                    "schema_match": s_cols == d_cols,
+                    "hash_match": s_hash == d_hash,
+                    "spark_rows": len(sdf),
+                    "oracle_rows": len(ddf),
+                }
+            else:
+                rec = {"rows_match": None, "hash_match": None,
+                       "spark_rows": len(sdf), "err": "no_oracle"}
+        except Exception as exc:  # noqa: BLE001
+            rec = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        rec["sec"] = round(time.time() - t0, 2)
+        ok = rec.get("hash_match") and rec.get("rows_match") and rec.get("schema_match")
+        if not ok:
+            n_fail += 1
+        results[name] = rec
+        print(f"[{lo + i:3d}] {'PASS' if ok else 'FAIL'} {name:32s} {rec['sec']:6.2f}s"
+              + ("" if ok else f"  {json.dumps(rec)}"))
+    print(f"\n{len(names) - n_fail}/{len(names)} pass")
+    with open("/tmp/driver_check.json", "w") as f:
+        json.dump(results, f, indent=1)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
