@@ -47,10 +47,6 @@ def _registries() -> tuple[dict, dict]:
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    # Registration order = the driver's check order. Families that have not
-    # yet earned a driver CORRECTNESS row run FIRST so a driver-side time
-    # budget can't starve them; the TPC-H/ClickBench packs (driver-green in
-    # round 2) run last.
     for mod in (
         windows,
         aggregates,
@@ -69,7 +65,44 @@ def _registries() -> tuple[dict, dict]:
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
-    return queries, oracles
+
+    # Registration order = the driver's check order, and the driver validates
+    # a bounded window per round (50 entries in rounds 2-3). Entries WITHOUT
+    # a green driver row run first:
+    #   (a) never driver-checked in any round (r02/r03 key-set diff),
+    #   (b) red in r02, since fixed, awaiting re-validation (fn_*),
+    #   (c) red in r03 from oracle dtype casts, fixed this round,
+    #   (d) agg_approx, rebuilt as driver-hashable bound checks,
+    #   (e) TPC-H entries whose implementations changed AFTER their r02 green
+    #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
+    # Everything else (driver-green and unchanged since) follows.
+    priority = [
+        # (a) never checked
+        "dedup_components", "text_tfidf", "pipeline_redact",
+        "pipeline_decontaminate", "events_tumbling", "events_sliding",
+        "events_session", "events_asof", "stream_windowed_counts",
+        "stream_join_clicks_views", "range_join_bucketed", "hypertable_rollup",
+        "recursive_reach", "sql_recursive_series", "sql_recursive_graph",
+        "h2o_sum_2key", "h2o_mean_median", "h2o_range", "h2o_top2",
+        "h2o_corr_r2", "h2o_distinct", "h2o_join_small", "h2o_join_medium",
+        "h2o_join_left", "h2o_join_factor", "h2o_join_big", "fn_map",
+        "sql_params", "sql_copy_to", "sql_values_join", "sql_case_in_between",
+        # (b) fixed after r02 reds
+        "fn_regex", "fn_datetime", "fn_array",
+        # (c) fixed oracle casts (r03 reds)
+        "agg_bits_bools", "scan_arrow",
+        # (d) rebuilt with bound-check columns
+        "agg_approx",
+        # (e) stale r02 greens — implementation changed after validation
+        "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q9", "tpch_q10",
+        "tpch_q19", "tpch_q21", "tpch_q22",
+    ]
+    missing = [n for n in priority if n not in queries]
+    assert not missing, f"priority list names unknown entries: {missing}"
+    ordered = {n: queries[n] for n in priority}
+    ordered.update({n: q for n, q in queries.items() if n not in ordered})
+    ordered_oracles = {n: oracles[n] for n in ordered if n in oracles}
+    return ordered, ordered_oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

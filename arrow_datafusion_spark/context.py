@@ -189,6 +189,10 @@ def _parse_execute_args(arglist: str | None) -> list:
     # containing a comma isn't split by the bare [^,]+ fallback
     for tok in re.findall(r"\s*'(?:[^']|'')*'|[^,]+", arglist):
         t = tok.strip()
+        if not t:
+            # whitespace between a quoted literal and the following comma is
+            # captured by the bare [^,]+ branch as an empty token — skip it
+            continue
         if t.startswith("'"):
             out.append(t[1:-1].replace("''", "'"))
         elif t.upper() == "NULL":
@@ -290,6 +294,8 @@ class SessionContext:
         self.spark = prepare(spark) if spark is not None else build_spark()
         self._tables: dict[str, DataFrame] = {}
         self._prepared: dict[str, str] = {}
+        # view name → defining SQL, for information_schema.views
+        self._view_defs: dict[str, str] = {}
 
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
@@ -359,7 +365,16 @@ class SessionContext:
                 return
             except Exception as ex:
                 msg = str(ex)
-                if not any(
+                # Spark error class is the stable signal; message substrings
+                # cover older builds that phrase the error differently.
+                err_class = ""
+                for attr in ("getCondition", "getErrorClass"):
+                    try:
+                        err_class = getattr(ex, attr)() or ""
+                        break
+                    except Exception:
+                        continue
+                if "DATA_SOURCE_NOT_FOUND" not in err_class and not any(
                     s in msg
                     for s in (
                         "Failed to find data source",
@@ -383,6 +398,7 @@ class SessionContext:
 
     def register_view(self, name: str, sql: str) -> None:
         self.register_table(name, self.sql(sql))
+        self._view_defs[name] = sql
 
     def register_testdata(self, sf_dir: str = DEFAULT_SF_DIR) -> None:
         """Register the driver's fixture tables (TESTDATA.md)."""
@@ -404,7 +420,7 @@ class SessionContext:
 
     def tables(self) -> list[str]:
         return sorted(
-            {t.name for t in self.spark.catalog.listTables()} | set(self._tables)
+            {t.name for t in self._catalog_tables()} | set(self._tables)
         )
 
     def table_exist(self, name: str) -> bool:
@@ -442,17 +458,20 @@ class SessionContext:
         goes straight to ``spark.sql``.
         """
         self._ensure_macros()
-        args = None
-        if params is not None:
-            query, args = _bind_placeholders(query, params)
         m = re.match(r"\s*EXPLAIN\s+ANALYZE\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
         if m:
             # DataFusion's EXPLAIN ANALYZE returns a (plan_type, plan) table
-            # of the executed plan with metrics — mirror that shape.
-            text = self._analyze_df(self._spark_sql(m.group(1), args))
+            # of the executed plan with metrics — mirror that shape. The
+            # inner statement recurses through self.sql (with the original
+            # params) so the WITH RECURSIVE / COPY / information_schema
+            # rewrites apply to it too.
+            text = self._analyze_df(self.sql(m.group(1), params))
             return self.spark.createDataFrame(
                 [("Plan with Metrics", text)], "plan_type string, plan string"
             )
+        args = None
+        if params is not None:
+            query, args = _bind_placeholders(query, params)
         if re.match(r"\s*COPY\b", query, re.IGNORECASE):
             return self._sql_copy_to(query, args)
         if re.match(r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\b", query, re.IGNORECASE):
@@ -487,18 +506,25 @@ class SessionContext:
             return self.spark.createDataFrame([], "result string")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)
-        if re.search(r"\binformation_schema\s*\.\s*(tables|columns)\b", _strip_strings(query), re.IGNORECASE):
+        if re.search(
+            r"\binformation_schema\s*\.\s*(tables|columns|views|schemata|df_settings)\b",
+            _strip_strings(query),
+            re.IGNORECASE,
+        ):
             query = self._bind_information_schema(query)
         return self._spark_sql(query, args)
 
     def _bind_information_schema(self, query: str) -> str:
-        """SQL-queryable information_schema (information_schema.rs:45-54):
-        ``information_schema.tables`` / ``.columns`` references are rebound
-        to freshly-materialized temp views over the live catalog (Spark has
-        no information_schema catalog for temp views)."""
+        """SQL-queryable information_schema (information_schema.rs:45-54
+        exposes tables / views / columns / df_settings / schemata):
+        references are rebound to freshly-materialized temp views over the
+        live catalog (Spark has no information_schema catalog for temp
+        views). The helper views themselves (``__info_schema_*``) are
+        internal and filtered out of every listing so results are not
+        call-order dependent."""
         self.information_schema_tables().createOrReplaceTempView("__info_schema_tables")
         rows = []
-        for t in self.spark.catalog.listTables():
+        for t in self._catalog_tables():
             for i, c in enumerate(self.spark.catalog.listColumns(t.name)):
                 rows.append((t.name, c.name, i, c.dataType, c.nullable))
         self.spark.createDataFrame(
@@ -506,14 +532,19 @@ class SessionContext:
             "table_name string, column_name string, ordinal_position int, "
             "data_type string, is_nullable boolean",
         ).createOrReplaceTempView("__info_schema_columns")
-        query = re.sub(
-            r"\binformation_schema\s*\.\s*tables\b", "__info_schema_tables", query,
-            flags=re.IGNORECASE,
+        self.information_schema_views().createOrReplaceTempView("__info_schema_views")
+        self.information_schema_schemata().createOrReplaceTempView("__info_schema_schemata")
+        self.information_schema_df_settings().createOrReplaceTempView(
+            "__info_schema_df_settings"
         )
-        return re.sub(
-            r"\binformation_schema\s*\.\s*columns\b", "__info_schema_columns", query,
-            flags=re.IGNORECASE,
-        )
+        for name in ("tables", "columns", "views", "schemata", "df_settings"):
+            query = re.sub(
+                rf"\binformation_schema\s*\.\s*{name}\b",
+                f"__info_schema_{name}",
+                query,
+                flags=re.IGNORECASE,
+            )
+        return query
 
     def _sql_create_external(self, query: str) -> DataFrame:
         """DataFusion's registration DDL — sql/src/statement.rs
@@ -692,12 +723,23 @@ class SessionContext:
 
     # -- introspection (information_schema.rs:45-54, EXPLAIN/DESCRIBE) ------
 
+    def _catalog_tables(self):
+        """listTables() minus the internal ``__info_schema_*`` helper views
+        (they exist only to serve information_schema SQL and must not appear
+        in listings — the reference serves these from a dedicated provider,
+        not session tables)."""
+        return [
+            t
+            for t in self.spark.catalog.listTables()
+            if not t.name.startswith("__info_schema_")
+        ]
+
     def information_schema_tables(self) -> DataFrame:
         """information_schema.tables emulation over the session catalog."""
         rows = [
             (t.catalog or "spark_catalog", t.namespace[0] if t.namespace else "default",
              t.name, t.tableType)
-            for t in self.spark.catalog.listTables()
+            for t in self._catalog_tables()
         ]
         return self.spark.createDataFrame(
             rows, "table_catalog string, table_schema string, table_name string, "
@@ -713,6 +755,42 @@ class SessionContext:
         return self.spark.createDataFrame(
             rows, "table_name string, column_name string, ordinal_position int, "
             "data_type string, is_nullable boolean",
+        )
+
+    def information_schema_views(self) -> DataFrame:
+        """information_schema.views (information_schema.rs ViewsTable):
+        temp views with their defining SQL where known (register_view
+        records it; DataFrame-registered views have NULL definition, same
+        as the reference's non-SQL views)."""
+        rows = [
+            (t.catalog or "spark_catalog",
+             t.namespace[0] if t.namespace else "default",
+             t.name, self._view_defs.get(t.name))
+            for t in self._catalog_tables()
+            if t.tableType in ("TEMPORARY", "VIEW")
+        ]
+        return self.spark.createDataFrame(
+            rows, "table_catalog string, table_schema string, table_name string, "
+            "definition string",
+        )
+
+    def information_schema_schemata(self) -> DataFrame:
+        """information_schema.schemata (information_schema.rs SchemataTable)
+        over the catalog's databases."""
+        rows = [
+            (d.catalog or "spark_catalog", d.name, None)
+            for d in self.spark.catalog.listDatabases()
+        ]
+        return self.spark.createDataFrame(
+            rows, "catalog_name string, schema_name string, schema_owner string",
+        )
+
+    def information_schema_df_settings(self) -> DataFrame:
+        """information_schema.df_settings (information_schema.rs
+        DfSettingsTable — the engine's live config as a (name, value)
+        table). Spark analog: the session's SQL conf via ``SET``."""
+        return self.spark.sql("SET").selectExpr(
+            "key AS name", "value"
         )
 
     def describe_table(self, name: str) -> DataFrame:

@@ -103,6 +103,14 @@ def recursive_query(
             frontier = new
         else:
             acc = acc.unionAll(batch.drop(_DEPTH))
+            # Union-of-checkpointed-batches keeps the plan shallow (each leaf
+            # is a checkpoint), but the partition count still grows by
+            # result_partitions per batch — bound it here so the returned
+            # frame doesn't carry batch-count × partitions empty splits.
+            # (A per-batch checkpoint of acc would rewrite the whole
+            # accumulated set every batch — strictly worse.)
+            if result_partitions:
+                acc = acc.coalesce(result_partitions)
             # step(empty) is empty, so an empty deepest slice means every
             # later iteration is empty too — fixpoint reached.
             deepest = batch.filter(F.col(_DEPTH) == k).drop(_DEPTH)

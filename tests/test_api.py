@@ -326,7 +326,8 @@ def test_prepare_execute_statements(spark, sf_dir):
 
 
 def test_information_schema_sql(spark, sf_dir):
-    """SQL-queryable information_schema.tables / .columns
+    """SQL-queryable information_schema — all five reference tables:
+    tables / columns / views / schemata / df_settings
     (information_schema.rs:45-54)."""
     from arrow_datafusion_spark.context import SessionContext
 
@@ -342,6 +343,44 @@ def test_information_schema_sql(spark, sf_dir):
         "WHERE table_name = 'nation' ORDER BY ordinal_position"
     ).collect()
     assert [c.column_name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
+
+    # internal helper views never leak into listings (call-order independence)
+    tables2 = {
+        r.table_name
+        for r in ctx.sql("SELECT table_name FROM information_schema.tables").collect()
+    }
+    assert not any(t.startswith("__info_schema_") for t in tables2)
+    cols2 = {
+        r.table_name
+        for r in ctx.sql("SELECT DISTINCT table_name FROM information_schema.columns").collect()
+    }
+    assert not any(t.startswith("__info_schema_") for t in cols2)
+
+    # views: register_view records the defining SQL
+    ctx.register_view("small_nations", "SELECT * FROM nation WHERE n_nationkey < 5")
+    views = {
+        r.table_name: r.definition
+        for r in ctx.sql(
+            "SELECT table_name, definition FROM information_schema.views"
+        ).collect()
+    }
+    assert "small_nations" in views
+    assert "n_nationkey < 5" in views["small_nations"]
+
+    # schemata: at least the default database
+    schemata = {
+        r.schema_name
+        for r in ctx.sql("SELECT schema_name FROM information_schema.schemata").collect()
+    }
+    assert "default" in schemata
+
+    # df_settings: live session conf as (name, value) rows
+    tz = ctx.sql(
+        "SELECT value FROM information_schema.df_settings "
+        "WHERE name = 'spark.sql.session.timeZone'"
+    ).collect()
+    assert tz and tz[0].value == "UTC"
+    ctx.deregister_table("small_nations")
 
 
 def test_json_plan_interchange(spark, sf_dir):

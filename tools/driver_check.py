@@ -55,7 +55,11 @@ def _norm_cell(v):
     if isinstance(v, _dt.datetime):
         return "t:" + v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
-        return "d:" + v.isoformat()
+        # DATE ≡ midnight datetime: DuckDB's .df() promotes DATE to
+        # datetime64[us] while Spark's toPandas keeps datetime.date; the
+        # driver tolerates this (tpch_q3 was green in r02 with a date
+        # column), so the checker must too.
+        return "t:" + v.isoformat() + "T00:00:00"
     if isinstance(v, _dt.timedelta):
         return f"dt:{v.total_seconds():.9g}"
     if isinstance(v, (list, tuple, np.ndarray)):
