@@ -96,6 +96,9 @@ def _registries() -> tuple[dict, dict]:
         # (e) stale r02 greens — implementation changed after validation
         "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q9", "tpch_q10",
         "tpch_q19", "tpch_q21", "tpch_q22",
+        # (f) r03 greens whose implementation changed in round 4 (Arrow
+        #     kernels / bucket-group candidates) — need re-validation
+        "dedup_ngram", "dedup_minhash", "ann_ivf",
     ]
     missing = [n for n in priority if n not in queries]
     assert not missing, f"priority list names unknown entries: {missing}"

@@ -284,8 +284,36 @@ _ARROW_TO_SPARK_TYPE = {
 }
 
 
+# time32/time64 → BIGINT nanoseconds since midnight; decimal256 → Spark
+# DECIMAL iff precision ≤ 38, explicit reject above (sources/arrow_ipc.py
+# applies the same policy on the scan side; reference types at
+# common/src/scalar/mod.rs:206,255-261).
+_TIME_UNIT_NS = {"second": 1_000_000_000, "millisecond": 1_000_000,
+                 "microsecond": 1_000, "nanosecond": 1}
+
+
 def _arrow_cast(c, typename) -> Column:
+    import re as _re
+
     t = str(typename).strip().strip("'\"").lower()
+    m = _re.fullmatch(r"time(?:32|64)\(\s*(\w+)\s*\)", t)
+    if m:
+        factor = _TIME_UNIT_NS.get(m.group(1))
+        if factor is None:
+            raise ValueError(f"unknown time unit in arrow_cast: {t!r}")
+        return _c(c).cast("bigint") * F.lit(factor)
+    m = _re.fullmatch(r"decimal256\(\s*(\d+)\s*,\s*(-?\d+)\s*\)", t)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            raise ValueError(
+                f"Decimal256({p}, {s}) exceeds Spark's DECIMAL(38) "
+                "precision ceiling; re-scale to precision <= 38"
+            )
+        return _c(c).cast(f"decimal({p},{s})")
+    m = _re.fullmatch(r"decimal128\(\s*(\d+)\s*,\s*(-?\d+)\s*\)", t)
+    if m:
+        return _c(c).cast(f"decimal({m.group(1)},{m.group(2)})")
     return _c(c).cast(_ARROW_TO_SPARK_TYPE.get(t, t))
 
 

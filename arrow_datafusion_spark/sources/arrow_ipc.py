@@ -68,6 +68,70 @@ def write_arrow_partitioned(df, path: str) -> None:
     df.mapInPandas(_write_part, "ok int").count()
 
 
+# Time/decimal coercion policy (SURVEY §1.2; reference Arrow types at
+# /root/reference/datafusion/common/src/scalar/mod.rs:206,255-261):
+# - Time32/Time64 (any unit): Spark has no TIME-of-day type. Decided
+#   representation: BIGINT nanoseconds since midnight (lossless from every
+#   Arrow unit; callers get exact integer arithmetic).
+# - Decimal256(p, s): p ≤ 38 downcasts losslessly-representable values to
+#   Spark DECIMAL(p, s); p > 38 is REJECTED with an explicit error naming
+#   the ceiling (silent truncation would be the worst behavior).
+_TIME_NS_FACTOR = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+def _coerced_type(t):
+    """Arrow type → coerced Arrow type per the policy above (None = keep)."""
+    import pyarrow as pa
+
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        return pa.int64()
+    if pa.types.is_decimal256(t):
+        if t.precision > 38:
+            raise ValueError(
+                f"Decimal256({t.precision}, {t.scale}) exceeds Spark's "
+                "DECIMAL(38) precision ceiling; re-scale the column to "
+                "precision <= 38 (or read it as string) before scanning"
+            )
+        return pa.decimal128(t.precision, t.scale)
+    return None
+
+
+def _coerce_schema(schema):
+    import pyarrow as pa
+
+    fields = []
+    for f in schema:
+        ct = _coerced_type(f.type)
+        fields.append(f.with_type(ct) if ct is not None else f)
+    return pa.schema(fields)
+
+
+def _coerce_batch(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols, changed = [], False
+    for i, f in enumerate(batch.schema):
+        col = batch.column(i)
+        ct = _coerced_type(f.type)
+        if ct is None:
+            cols.append(col)
+            continue
+        changed = True
+        if pa.types.is_int64(ct):  # time → ns since midnight
+            unit = f.type.unit
+            # no cast path exists from time types; view() reinterprets the
+            # underlying int32/int64 storage, then widen + scale
+            storage = pa.int32() if pa.types.is_time32(f.type) else pa.int64()
+            raw = col.view(storage).cast(pa.int64())
+            cols.append(pc.multiply(raw, pa.scalar(_TIME_NS_FACTOR[unit])))
+        else:  # decimal256 → decimal128 (precision pre-checked)
+            cols.append(col.cast(ct))
+    if not changed:
+        return batch
+    return pa.RecordBatch.from_arrays(cols, schema=_coerce_schema(batch.schema))
+
+
 try:  # Python Data Source API (Spark 4+)
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -95,7 +159,7 @@ try:  # Python Data Source API (Spark 4+)
             # ships Arrow batches to the JVM without per-row Python object
             # conversion, keeping the scan Arrow-native end to end.
             with ipc.open_file(partition.path) as r:
-                yield r.get_batch(partition.batch)
+                yield _coerce_batch(r.get_batch(partition.batch))
 
     class ArrowIpcDataSource(DataSource):
         """``spark.read.format("arrow_ipc").load(path)`` — one Spark task
@@ -110,7 +174,7 @@ try:  # Python Data Source API (Spark 4+)
             from pyspark.sql.pandas.types import from_arrow_schema
 
             with ipc.open_file(_list_files(self.options["path"])[0]) as r:
-                return from_arrow_schema(r.schema)
+                return from_arrow_schema(_coerce_schema(r.schema))
 
         def reader(self, schema):
             return _IpcReader(self.options)

@@ -1,0 +1,121 @@
+"""Type-coercion policy tests (SURVEY §1.2 gaps): Time32/Time64 and
+Decimal256 — reference Arrow scalar types at
+/root/reference/datafusion/common/src/scalar/mod.rs:206 (Decimal256) and
+:255-261 (Time32/Time64).
+
+Policy (documented in sources/arrow_ipc.py):
+- Time32/Time64, any unit → BIGINT nanoseconds since midnight (lossless).
+- Decimal256 with precision ≤ 38 → Spark DECIMAL(p, s); precision > 38 →
+  explicit error naming the ceiling (never silent truncation).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _write_ipc(path, table):
+    import pyarrow.ipc as ipc
+
+    with ipc.new_file(path, table.schema) as w:
+        w.write_table(table)
+
+
+def test_time_columns_coerce_to_nanos(spark, tmp_path):
+    import pyarrow as pa
+
+    from arrow_datafusion_spark.context import SessionContext
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "t32s": pa.array(
+                [datetime.time(0, 0, 1), datetime.time(1, 0, 0)], pa.time32("s")
+            ),
+            "t64us": pa.array(
+                [datetime.time(0, 0, 0, 5), datetime.time(0, 1, 0)], pa.time64("us")
+            ),
+            "t64ns": pa.array([1234, 5_000_000_000], pa.time64("ns")),
+        }
+    )
+    p = str(tmp_path / "times.arrow")
+    _write_ipc(p, t)
+    ctx = SessionContext(spark)
+    ctx.register_arrow("times", p)
+    rows = {r.id: r for r in ctx.sql("SELECT * FROM times ORDER BY id").collect()}
+    assert rows[1].t32s == 1_000_000_000  # 00:00:01 → 1 s of ns
+    assert rows[2].t32s == 3_600_000_000_000  # 01:00:00
+    assert rows[1].t64us == 5_000  # 5 µs
+    assert rows[2].t64us == 60_000_000_000  # one minute
+    assert rows[1].t64ns == 1234
+    assert rows[2].t64ns == 5_000_000_000
+    # all three land as BIGINT
+    dtypes = dict(ctx.table("times").dtypes)
+    assert {dtypes["t32s"], dtypes["t64us"], dtypes["t64ns"]} == {"bigint"}
+
+
+def test_decimal256_downcast_within_ceiling(spark, tmp_path):
+    import pyarrow as pa
+
+    from arrow_datafusion_spark.context import SessionContext
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "d": pa.array(
+                [decimal.Decimal("123.450"), decimal.Decimal("-7.125")],
+                pa.decimal256(20, 3),
+            ),
+        }
+    )
+    p = str(tmp_path / "dec.arrow")
+    _write_ipc(p, t)
+    ctx = SessionContext(spark)
+    ctx.register_arrow("dec20", p)
+    got = {r.id: r.d for r in ctx.sql("SELECT * FROM dec20 ORDER BY id").collect()}
+    assert got[1] == decimal.Decimal("123.450")
+    assert got[2] == decimal.Decimal("-7.125")
+    assert dict(ctx.table("dec20").dtypes)["d"] == "decimal(20,3)"
+
+
+def test_decimal256_over_ceiling_rejected(spark, tmp_path):
+    import pyarrow as pa
+
+    from arrow_datafusion_spark.context import SessionContext
+
+    t = pa.table(
+        {
+            "d": pa.array([decimal.Decimal("1.5")], pa.decimal256(50, 2)),
+        }
+    )
+    p = str(tmp_path / "dec50.arrow")
+    _write_ipc(p, t)
+    ctx = SessionContext(spark)
+    with pytest.raises(Exception, match=r"DECIMAL\(38\)|38"):
+        ctx.register_arrow("dec50", p)
+        ctx.sql("SELECT * FROM dec50").collect()
+
+
+def test_arrow_cast_time_and_decimal256(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from arrow_datafusion_spark.functions.scalar import SCALAR as S
+    from arrow_datafusion_spark.session import load_tables
+
+    n = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    row = n.filter(F.col("n_nationkey") == 3).select(
+        S["arrow_cast"](F.col("n_nationkey"), "Time32(Second)").alias("t_ns"),
+        S["arrow_cast"](F.col("n_nationkey"), "Decimal256(20, 2)").alias("d"),
+    ).first()
+    assert row.t_ns == 3_000_000_000
+    assert row.d == decimal.Decimal("3.00")
+
+    with pytest.raises(ValueError, match="DECIMAL"):
+        S["arrow_cast"](F.lit(1), "Decimal256(50, 2)")
