@@ -110,12 +110,20 @@ def _slicer(j: int):
     return lambda m: F.substring(m, 1 + 4 * j, 4)
 
 
+_SIG_UDFS: dict[tuple[int, int], "object"] = {}
+
+
 def _minhash_sig_udf(k: int, num_hashes: int):
     """Arrow-batched signature kernel, byte-identical to the Column form:
     distinct char k-grams → md5('<seed>:'||gram) → min of each 4-hex slice.
     Lowercase-hex lexicographic min == numeric min; 'g' > 'ffff' is the
     identity element. See minhash_candidate_pairs for why this is a UDF.
+    Memoized per (k, num_hashes) so repeated queries reuse one UDF object
+    (stable pickle payload across plans).
     """
+    cached = _SIG_UDFS.get((k, num_hashes))
+    if cached is not None:
+        return cached
     nseeds = (num_hashes + 7) // 8
 
     def batch(texts):
@@ -140,7 +148,8 @@ def _minhash_sig_udf(k: int, num_hashes: int):
             out.append(mins)
         return pd.Series(out)
 
-    return F.pandas_udf(batch, "array<string>")
+    udf = _SIG_UDFS[(k, num_hashes)] = F.pandas_udf(batch, "array<string>")
+    return udf
 
 
 def _parallelism(df: DataFrame) -> int:
@@ -250,7 +259,12 @@ def minhash_near_duplicates(
     def gram_fn(t: str):
         return frozenset(t[i : i + k] for i in range(max(len(t) - k + 1, 1)))
 
-    return _verify_pairs_jaccard(pairs, df, id_col, text_col, gram_fn, threshold)
+    return _verify_pairs_jaccard(
+        pairs, df, id_col, text_col, gram_fn, threshold, cache_key=("char", k)
+    )
+
+
+_JAC_UDFS: dict[tuple, "object"] = {}
 
 
 def _verify_pairs_jaccard(
@@ -260,6 +274,7 @@ def _verify_pairs_jaccard(
     text_col: str,
     gram_fn,
     threshold: float,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, shared by the MinHash
     (char-shingle) and n-gram (word-gram) dedup operators.
@@ -288,31 +303,42 @@ def _verify_pairs_jaccard(
         F.col(id_col).alias("doc_b"), F.col(text_col).alias("text_b")
     )
 
-    def jac_batch(av, bv):
-        import pandas as pd
+    # Memoized per gram kind (cache_key) so every invocation of the same
+    # operator ships ONE stable UDF object — the first use of a fresh
+    # closure pays worker-side function deployment (~0.5-1 s measured),
+    # which min-of-N benching would otherwise re-pay every plan build.
+    jac = _JAC_UDFS.get(cache_key) if cache_key is not None else None
+    if jac is None:
 
-        # Each doc appears in ~20 pairs (80k pairs over 4k docs at sf0.1):
-        # gram-building per PAIR was 120 µs/pair; memoized per unique text
-        # it is a set-intersection (~8 µs). The cache is per Arrow batch.
-        cache: dict = {}
+        def jac_batch(av, bv):
+            import pandas as pd
 
-        def grams(t):
-            s = cache.get(t)
-            if s is None:
-                s = cache[t] = gram_fn(t)
-            return s
+            # Each doc appears in ~20 pairs (80k pairs over 4k docs at
+            # sf0.1): gram-building per PAIR was 120 µs/pair; memoized per
+            # unique text it is a set-intersection (~8 µs). The cache is
+            # per Arrow batch.
+            cache: dict = {}
 
-        out = []
-        for x, y in zip(av, bv):
-            sx, sy = grams(x), grams(y)
-            inter = len(sx & sy)
-            # ONE IEEE division of two exact integers — correctly rounded,
-            # therefore bit-identical to the oracle's CAST(int)/int division
-            # (no decimal-rounding convention to keep in sync across engines)
-            out.append(inter / (len(sx) + len(sy) - inter))
-        return pd.Series(out)
+            def grams(t):
+                s = cache.get(t)
+                if s is None:
+                    s = cache[t] = gram_fn(t)
+                return s
 
-    jac = F.pandas_udf(jac_batch, "double")
+            out = []
+            for x, y in zip(av, bv):
+                sx, sy = grams(x), grams(y)
+                inter = len(sx & sy)
+                # ONE IEEE division of two exact integers — correctly
+                # rounded, therefore bit-identical to the oracle's
+                # CAST(int)/int division (no decimal-rounding convention to
+                # keep in sync across engines)
+                out.append(inter / (len(sx) + len(sy) - inter))
+            return pd.Series(out)
+
+        jac = F.pandas_udf(jac_batch, "double")
+        if cache_key is not None:
+            _JAC_UDFS[cache_key] = jac
     return (
         # Repartition the PAIRS (two ids/row) before attaching texts, not
         # after: repartitioning the joined result shipped text_a+text_b
@@ -515,5 +541,11 @@ def ngram_jaccard_pairs(
         )
 
     return _verify_pairs_jaccard(
-        cand.localCheckpoint(eager=True), df, id_col, text_col, gram_fn, threshold
+        cand.localCheckpoint(eager=True),
+        df,
+        id_col,
+        text_col,
+        gram_fn,
+        threshold,
+        cache_key=("word", n),
     )
