@@ -246,13 +246,13 @@ def section_pipeline(raw_dir: str) -> dict:
     for df in load_tables(spark, lay).values():
         df.count()
     _apply_tuning(spark)  # see _apply_tuning: warmup loads reverted confs
-    # Min-of-2: the md5-heavy dedup stages allocate ~10^8 short-lived JVM
+    # Min-of-3: the md5-heavy dedup stages allocate ~10^8 short-lived JVM
     # strings per run; a concurrent full-GC can double one iteration's
-    # wall-clock, so a single sample is noise.
+    # wall-clock (measured ±40% swings at min-of-2), so singles are noise.
     pipeline: dict[str, float] = {}
     for name in pipeline_names:
         spark._jvm.System.gc()
-        pipeline[name] = _min_of(lambda: qs[name](spark, lay).count(), n=2)
+        pipeline[name] = _min_of(lambda: qs[name](spark, lay).count(), n=3)
     spark.stop()
     return {"pipeline_queries": pipeline}
 
