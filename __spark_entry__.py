@@ -99,6 +99,8 @@ def _registries() -> tuple[dict, dict]:
         # (f) r03 greens whose implementation changed in round 4 (Arrow
         #     kernels / bucket-group candidates) — need re-validation
         "dedup_ngram", "dedup_minhash", "ann_ivf",
+        # (g) new in round 4
+        "sql_info_schema",
     ]
     missing = [n for n in priority if n not in queries]
     assert not missing, f"priority list names unknown entries: {missing}"

@@ -264,8 +264,43 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+_FIXTURE_TABLES = (
+    "'region','nation','customer','supplier','part','orders','lineitem',"
+    "'events','documents','embeddings'"
+)
+
+
+def sql_info_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-queryable information_schema (information_schema.rs:45-54):
+    tables ⋈ columns over the live catalog, restricted to the fixture
+    tables so the result is independent of whatever else the session
+    registered. DuckDB exposes the same ANSI views over its catalog, so
+    the oracle is the IDENTICAL statement — a genuine cross-engine
+    information_schema check, not a canned listing."""
+    return _ctx(spark, sf_dir).sql(f"""
+        SELECT t.table_name, CAST(count(c.column_name) AS BIGINT) AS n_cols
+        FROM information_schema.tables t
+        JOIN information_schema.columns c ON t.table_name = c.table_name
+        WHERE t.table_name IN ({_FIXTURE_TABLES})
+        GROUP BY t.table_name
+        ORDER BY t.table_name
+    """)
+
+
+SQL_INFO_SCHEMA_SQL = f"""
+SELECT t.table_name, CAST(count(c.column_name) AS BIGINT) AS n_cols
+FROM information_schema.tables t
+JOIN information_schema.columns c ON t.table_name = c.table_name
+WHERE t.table_name IN ({_FIXTURE_TABLES})
+GROUP BY t.table_name
+ORDER BY t.table_name
+"""
+
+
 QUERIES = {
     "sql_basic": sql_basic,
+    "sql_info_schema": sql_info_schema,
     "sql_params": sql_params,
     "sql_copy_to": sql_copy_to,
     "sql_tilde_regex": sql_tilde_regex,
@@ -276,6 +311,7 @@ QUERIES = {
 }
 ORACLE = {
     "sql_basic": SQL_BASIC_SQL,
+    "sql_info_schema": SQL_INFO_SCHEMA_SQL,
     "sql_params": SQL_PARAMS_SQL,
     "sql_copy_to": SQL_COPY_TO_SQL,
     "sql_tilde_regex": SQL_TILDE_REGEX_SQL,

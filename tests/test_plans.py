@@ -90,6 +90,18 @@ def test_bucketed_candidates_never_all_pairs(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_decontaminate_pushes_doc_filters_below_explode(spark):
+    """The eval/train doc_id split must reach the parquet scans (so the
+    eval side reads only its row groups at scale) even though the gram
+    kernel is an Arrow-batched UDF — the filter is on a scan column, so
+    the UDF must not block pushdown."""
+    plan = _plan(spark, "pipeline_decontaminate")
+    assert "LessThan(doc_id,20)" in plan, plan
+    assert "GreaterThanOrEqual(doc_id,20)" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_agg_two_stage_shuffle(spark):
     """salted_sum_count must shuffle on (key, salt) then on key alone —
     the skew-spreading shape — and still match the plain GROUP BY (the
