@@ -408,6 +408,7 @@ class SessionContext:
     def deregister_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._tables.pop(name, None)
+        self._view_defs.pop(name, None)
         # keep session.load_tables' registered-view memo honest
         from arrow_datafusion_spark import session as _session
 
@@ -503,6 +504,40 @@ class SessionContext:
             if self._prepared.pop(m.group(1).lower(), None) is None:
                 # reference errors on deallocating an unknown statement
                 raise ValueError(f"no prepared statement named {m.group(1)!r}")
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+|TEMP\s+)?VIEW\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # DataFusion's CREATE VIEW (sql/src/statement.rs CreateView) is a
+            # SESSION-catalog object; Spark's native CREATE VIEW tries to
+            # persist and rejects references to temp views, so route through
+            # register_view (temp view + recorded definition for
+            # information_schema.views). The body recurses through self.sql,
+            # so rewrites (:: casts, macros, recursion) apply inside views.
+            or_replace, if_not_exists, name = m.group(1), m.group(2), m.group(3)
+            body = m.group(4).strip().rstrip(";")
+            if self.table_exist(name) and not or_replace:
+                if if_not_exists:
+                    return self.spark.createDataFrame([], "result string")
+                raise ValueError(f"view {name!r} already exists (use OR REPLACE)")
+            self.register_view(name, body)
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m:
+            if_exists, name = m.group(1), m.group(2)
+            if not self.table_exist(name):
+                if if_exists:
+                    return self.spark.createDataFrame([], "result string")
+                raise ValueError(f"no view named {name!r}")
+            self.deregister_table(name)
             return self.spark.createDataFrame([], "result string")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)

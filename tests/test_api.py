@@ -383,6 +383,37 @@ def test_information_schema_sql(spark, sf_dir):
     ctx.deregister_table("small_nations")
 
 
+def test_create_drop_view_statements(spark, sf_dir):
+    """CREATE [OR REPLACE] VIEW / DROP VIEW [IF EXISTS] as session-catalog
+    statements (sql/src/statement.rs CreateView) — Spark's native CREATE
+    VIEW persists and rejects temp-view references, so ctx.sql routes these
+    to the session registry."""
+    import pytest
+
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    ctx.register_testdata(sf_dir)
+    ctx.sql("DROP VIEW IF EXISTS v_small")
+    ctx.sql("CREATE VIEW v_small AS SELECT n_nationkey FROM nation WHERE n_nationkey < 5")
+    assert ctx.sql("SELECT count(*) AS n FROM v_small").first().n == 5
+    with pytest.raises(ValueError, match="already exists"):
+        ctx.sql("CREATE VIEW v_small AS SELECT 1")
+    ctx.sql("CREATE OR REPLACE VIEW v_small AS SELECT n_nationkey FROM nation WHERE n_nationkey < 3")
+    assert ctx.sql("SELECT count(*) AS n FROM v_small").first().n == 3
+    # definition visible in information_schema.views
+    defs = {
+        r.table_name: r.definition
+        for r in ctx.sql("SELECT table_name, definition FROM information_schema.views").collect()
+    }
+    assert "n_nationkey < 3" in defs["v_small"]
+    ctx.sql("DROP VIEW v_small")
+    assert not ctx.table_exist("v_small")
+    with pytest.raises(ValueError, match="no view"):
+        ctx.sql("DROP VIEW v_small")
+    ctx.sql("DROP VIEW IF EXISTS v_small")  # no error
+
+
 def test_json_plan_interchange(spark, sf_dir):
     """JSON logical-plan execution (datafusion-proto round-trip analog,
     proto/src/logical_plan/mod.rs): a serialized plan tree re-enters the
