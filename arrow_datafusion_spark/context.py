@@ -539,6 +539,20 @@ class SessionContext:
                 raise ValueError(f"no view named {name!r}")
             self.deregister_table(name)
             return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m and any(
+            t.name == m.group(1) and t.tableType == "TEMPORARY"
+            for t in self.spark.catalog.listTables()
+        ):
+            # DataFusion's DROP TABLE drops session-registered tables too;
+            # ours are temp views, which Spark's DROP TABLE won't touch.
+            # Real managed tables (CTAS) fall through to Spark below.
+            self.deregister_table(m.group(1))
+            return self.spark.createDataFrame([], "result string")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             return self._sql_recursive(query, args)
         if re.search(

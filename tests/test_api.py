@@ -413,6 +413,12 @@ def test_create_drop_view_statements(spark, sf_dir):
         ctx.sql("DROP VIEW v_small")
     ctx.sql("DROP VIEW IF EXISTS v_small")  # no error
 
+    # DROP TABLE on a session-REGISTERED table (temp view underneath)
+    ctx.register_table("t_reg", ctx.table("nation").limit(3))
+    assert ctx.table_exist("t_reg")
+    ctx.sql("DROP TABLE t_reg")
+    assert not ctx.table_exist("t_reg")
+
 
 def test_json_plan_interchange(spark, sf_dir):
     """JSON logical-plan execution (datafusion-proto round-trip analog,
