@@ -70,6 +70,27 @@ def _str_expr(depth: int):
         st.tuples(sub, st.integers(1, 8)).map(
             lambda t: f"lpad({t[0]}, {t[1]}, '.')"
         ),
+        # 1-based field split — same convention in both engines; the
+        # delimiter is a literal that always occurs (space after ||)
+        st.tuples(sub, st.integers(1, 2)).map(
+            lambda t: f"split_part(({t[0]} || ' x'), ' ', {t[1]})"
+        ),
+        st.tuples(sub, st.integers(1, 3)).map(lambda t: f"repeat({t[0]}, {t[1]})"),
+        st.tuples(sub, st.integers(0, 4)).map(lambda t: f"left({t[0]}, {t[1]})"),
+        st.tuples(sub, st.integers(0, 4)).map(lambda t: f"right({t[0]}, {t[1]})"),
+        sub.map(lambda s: f"translate({s}, 'AEI', 'xy')"),
+    )
+
+
+# date arithmetic on a fixed anchor date — integer-exact in both engines
+# (date ± int = add/subtract days in BOTH Spark and DuckDB; INTERVAL
+# literals can't carry expressions in Spark, so the int form is the shared
+# subset)
+def _date_expr(int_sub):
+    anchor = "DATE '1994-06-15'"
+    return st.one_of(
+        int_sub.map(lambda i: f"({anchor} + CAST((abs({i})) % 500 AS INTEGER))"),
+        int_sub.map(lambda i: f"({anchor} - CAST((abs({i})) % 500 AS INTEGER))"),
     )
 
 
@@ -121,4 +142,23 @@ def test_expression_semantics_match_duckdb(ctx, con, iexpr, sexpr, pred):
     )
     got = [tuple(r) for r in ctx.sql(sql).collect()]
     want = con.sql(sql).fetchall()
+    assert got == want, sql
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(dexpr=_date_expr(_int_expr(1)), iexpr=_int_expr(1))
+def test_date_arithmetic_matches_duckdb(ctx, con, dexpr, iexpr):
+    """Date ± INTERVAL day arithmetic, extraction, and date diffs are
+    integer-exact in both engines."""
+    sql = (
+        f"SELECT n_nationkey, CAST({dexpr} AS DATE) AS dv, "
+        f"       CAST(year({dexpr}) * 10000 + month({dexpr}) * 100 + day({dexpr}) AS BIGINT) AS ymd "
+        f"FROM nation ORDER BY n_nationkey"
+    )
+    got = [(r[0], r[1], r[2]) for r in ctx.sql(sql).collect()]
+    want = [(r[0], r[1], r[2]) for r in con.sql(sql).fetchall()]
     assert got == want, sql
