@@ -59,6 +59,9 @@ AGGREGATE: dict[str, Callable[..., Column]] = {
     "var": lambda c: F.var_samp(_c(c)),
     "var_samp": lambda c: F.var_samp(_c(c)),
     "var_pop": lambda c: F.var_pop(_c(c)),
+    # reference alias spellings (variance.rs `aliases()`)
+    "var_sample": lambda c: F.var_samp(_c(c)),
+    "var_population": lambda c: F.var_pop(_c(c)),
     # bivariate (covariance.rs, correlation.rs, regr.rs)
     "covar": lambda a, b: F.covar_samp(_c(a), _c(b)),
     "covar_samp": lambda a, b: F.covar_samp(_c(a), _c(b)),

@@ -557,3 +557,33 @@ FAMILIES: dict[str, dict[str, Callable[..., Column]]] = {
 SCALAR: dict[str, Callable[..., Column]] = {}
 for _fam in FAMILIES.values():
     SCALAR.update(_fam)
+
+# DataFusion's registered alias names (functions-array registers a list_*
+# alias for every array_* udf; string/datetime aliases from each impl's
+# `aliases()`), so a reference user's spelling resolves here too.
+_ALIASES = {
+    "list_dims": "array_dims", "list_distinct": "array_distinct",
+    "list_empty": "array_empty", "list_except": "array_except",
+    "list_has_all": "array_has_all", "list_has_any": "array_has_any",
+    "list_intersect": "array_intersect", "list_length": "array_length",
+    "list_ndims": "array_ndims", "list_pop_back": "array_pop_back",
+    "list_pop_front": "array_pop_front", "list_positions": "array_positions",
+    "list_remove": "array_remove", "list_remove_all": "array_remove_all",
+    "list_remove_n": "array_remove_n", "list_repeat": "array_repeat",
+    "list_replace": "array_replace", "list_replace_all": "array_replace_all",
+    "list_replace_n": "array_replace_n", "list_resize": "array_resize",
+    "list_reverse": "array_reverse", "list_slice": "array_slice",
+    "list_sort": "array_sort", "list_union": "array_union",
+    "list_cat": "array_cat", "list_concat": "array_concat",
+    "list_append": "array_append", "list_prepend": "array_prepend",
+    "list_contains": "array_contains", "list_element": "array_element",
+    "list_extract": "array_extract", "list_indexof": "array_indexof",
+    "list_position": "array_position", "list_join": "array_join",
+    "list_to_string": "array_to_string", "list_push_back": "array_push_back",
+    "list_push_front": "array_push_front", "list_has": "array_has",
+    "make_list": "make_array",
+    "trim": "btrim",            # reference: trim is btrim's alias
+    "date_format": "to_char",   # reference: to_char alias (Postgres spelling)
+}
+for _alias, _base in _ALIASES.items():
+    SCALAR.setdefault(_alias, SCALAR[_base])
