@@ -92,6 +92,28 @@ _SQL_MACROS = (
 )
 
 
+# SQL-level list_* → array_* renames: semantics verified identical between
+# the DataFusion alias and the Spark native (1-based positions, sort order,
+# set-op multiplicity). See _rewrite_sql.
+_SQL_LIST_ALIASES = {
+    "list_sort": "array_sort",
+    "list_distinct": "array_distinct",
+    "list_except": "array_except",
+    "list_intersect": "array_intersect",
+    "list_union": "array_union",
+    "list_repeat": "array_repeat",
+    "list_position": "array_position",
+    "list_contains": "array_contains",
+    "list_reverse": "reverse",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_join": "array_join",
+    "list_cat": "concat",
+    "list_concat": "concat",
+    "make_list": "array",
+}
+
+
 def _rewrite_sql(q: str) -> str:
     """Rewrite the PostgreSQL-isms DataFusion accepts but Spark SQL rejects.
 
@@ -119,6 +141,14 @@ def _rewrite_sql(q: str) -> str:
     for pg, sp in _TYPE_MAP.items():
         q = re.sub(rf"::\s*{pg}\b", f"::{sp}", q, flags=re.IGNORECASE)
         q = re.sub(rf"\bAS\s+{pg}\s*\)", f"AS {sp})", q, flags=re.IGNORECASE)
+
+    # DataFusion's list_* alias spellings → the type-generic Spark builtin
+    # (functions-array registers a list_* alias per array_* udf). Only
+    # aliases whose Spark native has IDENTICAL semantics are renamed —
+    # e.g. list_remove is NOT here (DataFusion removes the first
+    # occurrence; Spark's array_remove removes all).
+    for alias, native in _SQL_LIST_ALIASES.items():
+        q = re.sub(rf"\b{alias}\s*\(", f"{native}(", q, flags=re.IGNORECASE)
 
     # unshield; the \x01(?i)\x01 marker becomes a quoted (?i) prefix
     q = q.replace("\x01(?i)\x01 || ", "'(?i)' || ")

@@ -58,6 +58,27 @@ def test_alias_evaluates_like_base(spark):
     assert agg.vs == agg.vb and agg.vp == agg.vpb
 
 
+def test_sql_list_alias_spellings(spark, sf_dir):
+    """DataFusion list_* spellings resolve through ctx.sql (rewrite-layer
+    rename to the type-generic Spark native)."""
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    row = ctx.sql(
+        "SELECT list_sort(make_list(3, 1, 2)) AS s, "
+        "       list_distinct(make_list(1, 1, 2)) AS d, "
+        "       list_position(make_list(7, 8), 8) AS p, "
+        "       list_join(list_sort(make_list('b', 'a')), ',') AS j"
+    ).first()
+    assert list(row.s) == [1, 2, 3]
+    assert sorted(row.d) == [1, 2]
+    assert row.p == 2
+    assert row.j == "a,b"
+    # string literals are shielded: a quoted 'list_sort(' survives
+    lit = ctx.sql("SELECT 'call list_sort(x)' AS t").first().t
+    assert lit == "call list_sort(x)"
+
+
 def test_reference_name_audit():
     """Every function name AND alias the reference exports resolves in the
     registry (list extracted from fn name()/aliases() in
