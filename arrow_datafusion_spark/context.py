@@ -601,21 +601,41 @@ class SessionContext:
         views). The helper views themselves (``__info_schema_*``) are
         internal and filtered out of every listing so results are not
         call-order dependent."""
-        self.information_schema_tables().createOrReplaceTempView("__info_schema_tables")
-        rows = []
-        for t in self._catalog_tables():
-            for i, c in enumerate(self.spark.catalog.listColumns(t.name)):
-                rows.append((t.name, c.name, i, c.dataType, c.nullable))
-        self.spark.createDataFrame(
-            rows,
-            "table_name string, column_name string, ordinal_position int, "
-            "data_type string, is_nullable boolean",
-        ).createOrReplaceTempView("__info_schema_columns")
-        self.information_schema_views().createOrReplaceTempView("__info_schema_views")
-        self.information_schema_schemata().createOrReplaceTempView("__info_schema_schemata")
-        self.information_schema_df_settings().createOrReplaceTempView(
-            "__info_schema_df_settings"
-        )
+        shielded = _strip_strings(query)
+
+        def _used(name: str) -> bool:
+            return bool(
+                re.search(
+                    rf"\binformation_schema\s*\.\s*{name}\b", shielded, re.IGNORECASE
+                )
+            )
+
+        if _used("tables"):
+            self.information_schema_tables().createOrReplaceTempView(
+                "__info_schema_tables"
+            )
+        if _used("columns"):
+            rows = []
+            for t in self._catalog_tables():
+                for i, c in enumerate(self.spark.catalog.listColumns(t.name)):
+                    rows.append((t.name, c.name, i, c.dataType, c.nullable))
+            self.spark.createDataFrame(
+                rows,
+                "table_name string, column_name string, ordinal_position int, "
+                "data_type string, is_nullable boolean",
+            ).createOrReplaceTempView("__info_schema_columns")
+        if _used("views"):
+            self.information_schema_views().createOrReplaceTempView(
+                "__info_schema_views"
+            )
+        if _used("schemata"):
+            self.information_schema_schemata().createOrReplaceTempView(
+                "__info_schema_schemata"
+            )
+        if _used("df_settings"):
+            self.information_schema_df_settings().createOrReplaceTempView(
+                "__info_schema_df_settings"
+            )
         for name in ("tables", "columns", "views", "schemata", "df_settings"):
             query = re.sub(
                 rf"\binformation_schema\s*\.\s*{name}\b",
