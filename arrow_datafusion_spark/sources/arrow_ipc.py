@@ -68,14 +68,17 @@ def write_arrow_partitioned(df, path: str) -> None:
     df.mapInPandas(_write_part, "ok int").count()
 
 
-# Time/decimal coercion policy (SURVEY §1.2; reference Arrow types at
-# /root/reference/datafusion/common/src/scalar/mod.rs:206,255-261):
+# Type-coercion policy (SURVEY §1.2; reference Arrow types at
+# /root/reference/datafusion/common/src/scalar/mod.rs:206,216-222,255-261):
 # - Time32/Time64 (any unit): Spark has no TIME-of-day type. Decided
 #   representation: BIGINT nanoseconds since midnight (lossless from every
 #   Arrow unit; callers get exact integer arithmetic).
 # - Decimal256(p, s): p ≤ 38 downcasts losslessly-representable values to
 #   Spark DECIMAL(p, s); p > 38 is REJECTED with an explicit error naming
 #   the ceiling (silent truncation would be the worst behavior).
+# - UInt8/16/32/64: Spark has no unsigned ints — widen to the next signed
+#   type that holds the full range (int16/int32/int64/decimal(20,0)), the
+#   same table SURVEY §1.2 documents.
 _TIME_NS_FACTOR = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
@@ -93,6 +96,14 @@ def _coerced_type(t):
                 "precision <= 38 (or read it as string) before scanning"
             )
         return pa.decimal128(t.precision, t.scale)
+    if pa.types.is_uint8(t):
+        return pa.int16()
+    if pa.types.is_uint16(t):
+        return pa.int32()
+    if pa.types.is_uint32(t):
+        return pa.int64()
+    if pa.types.is_uint64(t):
+        return pa.decimal128(20, 0)
     return None
 
 
@@ -118,14 +129,15 @@ def _coerce_batch(batch):
             cols.append(col)
             continue
         changed = True
-        if pa.types.is_int64(ct):  # time → ns since midnight
+        if pa.types.is_time32(f.type) or pa.types.is_time64(f.type):
+            # time → ns since midnight. No cast path exists from time
+            # types; view() reinterprets the underlying int32/int64
+            # storage, then widen + scale.
             unit = f.type.unit
-            # no cast path exists from time types; view() reinterprets the
-            # underlying int32/int64 storage, then widen + scale
             storage = pa.int32() if pa.types.is_time32(f.type) else pa.int64()
             raw = col.view(storage).cast(pa.int64())
             cols.append(pc.multiply(raw, pa.scalar(_TIME_NS_FACTOR[unit])))
-        else:  # decimal256 → decimal128 (precision pre-checked)
+        else:  # decimal256 → decimal128 (pre-checked) / unsigned widening
             cols.append(col.cast(ct))
     if not changed:
         return batch

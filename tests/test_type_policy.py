@@ -61,6 +61,34 @@ def test_time_columns_coerce_to_nanos(spark, tmp_path):
     assert {dtypes["t32s"], dtypes["t64us"], dtypes["t64ns"]} == {"bigint"}
 
 
+def test_unsigned_ints_widen(spark, tmp_path):
+    """UInt8/16/32/64 widen to int16/int32/int64/decimal(20,0) on the scan
+    path — full-range values survive (SURVEY §1.2, scalar/mod.rs:216-222)."""
+    import pyarrow as pa
+
+    from arrow_datafusion_spark.context import SessionContext
+
+    t = pa.table(
+        {
+            "u8": pa.array([1, 255], pa.uint8()),
+            "u16": pa.array([1, 65535], pa.uint16()),
+            "u32": pa.array([1, 4294967295], pa.uint32()),
+            "u64": pa.array([1, 18446744073709551615], pa.uint64()),
+        }
+    )
+    p = str(tmp_path / "uints.arrow")
+    _write_ipc(p, t)
+    ctx = SessionContext(spark)
+    ctx.register_arrow("uints", p)
+    df = ctx.sql("SELECT * FROM uints ORDER BY u8")
+    assert dict(df.dtypes) == {
+        "u8": "smallint", "u16": "int", "u32": "bigint", "u64": "decimal(20,0)",
+    }
+    hi = df.collect()[1]
+    assert hi.u8 == 255 and hi.u16 == 65535 and hi.u32 == 4294967295
+    assert int(hi.u64) == 18446744073709551615
+
+
 def test_decimal256_downcast_within_ceiling(spark, tmp_path):
     import pyarrow as pa
 
