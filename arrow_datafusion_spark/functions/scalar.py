@@ -317,6 +317,28 @@ def _arrow_cast(c, typename) -> Column:
     return _c(c).cast(_ARROW_TO_SPARK_TYPE.get(t, t))
 
 
+# Spark typeof() names → the Arrow names DataFusion's arrow_typeof prints
+# (datafusion/functions/src/core/arrowtypeof.rs). Complex/parameterized
+# types fall through to the Spark spelling.
+_SPARK_TO_ARROW_NAME = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32", "bigint": "Int64",
+    "float": "Float32", "double": "Float64", "string": "Utf8",
+    "boolean": "Boolean", "binary": "Binary", "date": "Date32",
+    "timestamp": 'Timestamp(Microsecond, Some("UTC"))',
+    "timestamp_ntz": "Timestamp(Microsecond, None)",
+    "void": "Null",
+}
+
+
+def _arrow_typeof(c) -> Column:
+    t = F.typeof(_c(c))
+    out = None
+    for spark_name, arrow_name in _SPARK_TO_ARROW_NAME.items():
+        cond = F.when(t == spark_name, F.lit(arrow_name))
+        out = cond if out is None else out.when(t == spark_name, F.lit(arrow_name))
+    return out.otherwise(t)
+
+
 CORE: dict[str, Callable[..., Column]] = {
     "coalesce": lambda *a: F.coalesce(*[_c(x) for x in a]),
     "nullif": lambda a, b: F.nullif(_c(a), _c(b)),
@@ -327,7 +349,7 @@ CORE: dict[str, Callable[..., Column]] = {
     "named_struct": lambda *a: F.named_struct(*[_c(x) for x in a]),
     "get_field": lambda s, f: _c(s).getField(f if isinstance(f, str) else f),
     "arrow_cast": _arrow_cast,
-    "arrow_typeof": lambda c: F.typeof(_c(c)),
+    "arrow_typeof": _arrow_typeof,
 }
 
 

@@ -58,6 +58,18 @@ def test_alias_evaluates_like_base(spark):
     assert agg.vs == agg.vb and agg.vp == agg.vpb
 
 
+def test_arrow_typeof_prints_arrow_names(spark):
+    """arrow_typeof returns the reference's Arrow spellings for the core
+    scalars (arrowtypeof.rs), falling back to Spark names for complex
+    types."""
+    row = spark.range(1).select(
+        S.SCALAR["arrow_typeof"](F.lit(1)).alias("i"),
+        S.SCALAR["arrow_typeof"](F.lit("x")).alias("s"),
+        S.SCALAR["arrow_typeof"](F.lit(1.5)).alias("f"),
+    ).first()
+    assert (row.i, row.s, row.f) == ("Int32", "Utf8", "Float64")
+
+
 def test_sql_list_alias_spellings(spark, sf_dir):
     """DataFusion list_* spellings resolve through ctx.sql (rewrite-layer
     rename to the type-generic Spark native)."""
