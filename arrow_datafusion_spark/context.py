@@ -89,6 +89,19 @@ _SQL_MACROS = (
     # datafusion/functions/src/core/nvl.rs & friends
     "CREATE OR REPLACE TEMPORARY FUNCTION list_element(a ARRAY<STRING>, i INT) "
     "RETURNS STRING RETURN element_at(a, i)",
+    # datafusion/functions/src/math/gcd.rs, lcm.rs — Euclid as a bounded
+    # fold (63 iterations covers any int64 pair; same construction as the
+    # DataFrame registry's _gcd, expressed in SQL)
+    "CREATE OR REPLACE TEMPORARY FUNCTION gcd(x BIGINT, y BIGINT) "
+    "RETURNS BIGINT RETURN aggregate(sequence(1, 63), "
+    "named_struct('a', abs(x), 'b', abs(y)), "
+    "(acc, i) -> IF(acc.b = 0, acc, named_struct('a', acc.b, 'b', acc.a % acc.b)), "
+    "acc -> acc.a)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION lcm(x BIGINT, y BIGINT) "
+    "RETURNS BIGINT RETURN IF(x = 0 OR y = 0, 0, abs((x div gcd(x, y)) * y))",
+    # datafusion/functions/src/math/nans.rs iszero (no Spark builtin)
+    "CREATE OR REPLACE TEMPORARY FUNCTION iszero(x DOUBLE) "
+    "RETURNS BOOLEAN RETURN x = CAST(0.0 AS DOUBLE)",
 )
 
 
@@ -108,10 +121,178 @@ _SQL_LIST_ALIASES = {
     "list_append": "array_append",
     "list_prepend": "array_prepend",
     "list_join": "array_join",
-    "list_cat": "concat",
-    "list_concat": "concat",
+    # array concatenation is Spark's concat(); the marker shields it from
+    # the string-concat → concat_ws rewrite below, and is renamed back after
+    "list_cat": "\x02array_concat\x02",
+    "list_concat": "\x02array_concat\x02",
+    "array_cat": "\x02array_concat\x02",
     "make_list": "array",
 }
+
+
+# Arrow type-name (lowercased) → Spark SQL type name, for arrow_cast in SQL
+# (shares the semantic table with functions/scalar._ARROW_TO_SPARK_TYPE).
+_ARROW_SQL_TYPES = {
+    "utf8": "STRING", "largeutf8": "STRING", "utf8view": "STRING",
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT",
+    "uint64": "DECIMAL(20,0)",
+    "float16": "FLOAT", "float32": "FLOAT", "float64": "DOUBLE",
+    "boolean": "BOOLEAN", "binary": "BINARY", "largebinary": "BINARY",
+    "date32": "DATE", "date64": "DATE",
+}
+
+# typeof() name → Arrow display name for arrow_typeof in SQL (same table as
+# functions/scalar._SPARK_TO_ARROW_NAME, inlined as a map literal).
+_TYPEOF_MAP_SQL = (
+    "map('tinyint','Int8','smallint','Int16','int','Int32','bigint','Int64',"
+    "'float','Float32','double','Float64','string','Utf8','boolean','Boolean',"
+    "'binary','Binary','date','Date32',"
+    "'timestamp','Timestamp(Microsecond, Some(\"UTC\"))',"
+    "'timestamp_ntz','Timestamp(Microsecond, None)','void','Null')"
+)
+
+
+def _find_call(q: str, name: str, start: int = 0) -> tuple[int, int, int] | None:
+    """Locate ``name ( ... )`` at word boundary from ``start``; returns
+    (name_start, args_start, close_paren_index) with balanced parens/brackets
+    (string literals must already be shielded)."""
+    m = re.compile(rf"\b{name}\s*\(", re.IGNORECASE).search(q, start)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(q) and depth:
+        if q[i] in "([":
+            depth += 1
+        elif q[i] in ")]":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    return m.start(), m.end(), i - 1
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _arrow_type_to_sql(t: str) -> str | None:
+    """Arrow type display name → Spark SQL type, or None when the cast
+    needs an expression wrapper (time types). Raises on Decimal256 > 38."""
+    tl = t.strip().lower()
+    m = re.fullmatch(r"decimal(?:128|256)\(\s*(\d+)\s*,\s*(-?\d+)\s*\)", tl)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            raise ValueError(
+                f"Decimal256({p}, {s}) exceeds Spark's DECIMAL(38) precision ceiling"
+            )
+        return f"DECIMAL({p},{s})"
+    m = re.fullmatch(r"dictionary\(\s*[^,]+,\s*(.+)\)", tl)
+    if m:  # dictionary encoding is physical; cast to the value type
+        return _arrow_type_to_sql(m.group(1))
+    m = re.fullmatch(r"timestamp\(\s*\w+\s*,\s*none\s*\)", tl)
+    if m:
+        return "TIMESTAMP_NTZ"
+    m = re.fullmatch(r"timestamp\(\s*\w+\s*,\s*some\(.*\)\s*\)", tl)
+    if m:
+        return "TIMESTAMP"
+    return _ARROW_SQL_TYPES.get(tl)
+
+
+_TIME_UNIT_NS_SQL = {"second": 1_000_000_000, "millisecond": 1_000_000,
+                     "microsecond": 1_000, "nanosecond": 1}
+
+
+def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
+    """arrow_cast(expr, 'Type') → CAST / expression; arrow_typeof(expr) →
+    Arrow-name lookup over typeof(). Runs on a string-shielded query;
+    ``lits`` resolves the shielded type-name literal."""
+    pos = 0
+    while True:
+        hit = _find_call(q, "arrow_cast", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = _split_top_level(q[a:e])
+        if len(parts) != 2:
+            pos = a
+            continue
+        expr = parts[0].strip()
+        tlit = parts[1].strip()
+        m = re.fullmatch(r"\x00(\d+)\x00", tlit)
+        tname = (lits[int(m.group(1))].strip("'") if m else tlit.strip("'"))
+        tm = re.fullmatch(r"time(?:32|64)\(\s*(\w+)\s*\)", tname.strip(), re.IGNORECASE)
+        if tm:
+            factor = _TIME_UNIT_NS_SQL[tm.group(1).lower()]
+            repl = f"(CAST({expr} AS BIGINT) * {factor})"
+        else:
+            sql_type = _arrow_type_to_sql(tname)
+            repl = f"CAST({expr} AS {sql_type})" if sql_type else f"CAST({expr} AS {tname})"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    pos = 0
+    while True:
+        hit = _find_call(q, "arrow_typeof", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        expr = q[a:e].strip()
+        repl = (
+            f"coalesce(element_at({_TYPEOF_MAP_SQL}, typeof({expr})), typeof({expr}))"
+        )
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    # NULL-propagating isnan (nans.rs): Spark's builtin returns false on
+    # NULL where the reference returns NULL; a SQL UDF can't shadow a
+    # builtin, so wrap at rewrite time
+    pos = 0
+    while True:
+        hit = _find_call(q, "isnan", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        expr = q[a:e].strip()
+        # NB: inner call stays the BUILTIN isnan — Spark defines NaN = NaN
+        # as true, so the x <> x idiom does NOT detect NaN here. The walker
+        # resumes past the replacement, so the inner name is not re-wrapped.
+        repl = f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE isnan({expr}) END)"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    return q
+
+
+def _rewrite_array_literals(q: str) -> str:
+    """Postgres ``array[...]`` literals → Spark ``array(...)`` calls
+    (string literals must already be shielded). Subscripts like
+    ``expr[1]`` are untouched — only the ``array`` keyword form matches."""
+    while True:
+        m = re.search(r"\barray\s*\[", q, re.IGNORECASE)
+        if not m:
+            return q
+        depth, i = 1, m.end()
+        while i < len(q) and depth:
+            if q[i] == "[":
+                depth += 1
+            elif q[i] == "]":
+                depth -= 1
+            i += 1
+        if depth:
+            return q
+        inner = q[m.end():i - 1]
+        q = q[:m.start()] + "array(" + inner + ")" + q[i:]
 
 
 def _rewrite_sql(q: str) -> str:
@@ -149,6 +330,82 @@ def _rewrite_sql(q: str) -> str:
     # occurrence; Spark's array_remove removes all).
     for alias, native in _SQL_LIST_ALIASES.items():
         q = re.sub(rf"\b{alias}\s*\(", f"{native}(", q, flags=re.IGNORECASE)
+
+    # array[...] literals; arrow_cast / arrow_typeof as SQL functions
+    q = _rewrite_array_literals(q)
+    q = _rewrite_arrow_calls(q, lits)
+
+    # string concat skips NULLs in the reference (Postgres semantics;
+    # string/concat.rs) where Spark's concat propagates them — concat_ws('')
+    # has the reference's behavior. Array concatenation (the list_cat/
+    # array_cat aliases above) was renamed to a marker first so it keeps
+    # Spark's array concat. chr() handles full Unicode code points in the
+    # reference (chr.rs); Spark's wraps at 256 — Java's %c does not.
+    q = re.sub(r"\bconcat\s*\(", "concat_ws('', ", q, flags=re.IGNORECASE)
+    q = q.replace("\x02array_concat\x02(", "concat(")
+    # chr: full Unicode code point (chr.rs; Spark's char wraps at 256).
+    # Java's %c needs an explicit NULL guard (it would print "null").
+    pos = 0
+    while True:
+        hit = _find_call(q, "chr", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        expr = q[a:e].strip()
+        repl = (
+            f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+            f"ELSE format_string('%c', CAST({expr} AS INT)) END)"
+        )
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    # dow: the reference follows Postgres (Sunday=0..Saturday=6); Spark's
+    # extract dayofweek is 1-based (Sunday=1)
+    pos = 0
+    while True:
+        hit = _find_call(q, "extract", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        inner = q[a:e]
+        m = re.match(r"\s*dow\s+from\s+(.*)$", inner, re.IGNORECASE | re.DOTALL)
+        if not m:
+            pos = e
+            continue
+        repl = f"(extract(dayofweek FROM {m.group(1).strip()}) - 1)"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    pos = 0
+    while True:
+        hit = _find_call(q, "date_part", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = _split_top_level(q[a:e])
+        first = parts[0].strip() if parts else ""
+        m = re.fullmatch(r"\x00(\d+)\x00", first)
+        unit = (lits[int(m.group(1))].strip("'").lower() if m else "")
+        if len(parts) != 2 or unit != "dow":
+            pos = e
+            continue
+        repl = f"(extract(dayofweek FROM {parts[1].strip()}) - 1)"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    # two-arg ltrim/rtrim/trim: the reference takes (string, chars); Spark's
+    # positional builtins take (trimStr, string) — swap
+    for fn in ("ltrim", "rtrim", "trim"):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s, a, e = hit
+            parts = _split_top_level(q[a:e])
+            if len(parts) != 2:
+                pos = e
+                continue
+            repl = f"{fn}({parts[1].strip()}, {parts[0].strip()})"
+            q = q[:s] + repl + q[e + 1:]
+            pos = s + len(repl)
 
     # unshield; the \x01(?i)\x01 marker becomes a quoted (?i) prefix
     q = q.replace("\x01(?i)\x01 || ", "'(?i)' || ")
@@ -591,7 +848,56 @@ class SessionContext:
             re.IGNORECASE,
         ):
             query = self._bind_information_schema(query)
+        m = re.match(
+            # CREATE TABLE name (coldefs) [AS query] — Spark rejects a
+            # schema in CTAS; DataFusion casts the query output positionally
+            r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
+            r"(?:AS\s+(.*))?$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(4):
+            return self._sql_create_table_cols(
+                m.group(2), m.group(3), m.group(4), bool(m.group(1)), args
+            )
+        m = re.match(r"\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\b", query, re.IGNORECASE)
+        if m:
+            # DataFusion's INSERT reports the inserted row count as a
+            # one-row `count` result (DataSinkExec); Spark's INSERT returns
+            # nothing, so the count comes from a before/after table count.
+            target = m.group(1)
+            try:
+                before = self.spark.table(target).count()
+            except Exception:
+                before = None
+            self._spark_sql(query, args).collect()
+            if before is None:
+                return self.spark.createDataFrame([], "count bigint")
+            after = self.spark.table(target).count()
+            return self.spark.createDataFrame([(after - before,)], "count bigint")
         return self._spark_sql(query, args)
+
+    def _sql_create_table_cols(
+        self, name: str, coldefs: str, body: str, if_not_exists: bool, args
+    ) -> DataFrame:
+        """``CREATE TABLE name (a type, ...) AS query`` — positional cast +
+        rename of the query output (sql/src/statement.rs CreateTable with
+        both a schema and a source query)."""
+        if if_not_exists and self.table_exist(name):
+            return self.spark.createDataFrame([], "result string")
+        ddl = _column_defs_to_ddl(coldefs)
+        defs = _split_top_level(ddl)
+        # placeholders were already bound by sql(); go straight to Spark
+        src = self._spark_sql(body.strip().rstrip(";"), args)
+        cols = []
+        for i, d in enumerate(defs):
+            cname, _, ctype = d.strip().partition(" ")
+            cols.append(src[src.columns[i]].cast(ctype.strip()).alias(cname))
+        src.select(*cols).write.mode(
+            "ignore" if if_not_exists else "errorifexists"
+        ).saveAsTable(name)
+        return self.spark.createDataFrame([], "result string")
 
     def _bind_information_schema(self, query: str) -> str:
         """SQL-queryable information_schema (information_schema.rs:45-54

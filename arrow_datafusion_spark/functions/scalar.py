@@ -45,7 +45,9 @@ STRING: dict[str, Callable[..., Column]] = {
     "ascii": lambda s: F.ascii(_c(s)),
     "bit_length": lambda s: F.bit_length(_c(s)),
     "btrim": lambda s, *t: F.btrim(_c(s), *[_c(x) for x in t]),
-    "chr": lambda n: F.char(_c(n)),
+    # full Unicode code points (chr.rs) — Spark's char() wraps at 256;
+    # Java's %c formats any code point incl. supplementary planes
+    "chr": lambda n: F.format_string("%c", _c(n).cast("int")),
     "concat": lambda *a: F.concat(*[_c(x) for x in a]),
     "concat_ws": lambda sep, *a: F.concat_ws(
         sep if isinstance(sep, str) else sep, *[_c(x) for x in a]

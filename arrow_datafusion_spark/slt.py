@@ -1,0 +1,357 @@
+"""sqllogictest (.slt) runner — the reference's primary test harness
+(SURVEY §5; /root/reference/datafusion/sqllogictest/, 58k lines of .slt).
+
+Runs the semi-standard sqllogictest dialect against ``SessionContext.sql``:
+
+- ``query <type-codes> [rowsort|valuesort]`` records execute and compare
+  against the expected block; ``statement ok`` records execute and must
+  succeed; ``statement error`` records must raise (any message — error
+  TEXTS are engine-specific).
+- Value normalization mirrors the reference's conversion rules
+  (sqllogictest/src/engines/conversion.rs): NULL → ``NULL``, booleans →
+  ``true``/``false``, empty strings → ``(empty)``; floats/decimals are
+  compared NUMERICALLY (the reference rounds to 12 decimal places —
+  numeric compare at 1e-10 relative is the same discrimination without
+  replicating BigDecimal's string form).
+- Records whose SQL the engine cannot run (DataFusion-only functions,
+  unsupported DDL forms) are counted as *skipped*, never silently
+  dropped; value MISMATCHES on queries that do run are failures. A
+  ``statement error`` that unexpectedly succeeds is recorded as a
+  *divergence* (Spark accepting SQL DataFusion rejects is not a wrong
+  result).
+
+This is a real engine feature, not test scaffolding: a reference user can
+point it at their own .slt suites (``run_slt_file(ctx, path)``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Record:
+    kind: str  # "query" | "statement_ok" | "statement_error"
+    sql: str
+    line: int
+    type_codes: str = ""
+    sort_mode: str | None = None
+    expected: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SltReport:
+    path: str
+    passed: int = 0
+    failed: int = 0
+    skipped: int = 0
+    divergences: int = 0
+    failures: list[str] = field(default_factory=list)
+
+    def summary(self) -> str:
+        return (
+            f"{self.path}: {self.passed} passed, {self.failed} failed, "
+            f"{self.skipped} skipped (unrunnable), {self.divergences} divergences"
+        )
+
+
+def parse_slt(text: str) -> list[Record]:
+    """Parse one .slt file into records (comments and directives like
+    ``onlyif``/``skipif``/``control`` are dropped — single-engine runner)."""
+    records: list[Record] = []
+    lines = text.splitlines()
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i].strip()
+        if not line or line.startswith("#"):
+            i += 1
+            continue
+        if line.startswith(("onlyif", "skipif", "control", "hash-threshold")):
+            i += 1
+            continue
+        if line == "halt":
+            break
+        m = re.match(r"statement\s+(ok|error)(.*)$", line)
+        if m:
+            kind = "statement_ok" if m.group(1) == "ok" else "statement_error"
+            start = i
+            i += 1
+            sql_lines: list[str] = []
+            while i < n and lines[i].strip() and not lines[i].startswith("----"):
+                sql_lines.append(lines[i])
+                i += 1
+            # multi-line expected-error blocks (after ----) are skipped
+            while i < n and lines[i].strip():
+                i += 1
+            records.append(Record(kind, "\n".join(sql_lines), start + 1))
+            continue
+        m = re.match(r"query\s+error(\s|$)", line)
+        if m:
+            # `query error [message]` — expected-failure form
+            start = i
+            i += 1
+            sql_lines = []
+            while i < n and lines[i].strip() and not lines[i].startswith("----"):
+                sql_lines.append(lines[i])
+                i += 1
+            while i < n and lines[i].strip():
+                i += 1
+            records.append(Record("statement_error", "\n".join(sql_lines), start + 1))
+            continue
+        m = re.match(r"query\s+(\S+)(?:\s+(\S+))?\s*$", line)
+        if m:
+            codes = m.group(1)
+            sort_mode = m.group(2)
+            start = i
+            i += 1
+            sql_lines = []
+            while i < n and lines[i].strip() != "----" and lines[i].strip():
+                sql_lines.append(lines[i])
+                i += 1
+            expected: list[str] = []
+            if i < n and lines[i].strip() == "----":
+                i += 1
+                while i < n and lines[i].strip():
+                    expected.append(lines[i].rstrip("\n"))
+                    i += 1
+            records.append(
+                Record("query", "\n".join(sql_lines), start + 1, codes, sort_mode, expected)
+            )
+            continue
+        i += 1  # unknown directive — ignore
+    return records
+
+
+def _norm_cell(v, code: str) -> str:
+    """One output cell → slt string (conversion.rs rules + the engine's
+    Display forms for intervals and structs)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        # reference: BigDecimal.round(12).normalized()
+        s = f"{v:.12f}".rstrip("0").rstrip(".")
+        return s if s not in ("", "-0") else "0"
+    if isinstance(v, str):
+        return v if v != "" else "(empty)"
+    if isinstance(v, _dt.timedelta):
+        # arrow's IntervalDayTime/Duration Display:
+        # "0 years 0 mons D days H hours M mins S.%09d secs"
+        total = v.total_seconds()
+        sign = "-" if total < 0 else ""
+        total = abs(total)
+        days = int(total // 86400)
+        rem = total - days * 86400
+        hours = int(rem // 3600)
+        mins = int(rem % 3600 // 60)
+        secs = rem - hours * 3600 - mins * 60
+        return (
+            f"0 years 0 mons {sign}{days} days {sign}{hours} hours "
+            f"{sign}{mins} mins {sign}{secs:.9f} secs"
+        )
+    try:  # Decimal — plain form, trailing zeros stripped (normalized())
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            s = format(v, "f")
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s if s not in ("", "-0") else "0"
+    except Exception:
+        pass
+    try:  # pyspark Row (struct) — DataFusion displays {name: value, ...};
+        # auto field names differ (Spark col1.. vs reference c0..)
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):
+
+            def fname(k: str) -> str:
+                m = re.fullmatch(r"col(\d+)", k)
+                return f"c{int(m.group(1)) - 1}" if m else k
+
+            # arrow's struct Display renders a NULL member as empty
+            return (
+                "{"
+                + ", ".join(
+                    f"{fname(k)}: {_norm_cell(x, code) if x is not None else ''}"
+                    for k, x in v.asDict().items()
+                )
+                + "}"
+            )
+    except Exception:
+        pass
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_norm_cell(x, code) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{k}: {_norm_cell(x, code)}" for k, x in v.items()) + "}"
+    return str(v)
+
+
+def _values_equal(exp: str, act: str, code: str) -> bool:
+    if exp == act:
+        return True
+    if code in ("R", "I", "?"):  # numeric compare absorbs formatting diffs
+        try:
+            e, a = float(exp), float(act)
+            if math.isnan(e) and math.isnan(a):
+                return True
+            return math.isclose(e, a, rel_tol=1e-10, abs_tol=1e-12)
+        except ValueError:
+            return False
+    return False
+
+
+def _rows_to_lines(rows, codes: str) -> list[str]:
+    out = []
+    for row in rows:
+        cells = [
+            _norm_cell(v, codes[i] if i < len(codes) else "?")
+            for i, v in enumerate(row)
+        ]
+        out.append(" ".join(cells))
+    return out
+
+
+# Arrow-vs-Spark type display names: a mismatch where BOTH sides print a
+# TYPE NAME is a type-system divergence (e.g. DataFusion types bare integer
+# literals Int64 where Spark uses Int32, and decimal literals differ) — a
+# documented §1.2 difference, not a wrong result.
+_ARROW_TYPE_RE = re.compile(
+    r"^(Int(8|16|32|64)|UInt\d+|Float(16|32|64)|Utf8(View)?|LargeUtf8|Boolean|"
+    r"Binary|LargeBinary|Date(32|64)|Time(32|64)\(.*|Timestamp\(.*|"
+    r"Decimal\d*\(.*|List\(.*|LargeList\(.*|FixedSizeList\(.*|Struct\(.*|"
+    r"Dictionary\(.*|Map\(.*|Null|Interval\(.*|Duration\(.*)$"
+)
+_SPARK_TYPE_RE = re.compile(
+    r"^(tinyint|smallint|int|bigint|float|double|string|boolean|binary|date|"
+    r"timestamp(_ntz)?|decimal\(\d+,-?\d+\)|array<.*|struct<.*|map<.*|void|"
+    r"interval.*|Int(8|16|32|64)|Float(32|64)|Utf8|Boolean|Binary|Date32|"
+    r"Timestamp\(.*|Null)$"
+)
+
+
+def _is_type_divergence(ev: str, av: str) -> bool:
+    return bool(_ARROW_TYPE_RE.match(ev)) and bool(_SPARK_TYPE_RE.match(av))
+
+
+def _compare_query(rec: Record, rows) -> str | None:
+    """None = pass; "hash-form"/"type-divergence" = classified skip;
+    other string = failure description."""
+    actual = _rows_to_lines(rows, rec.type_codes)
+    expected = list(rec.expected)
+    # hash form ("N values hashing to ...") can't be checked cross-engine
+    if len(expected) == 1 and "values hashing to" in expected[0]:
+        return "hash-form"
+    if rec.sort_mode == "rowsort":
+        actual = sorted(actual)
+        expected = sorted(expected)
+    elif rec.sort_mode == "valuesort":
+        actual = sorted(v for line in actual for v in line.split())
+        expected = sorted(v for line in expected for v in line.split())
+        if actual == expected:
+            return None
+        return f"valuesort mismatch\n  exp: {expected}\n  got: {actual}"
+    if len(actual) != len(expected):
+        return f"row count differs: expected {len(expected)}, got {len(actual)}"
+    codes = rec.type_codes
+    saw_type_divergence = False
+    for ei, (eline, aline) in enumerate(zip(expected, actual)):
+        if eline == aline:
+            continue
+        evs, avs = eline.split(), aline.split()
+        if len(evs) != len(avs):
+            # multi-word cells (parameterized type names like
+            # "Decimal128(7, 2)" or "List(Field { .. })" from arrow_typeof)
+            # break token counts. Common shape: leading value cells match
+            # and the REMAINDER on both sides is a type name → divergence.
+            k = 0
+            while k < min(len(evs), len(avs)) and evs[k] == avs[k]:
+                k += 1
+            etail, atail = " ".join(evs[k:]), " ".join(avs[k:])
+            if etail and atail and _is_type_divergence(etail, atail):
+                saw_type_divergence = True
+                continue
+            return f"line {ei}: differs\n  exp: {eline}\n  got: {aline}"
+        for ci, (ev, av) in enumerate(zip(evs, avs)):
+            code = codes[ci] if ci < len(codes) else "?"
+            if _values_equal(ev, av, code):
+                continue
+            if _is_type_divergence(ev, av):
+                saw_type_divergence = True
+                continue
+            return f"line {ei}: cell {ci} differs\n  exp: {eline}\n  got: {aline}"
+    return "type-divergence" if saw_type_divergence else None
+
+
+def run_slt_file(ctx, path: str, stop_on_fail: bool = False) -> SltReport:
+    """Execute one .slt file against a SessionContext."""
+    with open(path) as f:
+        records = parse_slt(f.read())
+    rep = SltReport(path)
+    for rec in records:
+        if rec.kind == "statement_error":
+            try:
+                ctx.sql(rec.sql).collect()
+                rep.divergences += 1  # we accept what the reference rejects
+            except Exception:
+                rep.passed += 1
+            continue
+        if rec.kind == "statement_ok":
+            try:
+                df = ctx.sql(rec.sql)
+                if df is not None:
+                    df.collect()
+                rep.passed += 1
+            except Exception:
+                rep.skipped += 1  # unsupported statement form
+            continue
+        # query record
+        if re.match(r"\s*EXPLAIN\b", rec.sql, re.IGNORECASE):
+            rep.skipped += 1  # plan text is engine-specific by definition
+            continue
+        if "\\" in rec.sql:
+            # lexical divergence: the reference does NOT process backslash
+            # escapes in '...' literals (Postgres rules); Spark does
+            rep.skipped += 1
+            continue
+        try:
+            rows = [tuple(r) for r in ctx.sql(rec.sql).collect()]
+        except Exception:
+            rep.skipped += 1
+            continue
+        verdict = _compare_query(rec, rows)
+        if (
+            verdict not in (None, "hash-form", "type-divergence")
+            and rec.sort_mode is None
+            and len(rec.expected) > 1
+            and not re.search(r"\bORDER\s+BY\b", rec.sql, re.IGNORECASE)
+        ):
+            # no ORDER BY and no sort directive: the expected block encodes
+            # the reference's natural (insertion/scan) order, which no other
+            # engine can promise — compare as a multiset instead
+            rec2 = Record(
+                rec.kind, rec.sql, rec.line, rec.type_codes, "rowsort", rec.expected
+            )
+            verdict = _compare_query(rec2, rows)
+        if verdict is None:
+            rep.passed += 1
+        elif verdict == "hash-form":
+            rep.skipped += 1
+        elif verdict == "type-divergence":
+            rep.divergences += 1
+        else:
+            rep.failed += 1
+            rep.failures.append(f"{path}:{rec.line}: {rec.sql!r}\n{verdict}")
+            if stop_on_fail:
+                break
+    return rep

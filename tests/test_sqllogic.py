@@ -1,0 +1,72 @@
+"""Run the REFERENCE'S OWN sqllogictest files against this engine.
+
+The reference's primary test corpus is 58k lines of .slt (SURVEY §5;
+/root/reference/datafusion/sqllogictest/test_files/). This test executes a
+set of expression-centric files through ``SessionContext.sql`` with the
+runner in arrow_datafusion_spark/slt.py and requires:
+
+- ZERO value failures outside the explicitly documented divergences below,
+- a minimum pass count per file (so silent skips can't hollow the check).
+
+Skipped records are SQL the engine can't run (DataFusion-only DDL forms,
+functions outside the shared surface) — counted, never hidden.
+Divergences are classified differences, each grounded in a documented
+policy: type-display names (Spark types integer literals Int32 where the
+reference uses Int64 — SURVEY §1.2), and error-leniency (Spark accepting
+SQL the reference rejects).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
+
+# (file, slt line) → reason, for the residual failures that encode genuine,
+# documented semantic divergences rather than bugs:
+# - fractional-second extraction: the reference's nanosecond timestamps keep
+#   8 fractional digits; Spark timestamps are microsecond (ns→µs truncation
+#   policy, SURVEY §1.2), and Spark's EXTRACT(SECOND) yields whole/6-digit
+#   seconds.
+_KNOWN = {
+    ("expr.slt", 998): "ns-precision fractional seconds",
+    ("expr.slt", 1051): "ns-precision fractional seconds",
+    ("expr.slt", 1071): "ns-precision fractional seconds",
+}
+
+# file → minimum records that must PASS (floors set ~5% under measured so
+# environmental jitter can't flake, while silent regression still fails)
+_FILES = {
+    "coalesce.slt": 20,
+    "cast.slt": 5,
+    "math.slt": 28,
+    "expr.slt": 160,
+    "union.slt": 15,
+    "intersection.slt": 2,
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(_SLT_DIR), reason="reference slt corpus absent")
+@pytest.mark.parametrize("fname", sorted(_FILES))
+def test_reference_sqllogictest_file(spark, fname):
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.slt import run_slt_file
+
+    ctx = SessionContext(spark)
+    rep = run_slt_file(ctx, os.path.join(_SLT_DIR, fname))
+    unexplained = [
+        f
+        for f in rep.failures
+        if not any(
+            f.startswith(f"{os.path.join(_SLT_DIR, k[0])}:{k[1]}:")
+            for k in _KNOWN
+            if k[0] == fname
+        )
+    ]
+    assert not unexplained, "\n\n".join(unexplained)
+    assert rep.passed >= _FILES[fname], rep.summary()
