@@ -390,6 +390,67 @@ def _rewrite_sql(q: str) -> str:
         repl = f"(extract(dayofweek FROM {parts[1].strip()}) - 1)"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
+    # left/right with NEGATIVE n drop |n| chars from the other end in the
+    # reference (Postgres semantics, string/left.rs); Spark returns ''
+    for fn, pos_form, neg_form in (
+        (
+            "left",
+            "left({s}, {n})",
+            "substring({s}, 1, greatest(length({s}) + ({n}), 0))",
+        ),
+        (
+            "right",
+            "right({s}, {n})",
+            "substring({s}, least(-({n}), length({s})) + 1)",
+        ),
+    ):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = _split_top_level(q[a:e])
+            if len(parts) != 2:
+                pos = e
+                continue
+            sarg, narg = parts[0].strip(), parts[1].strip()
+            repl = (
+                f"(CASE WHEN ({narg}) < 0 THEN "
+                + neg_form.format(s=sarg, n=narg)
+                + " ELSE "
+                + pos_form.format(s=sarg, n=narg)
+                + " END)"
+            )
+            q = q[:s_i] + repl + q[e + 1:]
+            pos = s_i + len(repl)
+    # substr/substring with a NEGATIVE OR ZERO literal start follows
+    # Postgres virtual-position semantics in the reference (substr.rs:
+    # positions before 1 exist but hold nothing) — Spark counts negative
+    # starts from the string END. Only statically-negative literals are
+    # rewritten; column/expression starts keep Spark semantics.
+    for fn in ("substr", "substring"):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if len(parts) not in (2, 3) or not re.fullmatch(r"-\d+|0", parts[1]):
+                pos = e
+                continue
+            start = int(parts[1])
+            if len(parts) == 2:
+                repl = f"substring({parts[0]}, 1)"
+            else:
+                # effective length shrinks by the virtual prefix (1 - start)
+                repl = (
+                    f"substring({parts[0]}, 1, "
+                    f"greatest(({parts[2]}) - {1 - start}, 0))"
+                )
+            q = q[:s_i] + repl + q[e + 1:]
+            pos = s_i + len(repl)
     # two-arg ltrim/rtrim/trim: the reference takes (string, chars); Spark's
     # positional builtins take (trimStr, string) — swap
     for fn in ("ltrim", "rtrim", "trim"):

@@ -197,6 +197,26 @@ def _norm_cell(v, code: str) -> str:
     return str(v)
 
 
+_INTERVAL_RE = re.compile(
+    r"^\s*(?:(-?\d+)\s+years?\s+)?(?:(-?\d+)\s+mons?\s+)?(?:(-?\d+)\s+days?\s*)?"
+    r"(?:(-?\d+)\s+hours?\s*)?(?:(-?\d+)\s+mins?\s*)?(?:(-?[\d.]+)\s+secs?)?\s*$"
+)
+
+
+def _parse_interval(s: str) -> float | None:
+    """Arrow's interval Display forms ("0 years 0 mons 7 days 0 hours 0
+    mins 0 secs", "7 days 0 hours 0 mins 0.5 secs", …) → total seconds
+    (months as 30-day approximations — both sides use the same rule, and
+    cross-engine results carry identical month components anyway)."""
+    if not s or not any(u in s for u in ("year", "mon", "day", "hour", "min", "sec")):
+        return None
+    m = _INTERVAL_RE.match(s.strip())
+    if not m or not any(m.groups()):
+        return None
+    y, mo, d, h, mi, sec = (float(g) if g else 0.0 for g in m.groups())
+    return ((y * 12 + mo) * 30 + d) * 86400 + h * 3600 + mi * 60 + sec
+
+
 def _values_equal(exp: str, act: str, code: str) -> bool:
     if exp == act:
         return True
@@ -268,6 +288,20 @@ def _compare_query(rec: Record, rows) -> str | None:
     for ei, (eline, aline) in enumerate(zip(expected, actual)):
         if eline == aline:
             continue
+        # interval lines: display forms differ per arrow interval type
+        # (MonthDayNano vs DayTime vs Duration) — compare the VALUE
+        ei_secs, ai_secs = _parse_interval(eline), _parse_interval(aline)
+        if ei_secs is not None and ai_secs is not None:
+            if math.isclose(ei_secs, ai_secs, rel_tol=1e-9, abs_tol=1e-6):
+                continue
+            return f"line {ei}: interval differs\n  exp: {eline}\n  got: {aline}"
+        # struct lines: the reference names struct() fields positionally
+        # (c0, c1, …) while Spark propagates source column names — compare
+        # with the field names stripped
+        if "{" in eline and "{" in aline:
+            strip = lambda s: re.sub(r"([{,]\s*)[A-Za-z_][A-Za-z0-9_]*:\s*", r"\1", s)  # noqa: E731
+            if strip(eline) == strip(aline):
+                continue
         evs, avs = eline.split(), aline.split()
         if len(evs) != len(avs):
             # multi-word cells (parameterized type names like
@@ -293,11 +327,35 @@ def _compare_query(rec: Record, rows) -> str | None:
     return "type-divergence" if saw_type_divergence else None
 
 
-def run_slt_file(ctx, path: str, stop_on_fail: bool = False) -> SltReport:
-    """Execute one .slt file against a SessionContext."""
+def run_slt_file(
+    ctx, path: str, stop_on_fail: bool = False, isolate: bool = True
+) -> SltReport:
+    """Execute one .slt file against a SessionContext.
+
+    ``isolate`` runs the file inside its own database (slt files re-use
+    table names like ``t1`` across files; managed tables would otherwise
+    collide and leave warehouse residue across runs)."""
     with open(path) as f:
         records = parse_slt(f.read())
     rep = SltReport(path)
+    db = None
+    if isolate:
+        import re as _re
+
+        db = "slt_" + _re.sub(r"\W", "_", path.rsplit("/", 1)[-1])
+        ctx.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        ctx.spark.sql(f"CREATE DATABASE {db}")
+        ctx.spark.sql(f"USE {db}")
+    try:
+        _run_records(ctx, records, rep, stop_on_fail)
+    finally:
+        if db:
+            ctx.spark.sql("USE default")
+            ctx.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return rep
+
+
+def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
     for rec in records:
         if rec.kind == "statement_error":
             try:
@@ -351,7 +409,6 @@ def run_slt_file(ctx, path: str, stop_on_fail: bool = False) -> SltReport:
             rep.divergences += 1
         else:
             rep.failed += 1
-            rep.failures.append(f"{path}:{rec.line}: {rec.sql!r}\n{verdict}")
+            rep.failures.append(f"{rep.path}:{rec.line}: {rec.sql!r}\n{verdict}")
             if stop_on_fail:
                 break
-    return rep

@@ -33,21 +33,34 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 #   8 fractional digits; Spark timestamps are microsecond (ns→µs truncation
 #   policy, SURVEY §1.2), and Spark's EXTRACT(SECOND) yields whole/6-digit
 #   seconds.
+# - regexp_replace default: the reference follows Postgres (first match
+#   unless the 'g' flag); Spark's builtin replaces every match.
+# - struct-from-columns display and overlay NULL-argument propagation.
 _KNOWN = {
     ("expr.slt", 998): "ns-precision fractional seconds",
     ("expr.slt", 1051): "ns-precision fractional seconds",
     ("expr.slt", 1071): "ns-precision fractional seconds",
+    ("regexp.slt", 267): "regexp_replace first-match default (Spark: all)",
+    ("functions.slt", 526): "struct() field naming from table columns",
+    ("functions.slt", 892): "overlay NULL-argument propagation",
+    ("functions.slt", 904): "overlay NULL-argument propagation",
 }
 
 # file → minimum records that must PASS (floors set ~5% under measured so
 # environmental jitter can't flake, while silent regression still fails)
 _FILES = {
-    "coalesce.slt": 20,
+    "coalesce.slt": 35,
     "cast.slt": 5,
-    "math.slt": 28,
-    "expr.slt": 160,
-    "union.slt": 15,
+    "math.slt": 65,
+    "expr.slt": 190,
+    "union.slt": 17,
     "intersection.slt": 2,
+    "dates.slt": 18,
+    "regexp.slt": 11,
+    "strings.slt": 12,
+    "functions.slt": 155,
+    "nvl.slt": 8,
+    "limit.slt": 20,
 }
 
 
