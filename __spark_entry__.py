@@ -77,6 +77,10 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (h) round-5 changes: fused band-key UDF + bounded pair expansion +
+        #     adaptive broadcast verify (dedup.py); array_position/array_has
+        #     NULL semantics touched fn_array's function family
+        "dedup_minhash", "dedup_ngram", "fn_array",
         # (a) never checked
         "dedup_components", "text_tfidf", "pipeline_redact",
         "pipeline_decontaminate", "events_tumbling", "events_sliding",
@@ -88,7 +92,7 @@ def _registries() -> tuple[dict, dict]:
         "h2o_join_left", "h2o_join_factor", "h2o_join_big", "fn_map",
         "sql_params", "sql_copy_to", "sql_values_join", "sql_case_in_between",
         # (b) fixed after r02 reds
-        "fn_regex", "fn_datetime", "fn_array",
+        "fn_regex", "fn_datetime",
         # (c) fixed oracle casts (r03 reds)
         "agg_bits_bools", "scan_arrow",
         # (d) rebuilt with bound-check columns
@@ -98,7 +102,7 @@ def _registries() -> tuple[dict, dict]:
         "tpch_q19", "tpch_q21", "tpch_q22",
         # (f) r03 greens whose implementation changed in round 4 (Arrow
         #     kernels / bucket-group candidates) — need re-validation
-        "dedup_ngram", "dedup_minhash", "ann_ivf",
+        "ann_ivf",
         # (g) new in round 4
         "sql_info_schema",
     ]

@@ -78,9 +78,8 @@ _SQL_MACROS = (
     "RETURNS TIMESTAMP RETURN timestamp_micros(n)",
     "CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_nanos(n BIGINT) "
     "RETURNS TIMESTAMP RETURN timestamp_micros(n div 1000)",
-    # datafusion/functions-array aliases over Spark natives
-    "CREATE OR REPLACE TEMPORARY FUNCTION array_has(a ARRAY<STRING>, v STRING) "
-    "RETURNS BOOLEAN RETURN array_contains(a, v)",
+    # datafusion/functions-array aliases over Spark natives (array_has is a
+    # semantic _rewrite_sql rule — false for NULL needle, not a macro)
     "CREATE OR REPLACE TEMPORARY FUNCTION array_to_string(a ARRAY<STRING>, sep STRING) "
     "RETURNS STRING RETURN array_join(a, sep)",
     "CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(s STRING, sep STRING) "
@@ -115,8 +114,9 @@ _SQL_LIST_ALIASES = {
     "list_intersect": "array_intersect",
     "list_union": "array_union",
     "list_repeat": "array_repeat",
-    "list_position": "array_position",
-    "list_contains": "array_contains",
+    # list_position / list_contains are NOT simple renames: the reference
+    # returns NULL for not-found positions and false for no-match contains
+    # (position.rs / array_has) — handled by the semantic rewrite below.
     "list_reverse": "reverse",
     "list_append": "array_append",
     "list_prepend": "array_prepend",
@@ -330,6 +330,54 @@ def _rewrite_sql(q: str) -> str:
     # occurrence; Spark's array_remove removes all).
     for alias, native in _SQL_LIST_ALIASES.items():
         q = re.sub(rf"\b{alias}\s*\(", f"{native}(", q, flags=re.IGNORECASE)
+
+    # array_position/list_position: the reference returns NULL when the
+    # element is not found (position.rs) where Spark returns 0; the 3-arg
+    # form searches from a 1-based start index. array_has/list_contains:
+    # the reference returns false for NULL needles and null-containing
+    # no-match arrays (array.slt:4976) where Spark yields NULL. Markers
+    # (\x02) shield the emitted Spark natives from re-rewriting.
+    for fn in ("list_position", "list_indexof", "array_indexof", "array_position"):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if len(parts) == 3:
+                arr, v, f = parts
+                sub = (
+                    f"slice({arr}, {f}, greatest(size({arr}) - ({f}) + 1, 0))"
+                )
+                repl = (
+                    f"(nullif(\x02array_position\x02({sub}, {v}), 0) + ({f}) - 1)"
+                )
+            elif len(parts) == 2:
+                repl = f"nullif(\x02array_position\x02({parts[0]}, {parts[1]}), 0)"
+            else:
+                pos = e
+                continue
+            q = q[:s_i] + repl + q[e + 1:]
+            pos = s_i + len(repl)
+    for fn in ("list_contains", "list_has", "array_has"):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if len(parts) != 2:
+                pos = e
+                continue
+            repl = (
+                f"coalesce(\x02array_contains\x02({parts[0]}, {parts[1]}), false)"
+            )
+            q = q[:s_i] + repl + q[e + 1:]
+            pos = s_i + len(repl)
+    q = q.replace("\x02array_position\x02(", "array_position(")
+    q = q.replace("\x02array_contains\x02(", "array_contains(")
 
     # array[...] literals; arrow_cast / arrow_typeof as SQL functions
     q = _rewrite_array_literals(q)
@@ -1228,12 +1276,16 @@ class SessionContext:
         temp views with their defining SQL where known (register_view
         records it; DataFrame-registered views have NULL definition, same
         as the reference's non-SQL views)."""
+        # Only genuine view objects: names registered through the VIEW path
+        # (_view_defs) or catalog VIEW entries — register_table'd fixtures
+        # are temp views underneath but are TABLES to the user, and the
+        # reference's ViewsTable (information_schema.rs) lists only views.
         rows = [
             (t.catalog or "spark_catalog",
              t.namespace[0] if t.namespace else "default",
              t.name, self._view_defs.get(t.name))
             for t in self._catalog_tables()
-            if t.tableType in ("TEMPORARY", "VIEW")
+            if t.tableType == "VIEW" or t.name in self._view_defs
         ]
         return self.spark.createDataFrame(
             rows, "table_catalog string, table_schema string, table_name string, "

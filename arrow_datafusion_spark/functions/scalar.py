@@ -46,8 +46,12 @@ STRING: dict[str, Callable[..., Column]] = {
     "bit_length": lambda s: F.bit_length(_c(s)),
     "btrim": lambda s, *t: F.btrim(_c(s), *[_c(x) for x in t]),
     # full Unicode code points (chr.rs) — Spark's char() wraps at 256;
-    # Java's %c formats any code point incl. supplementary planes
-    "chr": lambda n: F.format_string("%c", _c(n).cast("int")),
+    # Java's %c formats any code point incl. supplementary planes. NULL
+    # guard matches the SQL-rewrite path: Java Formatter would print the
+    # string 'null' for a NULL arg, the reference returns NULL (chr.rs).
+    "chr": lambda n: F.when(_c(n).isNull(), F.lit(None)).otherwise(
+        F.format_string("%c", _c(n).cast("int"))
+    ),
     "concat": lambda *a: F.concat(*[_c(x) for x in a]),
     "concat_ws": lambda sep, *a: F.concat_ws(
         sep if isinstance(sep, str) else sep, *[_c(x) for x in a]
@@ -449,6 +453,24 @@ def _array_slice(a, frm, to, *stride) -> Column:
     return F.slice(a, frm, to - frm + 1)
 
 
+def _array_has(a, v) -> Column:
+    """array_has: false whenever no match — incl. NULL needle and arrays
+    containing NULL (array.slt:4976 expects false; Spark's array_contains
+    yields NULL in both cases)."""
+    return F.coalesce(F.array_contains(_c(a), _c(v)), F.lit(False))
+
+
+def _array_position(a, v, *frm) -> Column:
+    """array_position: NULL when not found (position.rs pushes None;
+    Spark's returns 0) and an optional 1-based start index (3-arg form)."""
+    a, v = _c(a), _c(v)
+    if frm:
+        f = _c(frm[0]).cast("int")
+        sub = F.slice(a, f, F.greatest(F.size(a) - f + 1, F.lit(0)))
+        return F.nullif(F.array_position(sub, v), F.lit(0)) + f - 1
+    return F.nullif(F.array_position(a, v), F.lit(0))
+
+
 def _array_positions(a, v) -> Column:
     a, v = _c(a), _c(v)
     return F.transform(
@@ -484,8 +506,8 @@ ARRAY: dict[str, Callable[..., Column]] = {
     "array_push_front": lambda v, a: F.array_prepend(_c(a), _c(v)),
     "array_concat": lambda *a: F.concat(*[_c(x) for x in a]),
     "array_cat": lambda *a: F.concat(*[_c(x) for x in a]),
-    "array_has": lambda a, v: F.array_contains(_c(a), _c(v)),
-    "array_contains": lambda a, v: F.array_contains(_c(a), _c(v)),
+    "array_has": _array_has,
+    "array_contains": _array_has,
     "array_has_all": lambda a, b: F.size(F.array_except(_c(b), _c(a))) == 0,
     "array_has_any": lambda a, b: F.arrays_overlap(_c(a), _c(b)),
     "array_ndims": _array_ndims,
@@ -496,8 +518,8 @@ ARRAY: dict[str, Callable[..., Column]] = {
     "array_slice": _array_slice,
     "array_pop_front": lambda a: F.slice(_c(a), 2, F.greatest(F.size(_c(a)) - 1, F.lit(0))),
     "array_pop_back": lambda a: F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0))),
-    "array_position": lambda a, v, *frm: F.array_position(_c(a), _c(v)),
-    "array_indexof": lambda a, v: F.array_position(_c(a), _c(v)),
+    "array_position": _array_position,
+    "array_indexof": _array_position,
     "array_positions": _array_positions,
     "array_remove": lambda a, v: _array_remove_first_n(a, v, 1),
     "array_remove_n": _array_remove_first_n,

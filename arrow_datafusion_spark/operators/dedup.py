@@ -110,45 +110,75 @@ def _slicer(j: int):
     return lambda m: F.substring(m, 1 + 4 * j, 4)
 
 
-_SIG_UDFS: dict[tuple[int, int], "object"] = {}
+_SIG_UDFS: dict[tuple[int, int, int], "object"] = {}
 
 
-def _minhash_sig_udf(k: int, num_hashes: int):
-    """Arrow-batched signature kernel, byte-identical to the Column form:
-    distinct char k-grams → md5('<seed>:'||gram) → min of each 4-hex slice.
-    Lowercase-hex lexicographic min == numeric min; 'g' > 'ffff' is the
-    identity element. See minhash_candidate_pairs for why this is a UDF.
-    Memoized per (k, num_hashes) so repeated queries reuse one UDF object
-    (stable pickle payload across plans).
+def _minhash_band_udf(k: int, num_hashes: int, rows_per_band: int):
+    """Fused Arrow-batched signature→band-key kernel, byte-identical to the
+    unfused construction: distinct char k-grams → md5('<seed>:'||gram) →
+    min of each 4-hex slice → md5('s1|s2|..') per band. Emits the band
+    keys DIRECTLY (array<string>, one per band) so the plan never ships
+    the num_hashes-element signature array or runs a JVM md5/concat layer
+    — posexplode on the result is the whole banding stage.
+
+    Per-gram digest slices are memoized ACROSS batches (python workers are
+    reused): common k-grams dominate any real corpus, so the md5 work per
+    doc collapses to dict hits + one vectorized np.min. Capped so worker
+    RSS stays bounded; lowercase-hex lexicographic min == numeric min, so
+    the uint16 min is exactly the string min of the unfused form.
+    See minhash_candidate_pairs for why this is a UDF at all.
+    Memoized per (k, num_hashes, rows_per_band) so repeated queries reuse
+    one UDF object (stable pickle payload across plans).
     """
-    cached = _SIG_UDFS.get((k, num_hashes))
+    key = (k, num_hashes, rows_per_band)
+    cached = _SIG_UDFS.get(key)
     if cached is not None:
         return cached
     nseeds = (num_hashes + 7) // 8
+    nbands = (num_hashes + rows_per_band - 1) // rows_per_band
 
     def batch(texts):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
+        cache = batch.__dict__.setdefault("gram_cache", {})
+
+        def gram_slices(g: str):
+            a = cache.get(g)
+            if a is None:
+                vals = []
+                for s in range(nseeds):
+                    h = hashlib.md5((f"{s}:" + g).encode()).hexdigest()
+                    vals.extend(
+                        int(h[4 * j : 4 * j + 4], 16)
+                        for j in range(min(8, num_hashes - 8 * s))
+                    )
+                a = np.array(vals, dtype=np.uint16)
+                if len(cache) < 300_000:  # ~40 MB/worker ceiling
+                    cache[g] = a
+            return a
+
         out = []
+        md5 = hashlib.md5
         for t in texts:
             grams = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
-            mins = ["g"] * num_hashes
-            for s in range(nseeds):
-                pre = (str(s) + ":").encode()
-                nsl = min(8, num_hashes - 8 * s)
-                base = 8 * s
-                for g in grams:
-                    h = hashlib.md5(pre + g.encode()).hexdigest()
-                    for j in range(nsl):
-                        v = h[4 * j : 4 * j + 4]
-                        if v < mins[base + j]:
-                            mins[base + j] = v
-            out.append(mins)
+            mins = np.minimum.reduce([gram_slices(g) for g in grams])
+            hexs = [format(v, "04x") for v in mins]
+            out.append(
+                [
+                    md5(
+                        "|".join(
+                            hexs[b * rows_per_band : (b + 1) * rows_per_band]
+                        ).encode()
+                    ).hexdigest()
+                    for b in range(nbands)
+                ]
+            )
         return pd.Series(out)
 
-    udf = _SIG_UDFS[(k, num_hashes)] = F.pandas_udf(batch, "array<string>")
+    udf = _SIG_UDFS[key] = F.pandas_udf(batch, "array<string>")
     return udf
 
 
@@ -193,41 +223,39 @@ def minhash_candidate_pairs(
     # hex, so the construction stays engine-exact vs the DuckDB oracle while
     # running ~5× faster. This is the sanctioned UDF exception: built-in
     # operators genuinely can't express the semantics efficiently.
-    sig_udf = _minhash_sig_udf(k, num_hashes)
-    dig = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"), sig_udf(F.col(text_col)).alias("_sig")
+    band_udf = _minhash_band_udf(k, num_hashes, rows_per_band)
+    banded = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_udf(F.col(text_col))).alias("band", "key"),
     )
-    sig = [F.element_at("_sig", i + 1) for i in range(num_hashes)]
-    banded = dig.select(
-        "doc", F.explode(lsh_band_keys(sig, rows_per_band)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # Pairs via ONE groupBy(bucket) + in-bucket combination expansion,
     # rather than a bucket self-join: one exchange on the bucket key instead
     # of two join exchanges + the post-join filter, and the signature
-    # subtree now has a single consumer (no checkpoint materialization).
-    # Measured 1.6 s → 1.2 s on the candidate stage at sf0.1 with an
-    # identical pair set. In-bucket expansion is O(bucket²) — exactly the
-    # candidate count the banded-join form also produces; LSH band width
-    # bounds bucket size, which is the standard MinHash-LSH contract.
+    # subtree has a single consumer (no checkpoint materialization).
+    # The expansion posexplodes the bucket FIRST and pairs each member with
+    # the tail slice after it: every unordered pair is produced exactly
+    # once, and no row ever holds more than O(|bucket|) elements — a
+    # D-member exact-duplicate cluster (which shares EVERY band key) costs
+    # D rows of ≤D elements, not one D²-element array on one executor.
+    # Total work is the same O(bucket²) candidate count the banded-join
+    # form also produces; LSH band width bounds bucket size, which is the
+    # standard MinHash-LSH contract.
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("doc").alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                "docs",
-                lambda a: F.transform(
-                    "docs", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
-                ),
-            )
-        ),
-        lambda st: st.getField("doc_a") < st.getField("doc_b"),
+    tail = F.slice(
+        F.col("docs"),
+        F.col("i") + 2,
+        F.greatest(F.size("docs") - F.col("i") - 1, F.lit(0)),
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        buckets.select("docs", F.posexplode("docs").alias("i", "d"))
+        .select(F.col("d").alias("x"), F.explode(tail).alias("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+        )
         .distinct()
     )
 
@@ -339,17 +367,25 @@ def _verify_pairs_jaccard(
         jac = F.pandas_udf(jac_batch, "double")
         if cache_key is not None:
             _JAC_UDFS[cache_key] = jac
+    # Repartition the PAIRS (two ids/row) before attaching texts, not
+    # after: repartitioning the joined result would ship text_a+text_b
+    # (~4 KB/pair — ~300 MB at sf0.1's 80k pairs) through the exchange;
+    # this way only ids cross it, and the UDF runs in the join stage.
+    # Partitioning by doc_a both spreads the CPU-bound UDF across cores
+    # (AQE would coalesce the tiny-by-bytes pair set to one partition) and
+    # gives batches cache locality.
+    spread = pairs.repartition(_parallelism(df), "doc_a")
+    # Candidate-doc texts: BROADCAST both sides when the pair set is small
+    # enough that the semi-joined doc set must be too (callers pass a
+    # checkpointed `pairs`, so this count is a metadata read). The planner
+    # won't pick this itself — the semi-join ruins its size estimate and it
+    # falls back to shuffling the a-joined result (text_a!) by doc_b,
+    # ~120 MB at sf0.1 and 2× the verify wall-clock. Above the limit
+    # (corpus-scale candidate sets) the shuffle join is the correct shape.
+    if pairs.count() <= 1_000_000:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
-        # Repartition the PAIRS (two ids/row) before attaching texts, not
-        # after: repartitioning the joined result shipped text_a+text_b
-        # (~4 KB/pair — ~300 MB at sf0.1's 80k pairs) through the exchange
-        # and tripled verify wall-clock; this way only ids cross that
-        # exchange, the text joins land after it, and the UDF runs in the
-        # same stage as the joins. Partitioning by doc_a both spreads the
-        # CPU-bound UDF across cores (AQE would coalesce the tiny-by-bytes
-        # pair set to one partition) and gives batches cache locality.
-        pairs.repartition(_parallelism(df), "doc_a")
-        .join(a, "doc_a")
+        spread.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac("text_a", "text_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -390,7 +390,9 @@ SELECT doc_id,
        len(words) AS l_card,
        words[2] AS l_elem2,
        list_contains(words, 'the') AS l_has_the,
-       CAST(coalesce(list_position(words, 'the'), 0) AS BIGINT) AS l_pos_the,
+       -- reference semantics (position.rs): NULL when not found; DuckDB's
+       -- list_position returns 0 there, so nullif expresses the reference
+       CAST(nullif(list_position(words, 'the'), 0) AS BIGINT) AS l_pos_the,
        array_to_string(list_sort(list_distinct(words[1:5])), '|') AS l_dedup_sorted,
        array_to_string(list_reverse(words[1:5]), '|') AS l_rev,
        array_to_string(words[2:4], '|') AS l_slice,

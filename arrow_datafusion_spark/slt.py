@@ -220,6 +220,13 @@ def _parse_interval(s: str) -> float | None:
 def _values_equal(exp: str, act: str, code: str) -> bool:
     if exp == act:
         return True
+    if code == "I":
+        # exact integer compare first — float() would collapse int64
+        # values beyond 2^53 that differ by < rel_tol*|v|
+        try:
+            return int(exp) == int(act)
+        except ValueError:
+            pass  # non-integral cell (e.g. a float in an I column)
     if code in ("R", "I", "?"):  # numeric compare absorbs formatting diffs
         try:
             e, a = float(exp), float(act)
