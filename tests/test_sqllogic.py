@@ -37,6 +37,75 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 #   unless the 'g' flag); Spark's builtin replaces every match.
 # - struct-from-columns display and overlay NULL-argument propagation.
 _KNOWN = {
+    # window.slt: sort-tie order. The reference's DESC sort reverses its
+    # (declared-ordered) scan, so rows tied on the sort key appear in
+    # REVERSE input order; Spark's stable sort keeps forward input order.
+    # SQL leaves tie order unspecified — both outputs are valid; the
+    # expected blocks encode the reference's physical choice (window
+    # values on tied rows and which tied rows survive LIMIT both shift).
+    ("window.slt", 2595): "sort-tie order (reverse-scan DESC ties)",
+    ("window.slt", 2680): "sort-tie order (reverse-scan DESC ties)",
+    ("window.slt", 2808): "sort-tie order (reverse-scan DESC ties)",
+    ("window.slt", 2855): "sort-tie order (reverse-scan DESC ties)",
+    ("window.slt", 2903): "sort-tie order (reverse-scan DESC ties)",
+    ("window.slt", 4337): "sort-tie order under LIMIT (c2=1.0 tie pair)",
+    ("window.slt", 4356): "sort-tie order under LIMIT (c2=1.0 tie pair)",
+    ("window.slt", 949): "ns→µs truncation (10ns-scale timestamps → 0)",
+    ("window.slt", 955): "ns→µs truncation (10ns-scale timestamps → 0)",
+    # aggregate.slt / functions.slt families, each tied to a policy:
+    # - t-digest artifacts: approx_percentile_cont/approx_median expected
+    #   blocks encode the reference's t-digest OUTPUT (e.g. p95=73 where
+    #   the exact percentile is 65); we implement the approximate contract
+    #   with Spark's exact percentile — no centroid artifacts to replicate.
+    # - median typing: Spark's median/percentile is Float64-valued; the
+    #   reference returns the INPUT type (integer medians truncate, big
+    #   int64 medians stay exact, decimal medians keep scale) — §1.2.
+    # - f32 compute: reference evaluates sqrt/avg chains at Float32 where
+    #   §1.2 widens to f64 (12-sig-digit expected blocks excluded from the
+    #   f32-granularity comparator rule).
+    # - corr singular input: reference returns 0.0 for a zero-variance
+    #   (single-point) population; Spark and Postgres return NULL.
+    # - ns-precision columns and interval Display forms inside arrays.
+    # - string_agg without ORDER BY: concatenation order is the engine's
+    #   physical row order — unspecified by SQL.
+    ("aggregate.slt", 382): "corr singular input: reference 0.0, Spark NULL",
+    ("aggregate.slt", 510): "t-digest artifact (approx_median direct value)",
+    ("aggregate.slt", 516): "t-digest artifact (approx_median direct value)",
+    ("aggregate.slt", 533): "median typing: int64 median exact in reference",
+    ("aggregate.slt", 640): "median typing: decimal median keeps scale",
+    ("aggregate.slt", 657): "median typing: decimal median keeps scale",
+    ("aggregate.slt", 693): "median typing: even-count int median truncates",
+    ("aggregate.slt", 705): "median typing: even-count int median truncates",
+    ("aggregate.slt", 1051): "HLL sketch artifact (approx_distinct counts)",
+    ("aggregate.slt", 1209): "t-digest artifact (bound anchored to t-digest output)",
+    ("aggregate.slt", 1214): "t-digest artifact (bound anchored to t-digest output)",
+    ("aggregate.slt", 1219): "t-digest artifact (bound anchored to t-digest output)",
+    ("aggregate.slt", 1459): "t-digest artifact (grouped p95 direct value)",
+    ("aggregate.slt", 1469): "t-digest artifact (grouped p95 direct value)",
+    ("aggregate.slt", 1479): "t-digest artifact (grouped p95 direct value)",
+    ("aggregate.slt", 1488): "t-digest artifact (grouped p95 direct value)",
+    ("aggregate.slt", 3628): "ns→µs truncation policy (ns column display)",
+    ("aggregate.slt", 3674): "ns→µs truncation policy (ns column display)",
+    ("aggregate.slt", 3700): "interval Display inside array_agg arrays",
+    ("aggregate.slt", 4933): "string_agg without ORDER BY: physical order",
+    # joins.slt: the reference's integer↔timestamp casts REINTERPRET unit
+    # counts (bigint ns → Timestamp(ns)); Spark's integer casts mean
+    # seconds — §1.2 documented cast-semantics divergence. NOT IN: the
+    # reference's null-aware anti join emits the NULL-keyed probe row
+    # where standard ternary logic (Spark, Postgres) yields no rows.
+    ("joins.slt", 2471): "int↔timestamp cast reinterprets unit counts",
+    ("joins.slt", 2489): "int↔timestamp cast reinterprets unit counts",
+    ("joins.slt", 2505): "int↔timestamp cast reinterprets unit counts",
+    ("joins.slt", 2521): "int↔timestamp cast reinterprets unit counts",
+    ("joins.slt", 3555): "NOT IN null semantics (reference anti-join quirk)",
+    ("map.slt", 24): "parquet reader nullability relaxation (Spark reads nullable)",
+    ("map.slt", 31): "map Display key order (insertion vs Spark internal)",
+    ("math.slt", 66): "f32 compute: round(f32*10^s) ties differ in f64",
+    ("math.slt", 236): "uint64 > 2^63 outside BIGINT widening range",
+    ("math.slt", 246): "uint64 > 2^63 outside BIGINT widening range",
+    ("functions.slt", 557): "f32 compute: avg(sqrt(f32)) evaluated in f64",
+    ("functions.slt", 562): "f32 compute: avg(sqrt(f32)) evaluated in f64",
+    ("functions.slt", 611): "f32 compute: sqrt(f32) display at f64",
     ("expr.slt", 998): "ns-precision fractional seconds",
     ("expr.slt", 1051): "ns-precision fractional seconds",
     ("expr.slt", 1071): "ns-precision fractional seconds",
@@ -61,6 +130,12 @@ _FILES = {
     "functions.slt": 155,
     "nvl.slt": 8,
     "limit.slt": 20,
+    "window.slt": 215,
+    "aggregate.slt": 705,
+    "joins.slt": 250,
+    "subquery.slt": 56,
+    "map.slt": 7,
+    "unnest.slt": 17,
 }
 
 
