@@ -79,8 +79,10 @@ def _registries() -> tuple[dict, dict]:
     priority = [
         # (h) round-5 changes: fused band-key UDF + bounded pair expansion +
         #     adaptive broadcast verify (dedup.py); array_position/array_has
-        #     NULL semantics touched fn_array's function family
-        "dedup_minhash", "dedup_ngram", "fn_array",
+        #     NULL semantics touched fn_array's function family; the SQL
+        #     rewrite layer gained reference subscript/array semantics
+        #     (scan_avro_nested now uses 1-based indexing)
+        "dedup_minhash", "dedup_ngram", "fn_array", "scan_avro_nested",
         # (a) never checked
         "dedup_components", "text_tfidf", "pipeline_redact",
         "pipeline_decontaminate", "events_tumbling", "events_sliding",

@@ -82,9 +82,12 @@ _SQL_MACROS = (
     # semantic _rewrite_sql rule — false for NULL needle, not a macro)
     "CREATE OR REPLACE TEMPORARY FUNCTION array_to_string(a ARRAY<STRING>, sep STRING) "
     "RETURNS STRING RETURN array_join(a, sep)",
+    # NULL separator splits per character; EMPTY separator does NOT split
+    # (Postgres string_to_array('abc','') = {abc}; array.slt:6433)
     "CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(s STRING, sep STRING) "
-    "RETURNS ARRAY<STRING> RETURN split(s, CASE WHEN sep IS NULL THEN '' "
-    "ELSE regexp_replace(sep, '([\\\\^$.|?*+()\\\\[\\\\]{}])', '\\\\\\\\$1') END)",
+    "RETURNS ARRAY<STRING> RETURN CASE WHEN sep = '' THEN array(s) "
+    "ELSE split(s, CASE WHEN sep IS NULL THEN '' "
+    "ELSE regexp_replace(sep, '([\\\\^$.|?*+()\\\\[\\\\]{}])', '\\\\\\\\$1') END) END",
     # datafusion/functions/src/core/nvl.rs & friends
     "CREATE OR REPLACE TEMPORARY FUNCTION list_element(a ARRAY<STRING>, i INT) "
     "RETURNS STRING RETURN element_at(a, i)",
@@ -126,7 +129,9 @@ _SQL_LIST_ALIASES = {
     "list_cat": "\x02array_concat\x02",
     "list_concat": "\x02array_concat\x02",
     "array_cat": "\x02array_concat\x02",
+    "array_concat": "\x02array_concat\x02",
     "make_list": "array",
+    "make_array": "array",
 }
 
 
@@ -343,6 +348,403 @@ def _fix_window_specs(q: str) -> str:
             pos = o_open + 1 + len(spec) + 1
         else:
             pos = o_close
+    return q
+
+
+def _typed_empty(arr: str) -> str:
+    """A [] with the element type of ``arr`` (works when arr is NULL)."""
+    return f"slice(transform(array(1), __i -> try_element_at({arr}, 1)), 1, 0)"
+
+
+def _arr_first_pos(arr: str, v: str) -> str:
+    """1-based index of the first element null-safely equal to v, or NULL."""
+    return (
+        f"try_element_at(filter(sequence(1, size({arr})), "
+        f"__i -> try_element_at({arr}, __i) <=> ({v})), 1)"
+    )
+
+
+def _t_element(p):
+    return f"try_element_at({p[0]}, {p[1]})"
+
+
+def _t_slice(p):
+    # re-emit as a subscript; _rewrite_subscripts (which runs later)
+    # supplies the 1-based/negative-end/NULL-to-[] semantics
+    return f"({p[0]})[{p[1]}:{p[2]}]"
+
+
+def _t_pop_back(p):
+    a = p[0]
+    # NULL list pops to [] (kernels treat NULL input as empty)
+    return f"coalesce(slice({a}, 1, greatest(size({a}) - 1, 0)), {_typed_empty(a)})"
+
+
+def _t_pop_front(p):
+    a = p[0]
+    return f"coalesce(slice({a}, 2, greatest(size({a}) - 1, 0)), {_typed_empty(a)})"
+
+
+def _t_range(p):
+    empty = "slice(sequence(1, 1), 1, 0)"
+    if len(p) == 1:  # range(stop) = 0..stop-1
+        return f"(CASE WHEN ({p[0]}) <= 0 THEN {empty} ELSE sequence(0, ({p[0]}) - 1) END)"
+    if len(p) == 2:
+        a, b = p
+        return (
+            f"(CASE WHEN ({a}) >= ({b}) THEN {empty} "
+            f"ELSE sequence({a}, ({b}) - 1) END)"
+        )
+    a, b, c = p
+    return (
+        f"(CASE WHEN (({c}) > 0 AND ({a}) >= ({b})) OR "
+        f"(({c}) < 0 AND ({a}) <= ({b})) THEN {empty} "
+        f"ELSE sequence({a}, ({b}) - CAST(sign({c}) AS INT), {c}) END)"
+    )
+
+
+def _t_generate_series(p):
+    empty = "slice(sequence(1, 1), 1, 0)"
+    if len(p) == 2:
+        a, b = p
+        return (
+            f"(CASE WHEN ({a}) > ({b}) THEN {empty} ELSE sequence({a}, {b}) END)"
+        )
+    return f"sequence({p[0]}, {p[1]}, {p[2]})"
+
+
+def _t_has_all(p):
+    return f"(size(array_except({p[1]}, {p[0]})) = 0)"
+
+
+def _t_has_any(p):
+    return f"arrays_overlap({p[0]}, {p[1]})"
+
+
+def _t_resize(p):
+    # a NULL list resizes as if empty (array.slt:6523 pads a NULL row)
+    a0, s = p[0], f"coalesce({p[1]}, 0)"  # NULL size resizes to []
+    a = f"coalesce({a0}, {_typed_empty(a0)})"
+    v = p[2] if len(p) > 2 else f"try_element_at({a0}, size({a0}) + 1)"
+    return (
+        f"(CASE WHEN ({s}) <= size({a}) THEN slice({a}, 1, {s}) "
+        f"ELSE concat({a}, transform(sequence(1, ({s}) - size({a})), "
+        f"__i -> {v})) END)"
+    )
+
+
+def _t_positions(p):
+    a, v = p
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN NULL WHEN size({a}) = 0 "
+        f"THEN slice(sequence(1, 1), 1, 0) "
+        f"ELSE filter(sequence(1, size({a})), "
+        f"__i -> try_element_at({a}, __i) <=> ({v})) END)"
+    )
+
+
+def _t_replace_n(p, n=None):
+    a, f_, t = p[0], p[1], p[2]
+    n = n or p[3]
+    elem = f"try_element_at({a}, __i)"
+    cnt = f"size(filter(slice({a}, 1, __i), __z -> __z <=> ({f_})))"
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN NULL WHEN size({a}) = 0 THEN {a} "
+        f"ELSE transform(sequence(1, size({a})), "
+        f"__i -> CASE WHEN {elem} <=> ({f_}) AND {cnt} <= ({n}) "
+        f"THEN {t} ELSE {elem} END) END)"
+    )
+
+
+def _t_replace_all(p):
+    a, f_, t = p
+    return (
+        f"transform({a}, __x -> CASE WHEN __x <=> ({f_}) THEN {t} "
+        "ELSE __x END)"
+    )
+
+
+def _t_remove_n(p, n=None):
+    a, v = p[0], p[1]
+    n = n or p[2]
+    elem = f"try_element_at({a}, __i)"
+    cnt = f"size(filter(slice({a}, 1, __i), __z -> __z <=> ({v})))"
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN NULL WHEN size({a}) = 0 THEN {a} "
+        f"ELSE transform(filter(sequence(1, size({a})), "
+        f"__i -> NOT ({elem} <=> ({v}) AND {cnt} <= ({n}))), "
+        f"__i -> try_element_at({a}, __i)) END)"
+    )
+
+
+def _t_distinct(p):
+    a = p[0]
+    null_elem = f"try_element_at({a}, size({a}) + 1)"  # typed NULL
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN NULL ELSE concat("
+        f"CASE WHEN exists({a}, __x -> __x IS NULL) "
+        f"THEN array({null_elem}) ELSE {_typed_empty(a)} END, "
+        f"array_distinct(filter({a}, __x -> __x IS NOT NULL))) END)"
+    )
+
+
+def _t_except(p):
+    a, b = p
+    # NULL subtrahend behaves as empty; NULL minuend stays NULL
+    return f"array_except({a}, coalesce({b}, {_typed_empty(b)}))"
+
+
+def _t_array_to_string(p):
+    # Rust's float Display drops a whole number's ".0" — mirror it, then
+    # join (NULLs are skipped, matching the reference). The reference
+    # additionally joins the LEAVES of nested arrays; a CASE over nesting
+    # depth cannot type-check in Spark (branches would differ in type), so
+    # nested inputs remain a documented partial.
+    a, sep = p[0], p[1]
+    elems = (
+        f"transform({a}, __x -> regexp_replace(CAST(__x AS STRING), "
+        "'^(-?\\\\d+)\\\\.0$', '$1'))"
+    )
+    tail = f", {p[2]}" if len(p) > 2 else ""
+    return f"array_join({elems}, {sep}{tail})"
+
+
+def _t_dims(p):
+    a = p[0]
+    e1 = f"try_element_at({a}, 1)"
+    e2 = f"try_element_at({e1}, 1)"
+    return (
+        f"(CASE WHEN size({a}) = 0 THEN NULL "  # dims of [] is NULL
+        f"WHEN typeof({a}) LIKE 'array<array<array%' "
+        f"THEN array(size({a}), size({e1}), size({e2})) "
+        f"WHEN typeof({a}) LIKE 'array<array%' "
+        f"THEN array(size({a}), size({e1})) "
+        f"ELSE array(size({a})) END)"
+    )
+
+
+def _t_ndims(p):
+    a = p[0]
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN NULL ELSE "
+        f"CAST((length(typeof({a})) - "
+        f"length(replace(typeof({a}), 'array<', ''))) / 6 AS INT) END)"
+    )
+
+
+def _t_length(p):
+    if len(p) == 1:
+        return f"size({p[0]})"
+    a, d = p
+    return (
+        f"(CASE WHEN ({d}) = 1 THEN size({a}) "
+        f"WHEN ({d}) = 2 THEN size(try_element_at({a}, 1)) END)"
+    )
+
+
+def _t_empty(p):
+    return f"(size({p[0]}) = 0)"
+
+
+# SQL-callable surface for the functions-array family the DataFrame
+# registry already implements (§2.9) — each template mirrors the
+# registry's semantics (1-based, NULL out-of-range, first-occurrence).
+_ARRAY_FN_TEMPLATES = {
+    "array_element": _t_element,
+    "array_extract": _t_element,
+    "list_extract": _t_element,
+    "list_element": _t_element,
+    "array_slice": _t_slice,
+    "list_slice": _t_slice,
+    "array_pop_back": _t_pop_back,
+    "list_pop_back": _t_pop_back,
+    "array_pop_front": _t_pop_front,
+    "list_pop_front": _t_pop_front,
+    "range": _t_range,
+    "generate_series": _t_generate_series,
+    "array_has_all": _t_has_all,
+    "list_has_all": _t_has_all,
+    "array_has_any": _t_has_any,
+    "list_has_any": _t_has_any,
+    "array_resize": _t_resize,
+    "list_resize": _t_resize,
+    "array_positions": _t_positions,
+    "list_positions": _t_positions,
+    "array_replace": lambda p: _t_replace_n(p, n="1"),
+    "list_replace": lambda p: _t_replace_n(p, n="1"),
+    "array_replace_n": _t_replace_n,
+    "list_replace_n": _t_replace_n,
+    "array_replace_all": _t_replace_all,
+    "list_replace_all": _t_replace_all,
+    "array_remove_n": _t_remove_n,
+    "list_remove_n": _t_remove_n,
+    "array_dims": _t_dims,
+    "list_dims": _t_dims,
+    "array_ndims": _t_ndims,
+    "list_ndims": _t_ndims,
+    "array_length": _t_length,
+    "list_length": _t_length,
+    "array_empty": _t_empty,
+    "list_empty": _t_empty,
+    "empty": _t_empty,
+    "array_reverse": lambda p: f"reverse({p[0]})",
+    "array_distinct": _t_distinct,
+    "array_except": _t_except,
+    "array_to_string": _t_array_to_string,
+    "array_join": _t_array_to_string,
+    "list_to_string": _t_array_to_string,
+    "list_join": _t_array_to_string,
+}
+
+_ARRAY_FN_ARITY = {
+    "array_element": (2,), "array_extract": (2,), "list_extract": (2,),
+    "list_element": (2,),
+    "array_slice": (3,), "list_slice": (3,),
+    "array_pop_back": (1,), "list_pop_back": (1,),
+    "array_pop_front": (1,), "list_pop_front": (1,),
+    "range": (1, 2, 3), "generate_series": (2, 3),
+    "array_has_all": (2,), "list_has_all": (2,),
+    "array_has_any": (2,), "list_has_any": (2,),
+    "array_resize": (2, 3), "list_resize": (2, 3),
+    "array_positions": (2,), "list_positions": (2,),
+    "array_replace": (3,), "list_replace": (3,),
+    "array_replace_n": (4,), "list_replace_n": (4,),
+    "array_replace_all": (3,), "list_replace_all": (3,),
+    "array_remove_n": (3,), "list_remove_n": (3,),
+    "array_dims": (1,), "list_dims": (1,),
+    "array_ndims": (1,), "list_ndims": (1,),
+    "array_length": (1, 2), "list_length": (1, 2),
+    "array_empty": (1,), "list_empty": (1,), "empty": (1,),
+    "array_reverse": (1,),
+    "array_distinct": (1,), "array_except": (2,),
+    "array_to_string": (2, 3), "array_join": (2, 3),
+    "list_to_string": (2, 3), "list_join": (2, 3),
+}
+
+
+def _rewrite_array_fns(q: str) -> str:
+    for fn, tmpl in _ARRAY_FN_TEMPLATES.items():
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if len(parts) not in _ARRAY_FN_ARITY[fn]:
+                pos = e
+                continue
+            try:
+                repl = tmpl(parts)
+            except Exception:
+                pos = e
+                continue
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
+    return q
+
+
+def _rewrite_subscripts(q: str, lits: list[str] | None = None) -> str:
+    """DataFusion's postfix subscript operators (sql/src/expr/mod.rs array
+    indexing): ``x[i]`` is 1-BASED with NULL out of range; ``x[a:b]`` is an
+    inclusive 1-based slice with negative ends counting from the back.
+    Spark's native ``[]`` is 0-based array access — rewrite to
+    try_element_at / slice. Runs after array-literal rewriting, so every
+    remaining postfix bracket is a subscript."""
+    i = 0
+    while i < len(q):
+        if q[i] != "[":
+            i += 1
+            continue
+        j = i - 1
+        while j >= 0 and q[j].isspace():
+            j -= 1
+        if j < 0 or not (q[j].isalnum() or q[j] in "_)]`"):
+            i += 1
+            continue
+        close = _match_paren(q, i)
+        if close is None:
+            i += 1
+            continue
+        if q[j] in ")]":
+            depth, k = 0, j
+            while k >= 0:
+                if q[k] in ")]":
+                    depth += 1
+                elif q[k] in "([":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            k -= 1
+            while k >= 0 and (q[k].isalnum() or q[k] in "_."):
+                k -= 1
+            start = k + 1
+        else:
+            k = j
+            while k >= 0 and (q[k].isalnum() or q[k] in "_.`"):
+                k -= 1
+            start = k + 1
+        base = q[start : j + 1].strip()
+        inner = q[i + 1 : close]
+        # split a top-level single colon (not '::' casts)
+        parts, depth, cut = None, 0, None
+        for ci, ch in enumerate(inner):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif (
+                ch == ":"
+                and depth == 0
+                and inner[ci - 1 : ci] != ":"
+                and inner[ci + 1 : ci + 2] != ":"
+            ):
+                cut = ci
+                break
+        # struct['field']: a string subscript on a struct constructor is
+        # FIELD ACCESS (the reference resolves it against the c0..cN
+        # names) — element_at only works for maps/arrays
+        mfield = re.fullmatch(r"\x00(\d+)\x00", inner.strip())
+        if (
+            lits is not None
+            and mfield
+            and re.match(r"(named_)?struct\s*\(", base, re.IGNORECASE)
+        ):
+            fieldname = lits[int(mfield.group(1))].strip("'")
+            repl = f"{base}.{fieldname}"
+            q = q[:start] + repl + q[close + 1 :]
+            i = start + len(repl)
+            continue
+        if cut is not None:
+            a = inner[:cut].strip() or "1"
+            b = inner[cut + 1 :].strip() or f"size({base})"
+            # start 0 behaves as 1; END 0 stays 0 (x[0:0] is empty);
+            # negative ends count from the back
+            # NULL bounds are unbounded; negative bounds count from the
+            # back, and a start that falls before index 1 yields []
+            a_n = (
+                f"(CASE WHEN ({a}) IS NULL THEN 1 "
+                f"WHEN ({a}) < 0 THEN size({base}) + ({a}) + 1 "
+                f"WHEN ({a}) = 0 THEN 1 ELSE ({a}) END)"
+            )
+            b_n = (
+                f"(CASE WHEN ({b}) IS NULL THEN size({base}) "
+                f"WHEN ({b}) < 0 THEN size({base}) + ({b}) + 1 "
+                f"ELSE ({b}) END)"
+            )
+            # NULL[a:b] is [] in the reference, not NULL; the transform
+            # trick builds a typed empty array of base's element type
+            typed_empty = _typed_empty(base)
+            repl = (
+                f"(CASE WHEN {a_n} < 1 THEN {typed_empty} "
+                f"ELSE coalesce(slice({base}, {a_n}, "
+                f"greatest({b_n} - {a_n} + 1, 0)), {typed_empty}) END)"
+            )
+        else:
+            repl = f"try_element_at({base}, {inner.strip()})"
+        q = q[:start] + repl + q[close + 1 :]
+        i = start + len(repl)
     return q
 
 
@@ -615,6 +1017,15 @@ def _arrow_type_to_sql(t: str) -> str | None:
     m = re.fullmatch(r"dictionary\(\s*[^,]+,\s*(.+)\)", tl)
     if m:  # dictionary encoding is physical; cast to the value type
         return _arrow_type_to_sql(m.group(1))
+    # List kinds are all ARRAY<T> in Spark (size/offset-width are physical)
+    m = re.fullmatch(r"(?:large)?list\((.+)\)", tl)
+    if m:
+        inner = _arrow_type_to_sql(m.group(1).strip())
+        return f"ARRAY<{inner}>" if inner else None
+    m = re.fullmatch(r"fixedsizelist\(\s*\d+\s*,\s*(.+)\)", tl)
+    if m:
+        inner = _arrow_type_to_sql(m.group(1).strip())
+        return f"ARRAY<{inner}>" if inner else None
     m = re.fullmatch(r"timestamp\(\s*\w+\s*,\s*none\s*\)", tl)
     if m:
         return "TIMESTAMP_NTZ"
@@ -736,6 +1147,31 @@ def _rewrite_array_literals(q: str) -> str:
         q = q[:m.start()] + "array(" + inner + ")" + q[i:]
 
 
+def _rewrite_bracket_literals(q: str) -> str:
+    """Bare ``[1, 2, 3]`` array literals (DuckDB-style, accepted by the
+    reference's parser) → ``array(...)``. A bracket is a LITERAL when it
+    does not follow a value expression (identifier/closing paren/bracket)
+    — otherwise it is a subscript and left for _rewrite_subscripts."""
+    i = 0
+    while i < len(q):
+        if q[i] != "[":
+            i += 1
+            continue
+        j = i - 1
+        while j >= 0 and q[j].isspace():
+            j -= 1
+        if j >= 0 and (q[j].isalnum() or q[j] in "_)]`\x00"):
+            i += 1
+            continue
+        close = _match_paren(q, i)
+        if close is None:
+            i += 1
+            continue
+        q = q[:i] + "array(" + q[i + 1 : close] + ")" + q[close + 1 :]
+        i += len("array(")
+    return q
+
+
 def _rewrite_sql(q: str) -> str:
     """Rewrite the PostgreSQL-isms DataFusion accepts but Spark SQL rejects.
 
@@ -760,6 +1196,14 @@ def _rewrite_sql(q: str) -> str:
 
     # postgres type names — only in cast positions (``::type`` or
     # ``CAST(x AS type)``), since names like ``text`` are also valid columns
+    # postgres array-type casts FIRST (the [] would otherwise read as a
+    # subscript/literal): ::int[] → ::ARRAY<INT>
+    def _arr_cast(m: "re.Match[str]") -> str:
+        base = _TYPE_MAP.get(m.group(2).lower(), m.group(2))
+        return f"{m.group(1)}ARRAY<{base}>{m.group(3)}"
+
+    q = re.sub(r"(::\s*)(\w+)\s*\[\s*\]()", _arr_cast, q)
+    q = re.sub(r"(\bAS\s+)(\w+)\s*\[\s*\](\s*\))", _arr_cast, q, flags=re.IGNORECASE)
     for pg, sp in _TYPE_MAP.items():
         q = re.sub(rf"::\s*{pg}\b", f"::{sp}", q, flags=re.IGNORECASE)
         q = re.sub(rf"\bAS\s+{pg}\s*\)", f"AS {sp})", q, flags=re.IGNORECASE)
@@ -813,7 +1257,9 @@ def _rewrite_sql(q: str) -> str:
                 pos = e
                 continue
             repl = (
-                f"coalesce(\x02array_contains\x02({parts[0]}, {parts[1]}), false)"
+                f"(CASE WHEN ({parts[0]}) IS NULL THEN NULL ELSE "
+                f"coalesce(\x02array_contains\x02({parts[0]}, {parts[1]}), "
+                "false) END)"
             )
             q = q[:s_i] + repl + q[e + 1:]
             pos = s_i + len(repl)
@@ -822,6 +1268,7 @@ def _rewrite_sql(q: str) -> str:
 
     # array[...] literals; arrow_cast / arrow_typeof as SQL functions
     q = _rewrite_array_literals(q)
+    q = _rewrite_bracket_literals(q)
     q = _rewrite_arrow_calls(q, lits)
 
     # string concat skips NULLs in the reference (Postgres semantics;
@@ -831,7 +1278,34 @@ def _rewrite_sql(q: str) -> str:
     # Spark's array concat. chr() handles full Unicode code points in the
     # reference (chr.rs); Spark's wraps at 256 — Java's %c does not.
     q = re.sub(r"\bconcat\s*\(", "concat_ws('', ", q, flags=re.IGNORECASE)
-    q = q.replace("\x02array_concat\x02(", "concat(")
+    # array concatenation treats NULL inputs as empty in the reference
+    # (array.slt:2811 concatenates around a NULL column); Spark's concat
+    # propagates NULL — coalesce each arg to a typed []
+    marker = "\x02array_concat\x02("
+    s = q.find(marker)
+    while s != -1:
+        o = s + len(marker) - 1
+        c = _match_paren(q, o)
+        if c is None:
+            q = q[:s] + "concat(" + q[o + 1 :]
+            s = q.find(marker)
+            continue
+        parts = [p.strip() for p in _split_top_level(q[o + 1 : c])]
+        inner = "concat(" + ", ".join(
+            f"coalesce({p}, "
+            f"slice(transform(array(1), __i -> try_element_at({p}, 1)), 1, 0))"
+            for p in parts
+        ) + ")"
+        # ALL-NULL inputs concatenate to NULL; any non-NULL treats the
+        # NULL side as empty (array.slt:2799 vs :2811)
+        repl = (
+            f"(CASE WHEN coalesce({', '.join(parts)}) IS NULL THEN NULL "
+            f"ELSE {inner} END)"
+            if len(parts) > 1
+            else inner
+        )
+        q = q[:s] + repl + q[c + 1 :]
+        s = q.find(marker)
     # chr: full Unicode code point (chr.rs; Spark's char wraps at 256).
     # Java's %c needs an explicit NULL guard (it would print "null").
     pos = 0
@@ -1001,6 +1475,39 @@ def _rewrite_sql(q: str) -> str:
                 continue
             q = q[:s_i] + repl + q[e + 1 :]
             pos = s_i + len(repl)
+    # to_timestamp_<unit>: polymorphic in the reference (datetime/
+    # to_timestamp.rs) — integer = unit count since epoch, timestamp/
+    # string = cast TRUNCATED to the unit. The typed SQL-macro form cast
+    # timestamps through BIGINT (= seconds), garbling non-integer args.
+    for fn_name, unit, intconv in (
+        ("to_timestamp_seconds", "SECOND", "timestamp_seconds(CAST({x} AS BIGINT))"),
+        ("to_timestamp_millis", "MILLISECOND", "timestamp_millis(CAST({x} AS BIGINT))"),
+        ("to_timestamp_micros", "MICROSECOND", "timestamp_micros(CAST({x} AS BIGINT))"),
+        ("to_timestamp_nanos", None, "timestamp_micros(CAST({x} AS BIGINT) div 1000)"),
+    ):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn_name, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if len(parts) != 1:
+                pos = e
+                continue
+            x = parts[0]
+            ts_form = (
+                f"date_trunc('{unit}', CAST({x} AS TIMESTAMP))"
+                if unit
+                else f"CAST({x} AS TIMESTAMP)"
+            )
+            repl = (
+                f"(CASE WHEN typeof({x}) LIKE 'timestamp%' "
+                f"OR typeof({x}) = 'string' OR typeof({x}) = 'date' "
+                f"THEN {ts_form} ELSE {intconv.format(x=x)} END)"
+            )
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
     # DDL/cast type spelling Spark's parser rejects
     q = re.sub(
         r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", "TIMESTAMP", q, flags=re.IGNORECASE
@@ -1060,6 +1567,144 @@ def _rewrite_sql(q: str) -> str:
         q,
         flags=re.IGNORECASE,
     )
+    # array_agg(DISTINCT x) KEEPS a null element in the reference
+    # (distinct set over all values incl. NULL); Spark's drops it
+    pos = 0
+    while True:
+        hit = _find_call(q, "array_agg", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        argstr = q[a:e]
+        md = re.match(r"\s*DISTINCT\s+(.+)$", argstr, re.IGNORECASE | re.DOTALL)
+        if not md or _top_level_order_by(argstr) is not None:
+            pos = e
+            continue
+        x = md.group(1).strip()
+        typed_null = f"array(first(CASE WHEN false THEN {x} END))"
+        repl = (
+            f"(CASE WHEN count(*) > count({x}) "
+            f"THEN concat({typed_null}, \x02array_agg\x02(DISTINCT {x})) "
+            f"ELSE \x02array_agg\x02(DISTINCT {x}) END)"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    q = q.replace("\x02array_agg\x02(", "array_agg(")
+    # array_intersect keeps FIRST-array element order in the reference
+    # (set_ops.rs); Spark's hash-based kernel reorders — express as an
+    # order-preserving null-safe filter
+    pos = 0
+    while True:
+        hit = _find_call(q, "array_intersect", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 2:
+            pos = e
+            continue
+        a1, a2 = parts
+        # the reference's kernel emits the distinct intersection ASCENDING
+        # (array.slt 5455-5482: [false, true], [1, 3], [11, 33])
+        repl = (
+            f"array_sort(filter(array_distinct({a1}), "
+            f"x -> exists({a2}, y -> y <=> x)))"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    # array_append(NULL, v) builds [v] in the reference (array_append.rs
+    # treats a NULL list as empty); Spark propagates the NULL
+    pos = 0
+    while True:
+        hit = _find_call(q, "array_append", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 2:
+            pos = e
+            continue
+        arr, v = parts
+        repl = (
+            f"(CASE WHEN ({arr}) IS NULL THEN array({v}) "
+            f"ELSE \x02array_append\x02({arr}, {v}) END)"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    q = q.replace("\x02array_append\x02(", "array_append(")
+    # array_remove removes the FIRST occurrence in the reference
+    # (array_remove.rs; Spark's removes all) and accepts NULL needles —
+    # null-safe first-index lookup + splice. array_remove_all IS Spark's.
+    pos = 0
+    while True:
+        hit = _find_call(q, "array_remove_all", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 2:
+            pos = e
+            continue
+        arr, v = parts
+        # NULL needle keeps the array in the reference; Spark's
+        # array_remove would propagate NULL
+        repl = (
+            f"(CASE WHEN ({v}) IS NULL THEN {arr} "
+            f"ELSE \x02array_remove_all\x02({arr}, {v}) END)"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    pos = 0
+    while True:
+        hit = _find_call(q, "array_remove", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 2:
+            pos = e
+            continue
+        arr, v = parts
+        p_expr = (
+            f"try_element_at(filter(sequence(1, size({arr})), "
+            f"i -> try_element_at({arr}, i) <=> {v}), 1)"
+        )
+        repl = (
+            # size=0 first: sequence(1, 0) would step BACKWARD to index 0
+            f"(CASE WHEN ({arr}) IS NULL THEN NULL "
+            f"WHEN size({arr}) = 0 THEN {arr} "
+            f"WHEN {p_expr} IS NULL THEN {arr} "
+            f"ELSE concat(slice({arr}, 1, {p_expr} - 1), "
+            f"slice({arr}, {p_expr} + 1, size({arr}) - {p_expr})) END)"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    q = q.replace("\x02array_remove_all\x02(", "array_remove(")
+    # cardinality counts LEAF elements recursively and returns NULL for a
+    # flat empty array (functions-array cardinality.rs — not Spark's size)
+    pos = 0
+    while True:
+        hit = _find_call(q, "cardinality", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 1:
+            pos = e
+            continue
+        x = parts[0]
+        repl = (
+            f"(CASE WHEN typeof({x}) LIKE 'array<array<array%' "
+            f"THEN size(flatten(flatten({x}))) "
+            f"WHEN typeof({x}) LIKE 'array<array%' "
+            f"THEN size(flatten({x})) ELSE nullif(size({x}), 0) END)"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    # functions-array SQL surface (templates mirror the registry)
+    q = _rewrite_array_fns(q)
+    # postfix subscripts: 1-based indexing / inclusive slices
+    q = _rewrite_subscripts(q, lits)
     # unnest → explode/inline where a Spark generator can express it
     q = _rewrite_unnest(q)
     # ordered-set aggregates: agg(expr ORDER BY keys) → sorted collect
@@ -1198,6 +1843,13 @@ def _column_defs_to_ddl(cols: str) -> str:
             # Spark rejects char/varchar in table schemas — they ARE string
             if re.fullmatch(r"(?:var)?char\s*(?:\(\s*\d+\s*\))?", ctype, re.IGNORECASE):
                 ctype = "STRING"
+            # postgres array-type suffix: int[] / text[] / int[][]
+            mb = re.fullmatch(r"(\w+(?:\([^)]*\))?)((?:\s*\[\s*\])+)", ctype)
+            if mb:
+                base = _TYPE_MAP.get(mb.group(1).lower(), mb.group(1))
+                for _ in range(mb.group(2).count("[")):
+                    base = f"ARRAY<{base}>"
+                ctype = base
             defs.append(f"{cname} {_TYPE_MAP.get(ctype.lower(), ctype)}")
     return ", ".join(defs)
 

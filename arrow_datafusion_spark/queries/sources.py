@@ -216,7 +216,7 @@ def scan_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.sql("""
         SELECT n_nationkey,
                size(words) AS n_words,
-               words[0] AS first_word,
+               words[1] AS first_word,
                stats['len'] AS comment_len,
                stats['key2'] AS key2,
                info.name AS name,

@@ -187,11 +187,12 @@ def _norm_cell(v, code: str) -> str:
                 m = re.fullmatch(r"col(\d+)", k)
                 return f"c{int(m.group(1)) - 1}" if m else k
 
-            # arrow's struct Display renders a NULL member as empty
+            # arrow's struct Display renders a NULL member as empty and
+            # floats with their decimal point (container rules)
             return (
                 "{"
                 + ", ".join(
-                    f"{fname(k)}: {_norm_cell(x, code) if x is not None else ''}"
+                    f"{fname(k)}: {_norm_elem(x, code)}"
                     for k, x in v.asDict().items()
                 )
                 + "}"
@@ -199,10 +200,32 @@ def _norm_cell(v, code: str) -> str:
     except Exception:
         pass
     if isinstance(v, (list, tuple)):
-        return "[" + ", ".join(_norm_cell(x, code) for x in v) + "]"
+        return "[" + ", ".join(_norm_elem(x, code) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ", ".join(f"{k}: {_norm_cell(x, code)}" for k, x in v.items()) + "}"
+        return "{" + ", ".join(f"{k}: {_norm_elem(x, code)}" for k, x in v.items()) + "}"
     return str(v)
+
+
+def _norm_elem(v, code: str) -> str:
+    """Cell INSIDE a container — arrow's nested Display differs from the
+    top level: NULL and empty strings render EMPTY, floats always carry a
+    decimal point (1.0, not 1)."""
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # keep the declared scale — arrow prints 1.0, not 1 (Spark types
+        # the literal DECIMAL(2,1) where the reference types Float64)
+        return format(v, "f")
+    s = _norm_cell(v, code)
+    if isinstance(v, float) and "." not in s and s not in (
+        "NaN", "Infinity", "-Infinity",
+    ):
+        s += ".0"
+    return s
 
 
 _INTERVAL_RE = re.compile(
@@ -247,6 +270,16 @@ def _values_equal(exp: str, act: str, code: str) -> bool:
     tk_e, tk_a = _ts_key(exp), _ts_key(act)
     if tk_e is not None and tk_a is not None:
         return tk_e == tk_a
+    if exp.startswith("[") and exp.endswith("]") and act.startswith("[") and (
+        act.endswith("]")
+    ):
+        # array cells: element-wise compare so numeric tolerance (f32
+        # widening, trailing-zero scale) applies inside containers too
+        es = [e.strip() for e in _split_array_items(exp[1:-1])]
+        as_ = [a.strip() for a in _split_array_items(act[1:-1])]
+        return len(es) == len(as_) and all(
+            _values_equal(e, a, "?") for e, a in zip(es, as_)
+        )
     if code == "I":
         # exact integer compare first — float() would collapse int64
         # values beyond 2^53 that differ by < rel_tol*|v|
@@ -317,6 +350,43 @@ def _is_type_divergence(ev: str, av: str) -> bool:
     )
 
 
+def _split_array_items(s: str) -> list[str]:
+    """Split an array cell's interior on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _split_outside_parens(line: str) -> list[str]:
+    """Split a result line on spaces at paren/bracket depth 0 — keeps
+    parameterized type names like ``Timestamp(Microsecond, None)`` whole."""
+    out, depth, cur = [], 0, []
+    for ch in line:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == " " and depth == 0:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _has_top_level_order_by(sql: str) -> bool:
     """True iff ORDER BY appears at paren depth 0 (i.e. orders the final
     result, not a window spec / subquery / aggregate argument)."""
@@ -370,6 +440,27 @@ def _compare_query(rec: Record, rows) -> str | None:
             strip = lambda s: re.sub(r"([{,]\s*)[A-Za-z_][A-Za-z0-9_]*:\s*", r"\1", s)  # noqa: E731
             if strip(eline) == strip(aline):
                 continue
+        # lines of parenthesized TYPE NAMES (arrow_typeof output) split on
+        # inner spaces ("Timestamp(Microsecond, None)" is two tokens) —
+        # compare them cell-wise at paren depth 0 first
+        eps, aps = _split_outside_parens(eline), _split_outside_parens(aline)
+        if len(eps) == len(aps) and any(
+            ch in c for c in eps + aps for ch in "([{"
+        ):
+            tdiv = [False]
+
+            def cell_ok(ev: str, av: str) -> bool:
+                if ev == av or _values_equal(ev, av, "?"):
+                    return True
+                if _is_type_divergence(ev, av):
+                    tdiv[0] = True
+                    return True
+                return False
+
+            if all(cell_ok(ev, av) for ev, av in zip(eps, aps)):
+                if tdiv[0]:
+                    saw_type_divergence = True
+                continue
         evs, avs = eline.split(), aline.split()
         if len(evs) != len(avs):
             # multi-word cells (parameterized type names like
@@ -379,9 +470,28 @@ def _compare_query(rec: Record, rows) -> str | None:
             k = 0
             while k < min(len(evs), len(avs)) and evs[k] == avs[k]:
                 k += 1
-            etail, atail = " ".join(evs[k:]), " ".join(avs[k:])
+            j = 0
+            while (
+                j < min(len(evs), len(avs)) - k
+                and evs[len(evs) - 1 - j] == avs[len(avs) - 1 - j]
+            ):
+                j += 1
+            etail = " ".join(evs[k : len(evs) - j])
+            atail = " ".join(avs[k : len(avs) - j])
             if etail and atail and _is_type_divergence(etail, atail):
                 saw_type_divergence = True
+                continue
+            # interval Display forms differ in component count (ours
+            # prints every unit incl. "-0 days"; arrow omits leading
+            # zeros) — find the split where both tails parse as intervals
+            # with identical value (leading cells must match exactly)
+            if any(
+                evs[:p] == avs[:p]
+                and (es := _parse_interval(" ".join(evs[p:]))) is not None
+                and (as_ := _parse_interval(" ".join(avs[p:]))) is not None
+                and math.isclose(es, as_, rel_tol=1e-9, abs_tol=1e-6)
+                for p in range(k + 1)
+            ):
                 continue
             return f"line {ei}: differs\n  exp: {eline}\n  got: {aline}"
         for ci, (ev, av) in enumerate(zip(evs, avs)):

@@ -60,8 +60,12 @@ def test_context_introspection(spark, sf_dir):
     assert [c.column_name for c in cols] == [
         "n_nationkey", "n_name", "n_regionkey",
     ]
-    desc = {r.col_name: r.data_type for r in ctx.describe_table("nation").collect()}
-    assert desc["n_nationkey"] in ("int", "bigint")
+    # DESCRIBE follows the reference's shape: (column_name, Arrow type
+    # Display, YES/NO nullability) — describe.rs
+    desc = {
+        r.column_name: r.data_type for r in ctx.describe_table("nation").collect()
+    }
+    assert desc["n_nationkey"] in ("Int32", "Int64")
     plan = ctx.explain_sql(
         "SELECT n_name FROM nation WHERE n_nationkey = 3", mode="formatted"
     )

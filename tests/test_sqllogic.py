@@ -98,6 +98,38 @@ _KNOWN = {
     ("joins.slt", 2505): "int↔timestamp cast reinterprets unit counts",
     ("joins.slt", 2521): "int↔timestamp cast reinterprets unit counts",
     ("joins.slt", 3555): "NOT IN null semantics (reference anti-join quirk)",
+    # decimal.slt: Arrow's decimal avg/divide TRUNCATE at the result
+    # scale where Spark rounds / keeps a wider quotient scale — §1.2
+    # decimal arithmetic rule divergence (values agree to ~1e-10).
+    ("decimal.slt", 121): "decimal avg truncates at result scale (Spark rounds)",
+    ("decimal.slt", 127): "median typing: decimal median keeps scale",
+    ("decimal.slt", 397): "decimal division scale rule (truncate@10 vs widen)",
+    ("interval.slt", 84): "interval '5' hours: reference parses literal as secs",
+    # timestamps.slt: ns-precision displays (§1.2 ns→µs truncation);
+    # named-timezone columns are normalized to the single session tz
+    # (UTC) — the reference keeps per-column zones and truncates dates in
+    # them; Date64 carries intra-day milliseconds the DateType policy drops.
+    ("timestamps.slt", 381): "ns→µs truncation (9-digit fraction display)",
+    ("timestamps.slt", 386): "ns→µs truncation (9-digit fraction display)",
+    ("timestamps.slt", 452): "ns→µs truncation (time literal ns fraction)",
+    ("timestamps.slt", 501): "ns→µs truncation (1ns below µs resolution)",
+    ("timestamps.slt", 519): "ns→µs truncation (1ns below µs resolution)",
+    ("timestamps.slt", 1305): "named-tz column normalized to session UTC",
+    ("timestamps.slt", 1332): "named-tz date_trunc in zone vs session UTC",
+    ("timestamps.slt", 1389): "named-tz column normalized to session UTC",
+    ("timestamps.slt", 1416): "named-tz date_trunc in zone vs session UTC",
+    ("timestamps.slt", 2713): "Date64 intra-day ms dropped by DateType policy",
+    # array.slt: FixedSizeList NULL rows materialize null-filled fixed-
+    # width lists in the reference; recursive flatten / nested
+    # array_to_string need a type-heterogeneous CASE Spark cannot
+    # type-check — documented partial (§2.9 note).
+    ("array.slt", 2230): "FixedSizeList NULL row materializes null-filled",
+    ("array.slt", 4022): "nested/float array_to_string leaf join (partial)",
+    ("array.slt", 4105): "nested array_to_string joins leaves (partial)",
+    ("array.slt", 4117): "nested array_to_string joins leaves (partial)",
+    ("array.slt", 6238): "recursive flatten (Spark flattens one level)",
+    ("array.slt", 6248): "recursive flatten (Spark flattens one level)",
+    ("array.slt", 6258): "recursive flatten (Spark flattens one level)",
     ("map.slt", 24): "parquet reader nullability relaxation (Spark reads nullable)",
     ("map.slt", 31): "map Display key order (insertion vs Spark internal)",
     ("math.slt", 66): "f32 compute: round(f32*10^s) ties differ in f64",
@@ -136,6 +168,10 @@ _FILES = {
     "subquery.slt": 56,
     "map.slt": 7,
     "unnest.slt": 17,
+    "decimal.slt": 48,
+    "interval.slt": 31,
+    "timestamps.slt": 204,
+    "array.slt": 655,
 }
 
 
