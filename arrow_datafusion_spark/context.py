@@ -1716,6 +1716,15 @@ def _rewrite_sql(q: str) -> str:
     # make the reference's (Postgres) default null placement explicit
     q = _add_null_ordering(q)
 
+    # string-literal column aliases (``AS 'order count'`` — accepted by
+    # the reference's parser) → backticked identifiers
+    q = re.sub(
+        r"\bAS\s+\x00(\d+)\x00",
+        lambda m: f"AS `{lits[int(m.group(1))][1:-1]}`",
+        q,
+        flags=re.IGNORECASE,
+    )
+
     # unshield; the \x01(?i)\x01 marker becomes a quoted (?i) prefix
     q = q.replace("\x01(?i)\x01 || ", "'(?i)' || ")
     q = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], q)

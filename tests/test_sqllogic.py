@@ -130,6 +130,10 @@ _KNOWN = {
     ("array.slt", 6238): "recursive flatten (Spark flattens one level)",
     ("array.slt", 6248): "recursive flatten (Spark flattens one level)",
     ("array.slt", 6258): "recursive flatten (Spark flattens one level)",
+    ("pg_compat/pg_compat_window.slt", 578): (
+        "unordered LEAD/LAG over fixture natural order — the original "
+        "aggregate_test_100 row order is unavailable (substituted fixture)"
+    ),
     ("map.slt", 24): "parquet reader nullability relaxation (Spark reads nullable)",
     ("map.slt", 31): "map Display key order (insertion vs Spark internal)",
     ("math.slt", 66): "f32 compute: round(f32*10^s) ties differ in f64",
@@ -172,6 +176,14 @@ _FILES = {
     "interval.slt": 31,
     "timestamps.slt": 204,
     "array.slt": 655,
+    # pg_compat golden suites — Spark-vs-Postgres semantic differences
+    # surface here; every residual is in _KNOWN with a policy citation
+    "pg_compat/pg_compat_null.slt": 5,
+    "pg_compat/pg_compat_simple.slt": 13,
+    "pg_compat/pg_compat_types.slt": 15,
+    "pg_compat/pg_compat_type_coercion.slt": 7,
+    "pg_compat/pg_compat_union.slt": 7,
+    "pg_compat/pg_compat_window.slt": 12,
 }
 
 
