@@ -1089,7 +1089,9 @@ def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
                     f"THEN {conv} ELSE CAST({expr} AS DATE) END)"
                 )
         q = q[:s] + repl + q[e + 1:]
-        pos = s + len(repl)
+        # re-scan from the replacement start: the EXPR may itself contain
+        # nested arrow_cast calls (group.slt time32 chains)
+        pos = s
     pos = 0
     while True:
         hit = _find_call(q, "arrow_typeof", pos)
@@ -1187,6 +1189,10 @@ def _rewrite_sql(q: str) -> str:
         return f"\x00{len(lits) - 1}\x00"
 
     q = re.sub(r"'(?:[^']|'')*'", _shield, q)
+
+    # double-quoted IDENTIFIERS (SQL standard / Postgres — the reference
+    # never treats "..." as a string) → Spark backticks
+    q = re.sub(r'"([^"]*)"', lambda m: f"`{m.group(1)}`", q)
 
     # a !~ b / a ~* b / a ~ b  →  (NOT) a RLIKE b  (case-insensitive via (?i))
     q = re.sub(r"!~\*", " NOT RLIKE \x01(?i)\x01 || ", q)
@@ -1508,6 +1514,79 @@ def _rewrite_sql(q: str) -> str:
             )
             q = q[:s_i] + repl + q[e + 1 :]
             pos = s_i + len(repl)
+    # math edge semantics (functions/src/math): Rust's ln/log of 0 is
+    # -Infinity and of negatives NaN (Spark: NULL); 1-arg log is BASE 10;
+    # nanvl propagates NULL args; signum(+0) is 1.0
+    def _log_guard(inner: str, x: str) -> str:
+        return (
+            f"(CASE WHEN ({x}) = 0 THEN CAST('-Infinity' AS DOUBLE) "
+            f"WHEN ({x}) < 0 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {inner} END)"
+        )
+
+    for fn_name, spark_fn in (
+        ("ln", "ln"), ("log2", "log2"), ("log10", "log10"), ("log", None)
+    ):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn_name, pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if fn_name == "log":
+                if len(parts) == 1:  # log(x) = log10 in the reference
+                    repl = _log_guard(f"log10({parts[0]})", parts[0])
+                elif len(parts) == 2:
+                    # negative BASE is NaN too (f64::log semantics)
+                    repl = (
+                        f"(CASE WHEN ({parts[0]}) < 0 "
+                        "THEN CAST('NaN' AS DOUBLE) ELSE "
+                        + _log_guard(f"log({parts[0]}, {parts[1]})", parts[1])
+                        + " END)"
+                    )
+                else:
+                    pos = e
+                    continue
+            elif len(parts) == 1:
+                repl = _log_guard(f"{spark_fn}({parts[0]})", parts[0])
+            else:
+                pos = e
+                continue
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
+    pos = 0
+    while True:
+        hit = _find_call(q, "nanvl", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 2:
+            pos = e
+            continue
+        x, y = parts
+        repl = (
+            f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL THEN NULL "
+            f"ELSE nanvl({x}, {y}) END)"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    pos = 0
+    while True:
+        hit = _find_call(q, "signum", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        x = q[a:e].strip()
+        repl = f"(CASE WHEN ({x}) = 0 THEN CAST(1.0 AS DOUBLE) ELSE sign({x}) END)"
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
+    # integer-literal division TRUNCATES in the reference (Int64 / Int64
+    # → Int64); Spark's / is always fractional. Only statically-integer
+    # literal pairs are rewritten — column operand types are unknowable
+    # at the text layer (documented §1.2 divergence).
+    q = re.sub(r"(?<![\w.])(\d+)\s*/\s*(\d+)(?![\w.])", r"(\1 div \2)", q)
     # DDL/cast type spelling Spark's parser rejects
     q = re.sub(
         r"\bTIMESTAMP\s+WITH\s+TIME\s+ZONE\b", "TIMESTAMP", q, flags=re.IGNORECASE
@@ -2245,6 +2324,16 @@ class SessionContext:
             re.IGNORECASE,
         ):
             query = self._bind_information_schema(query)
+        mor = re.match(
+            r"(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+)([A-Za-z_][A-Za-z0-9_]*)",
+            query,
+            re.IGNORECASE,
+        )
+        if mor:
+            # CREATE OR REPLACE TABLE: drop-then-create (DataFusion's
+            # or_replace flag; Spark v1 catalogs lack native support)
+            self.spark.sql(f"DROP TABLE IF EXISTS {mor.group(3)}")
+            query = query[: mor.end(1)] + query[mor.start(2) :]
         m = re.match(
             # CREATE TABLE name (coldefs) [AS query] — Spark rejects a
             # schema in CTAS; DataFusion casts the query output positionally
@@ -2387,9 +2476,17 @@ class SessionContext:
         if re.match(r"\s*\(?\s*VALUES\b", body, re.IGNORECASE):
             src = src.coalesce(1)  # preserve literal-row order (see CTAS)
         cols = []
+        int_types = ("tinyint", "smallint", "int", "bigint")
         for i, d in enumerate(defs):
             cname, _, ctype = d.strip().partition(" ")
-            cols.append(src[src.columns[i]].cast(ctype.strip()).alias(cname))
+            col = src[src.columns[i]]
+            src_type = src.schema[i].dataType.simpleString()
+            if ctype.strip().lower() == "date" and src_type in int_types:
+                # arrow's int→Date32 cast reinterprets days since epoch
+                col = F.date_add(F.lit("1970-01-01").cast("date"), col.cast("int"))
+            else:
+                col = col.cast(ctype.strip())
+            cols.append(col.alias(cname))
         src.select(*cols).write.mode(
             "ignore" if if_not_exists else "errorifexists"
         ).saveAsTable(name)

@@ -115,6 +115,9 @@ def parse_slt(text: str) -> list[Record]:
             expected: list[str] = []
             if i < n and lines[i].strip() == "----":
                 i += 1
+                # tolerate a stray doubled separator (" ----\n----")
+                if i < n and lines[i].strip() == "----":
+                    i += 1
                 while i < n and lines[i].strip():
                     expected.append(lines[i].rstrip("\n"))
                     i += 1
@@ -554,6 +557,25 @@ def _resolve_rel_paths(sql: str, base_dir: str | None) -> str:
     return re.sub(r"((?:LOCATION|TO)\s+)'([^']+)'", fix, sql, flags=re.IGNORECASE)
 
 
+_FLOAT_LIT_RE = re.compile(r"(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.])")
+
+
+def _float_literals_to_double(sql: str) -> str:
+    """Dialect normalization: the reference's parser types bare decimal
+    literals Float64 (§1.2); Spark types them DECIMAL(p,s), which changes
+    arithmetic precision (2.0/3 → 6-digit decimal) and display (1 vs
+    1.0). Rewrite each to an explicit DOUBLE cast, shielding strings."""
+    lits: list[str] = []
+
+    def shield(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x03{len(lits) - 1}\x03"
+
+    sql = re.sub(r"'(?:[^']|'')*'", shield, sql)
+    sql = _FLOAT_LIT_RE.sub(lambda m: f"CAST({m.group(1)} AS DOUBLE)", sql)
+    return re.sub(r"\x03(\d+)\x03", lambda m: lits[int(m.group(1))], sql)
+
+
 def run_slt_file(
     ctx, path: str, stop_on_fail: bool = False, isolate: bool = True
 ) -> SltReport:
@@ -566,9 +588,10 @@ def run_slt_file(
         records = parse_slt(f.read())
     base = _slt_base_dir(path)
     for rec in records:
-        rec.sql = _resolve_rel_paths(rec.sql, base)
+        rec.sql = _float_literals_to_double(_resolve_rel_paths(rec.sql, base))
     rep = SltReport(path)
     db = None
+    views_before: set[str] = set()
     if isolate:
         import re as _re
 
@@ -576,29 +599,64 @@ def run_slt_file(
         ctx.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         ctx.spark.sql(f"CREATE DATABASE {db}")
         ctx.spark.sql(f"USE {db}")
+        # temp views are SESSION-global (they ignore USE database): a
+        # fixture like `test` registered by one file would leak into the
+        # next file's identically-named CREATE EXTERNAL TABLE
+        views_before = {
+            t.name for t in ctx.spark.catalog.listTables() if t.tableType == "TEMPORARY"
+        }
     try:
         _run_records(ctx, records, rep, stop_on_fail)
     finally:
         if db:
+            for t in ctx.spark.catalog.listTables():
+                if t.tableType == "TEMPORARY" and t.name not in views_before:
+                    ctx.spark.catalog.dropTempView(t.name)
             ctx.spark.sql("USE default")
             ctx.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return rep
 
 
+_RECORD_TIMEOUT_S = 60
+
+
 def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
+    import threading
+
+    sc = ctx.spark.sparkContext
+
+    def run_bounded(fn):
+        """Run one record's execution with a wall-clock bound: a
+        pathological record (e.g. a runaway recursive CTE the reference
+        REJECTS at plan time but we detect at iteration time) must not
+        stall the whole corpus — cancel its job group and count a skip."""
+        sc.setJobGroup("slt-record", "sqllogictest record", True)
+        t = threading.Timer(
+            _RECORD_TIMEOUT_S, lambda: sc.cancelJobGroup("slt-record")
+        )
+        t.start()
+        try:
+            return fn()
+        finally:
+            t.cancel()
+
     for rec in records:
         if rec.kind == "statement_error":
             try:
-                ctx.sql(rec.sql).collect()
+                run_bounded(lambda: ctx.sql(rec.sql).collect())
                 rep.divergences += 1  # we accept what the reference rejects
             except Exception:
                 rep.passed += 1
             continue
         if rec.kind == "statement_ok":
             try:
-                df = ctx.sql(rec.sql)
-                if df is not None:
-                    df.collect()
+
+                def _stmt():
+                    df = ctx.sql(rec.sql)
+                    if df is not None:
+                        df.collect()
+
+                run_bounded(_stmt)
                 rep.passed += 1
             except Exception as exc:  # unsupported statement form
                 rep.skipped += 1
@@ -616,7 +674,9 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             rep.skips.append(f"{rec.line}: backslash-escape lexical divergence")
             continue
         try:
-            rows = [tuple(r) for r in ctx.sql(rec.sql).collect()]
+            rows = run_bounded(
+                lambda: [tuple(r) for r in ctx.sql(rec.sql).collect()]
+            )
         except Exception as exc:
             rep.skipped += 1
             rep.skips.append(f"{rec.line}: query {rec.sql!r}: {exc}"[:500])
@@ -637,7 +697,6 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             verdict = _compare_query(rec2, rows)
         if (
             verdict not in (None, "hash-form", "type-divergence")
-            and rec.sort_mode is None
             and re.search(r"\b(LIMIT|OFFSET)\b", rec.sql, re.IGNORECASE)
             and not _has_top_level_order_by(rec.sql)
         ):
