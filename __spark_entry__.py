@@ -77,12 +77,22 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
-        # (h) round-5 changes: fused band-key UDF + bounded pair expansion +
-        #     adaptive broadcast verify (dedup.py); array_position/array_has
-        #     NULL semantics touched fn_array's function family; the SQL
-        #     rewrite layer gained reference subscript/array semantics
-        #     (scan_avro_nested now uses 1-based indexing)
-        "dedup_minhash", "dedup_ngram", "fn_array", "scan_avro_nested",
+        # (i) round-6 changes: byte-gated broadcast + checkpoint-first
+        #     candidate-doc set in the verify stage (dedup.py) touches both
+        #     jaccard dedups; COPY TO gained single-file/headerless-csv/
+        #     append semantics (sql_copy_to); array_has now returns NULL
+        #     for NULL arrays on the DataFrame registry path (fn_array);
+        #     information_schema rebuilt to the reference's ANSI layouts
+        #     (settings registry, 'datafusion'/'public' naming) —
+        #     sql_info_schema's binding changed underneath it
+        "dedup_minhash", "dedup_ngram", "sql_copy_to", "fn_array",
+        "sql_info_schema",
+        #     _sql_recursive gained the reference's multiple-recursive-
+        #     reference rejection (plan-time guard) — re-validate the
+        #     recursion family
+        "recursive_reach", "sql_recursive_series", "sql_recursive_graph",
+        # (h) round-5 changes
+        "scan_avro_nested",
         # (a) never checked
         "dedup_components", "text_tfidf", "pipeline_redact",
         "pipeline_decontaminate", "events_tumbling", "events_sliding",

@@ -34,8 +34,12 @@ def run(statements, ctx, out=sys.stdout) -> int:
             if cmd == ".quit":
                 return 0
             if cmd == ".tables":
+                # SHOW TABLES now returns the reference's 4-column catalog
+                # layout (table_catalog, table_schema, table_name,
+                # table_type) — print user tables like datafusion-cli does
                 for row in ctx.sql("SHOW TABLES").collect():
-                    print(row.tableName, file=out)
+                    if row.table_schema != "information_schema":
+                        print(row.table_name, file=out)
                 continue
             if cmd == ".schema" and rest:
                 ctx.sql(f"DESCRIBE {rest[0]}").show(truncate=False)

@@ -1213,6 +1213,11 @@ def _rewrite_sql(q: str) -> str:
     for pg, sp in _TYPE_MAP.items():
         q = re.sub(rf"::\s*{pg}\b", f"::{sp}", q, flags=re.IGNORECASE)
         q = re.sub(rf"\bAS\s+{pg}\s*\)", f"AS {sp})", q, flags=re.IGNORECASE)
+    # bare VARCHAR in cast position: DataFusion's VARCHAR is unbounded
+    # (→ Utf8); Spark 4 requires a length parameter — only the
+    # parameterless spelling is rewritten (VARCHAR(10) stays)
+    q = re.sub(r"::\s*varchar\b(?!\s*\()", "::STRING", q, flags=re.IGNORECASE)
+    q = re.sub(r"\bAS\s+varchar\s*\)", "AS STRING)", q, flags=re.IGNORECASE)
 
     # DataFusion's list_* alias spellings → the type-generic Spark builtin
     # (functions-array registers a list_* alias per array_* udf). Only
@@ -1336,7 +1341,11 @@ def _rewrite_sql(q: str) -> str:
             break
         s, a, e = hit
         inner = q[a:e]
-        m = re.match(r"\s*dow\s+from\s+(.*)$", inner, re.IGNORECASE | re.DOTALL)
+        # the unit may be a quoted identifier — EXTRACT("dow" FROM …) —
+        # already converted to backticks by the quote rewrite above
+        m = re.match(
+            r"\s*[`\"]?dow[`\"]?\s+from\s+(.*)$", inner, re.IGNORECASE | re.DOTALL
+        )
         if not m:
             pos = e
             continue
@@ -1886,6 +1895,68 @@ def _arrow_type_display(dt) -> str:
     return names.get(dt.simpleString(), dt.simpleString())
 
 
+# DataFusion aws.* OPTION keys → per-bucket fs.s3a.bucket.<b>.* conf keys
+# (datafusion-cli/src/object_storage.rs get_s3_object_store_builder)
+_S3_OPTION_MAP = {
+    "aws.access_key_id": "access.key",
+    "aws.secret_access_key": "secret.key",
+    "aws.session_token": "session.token",
+    "aws.token": "session.token",
+    "aws.region": "endpoint.region",
+    "aws.endpoint": "endpoint",
+}
+
+
+def _resolve_object_store_location(spark, path: str, options=None) -> str:
+    """Map a DataFusion object-store URL + OPTIONS onto Spark's Hadoop
+    filesystem config and return the Spark-readable path.
+
+    Mirrors datafusion-cli/src/object_storage.rs: ``s3://`` (AWS),
+    ``oss://`` (Alibaba, S3-compatible w/ endpoint), ``cos://`` (Tencent,
+    S3-compatible w/ endpoint) build an S3 client; ``gs://`` builds a GCS
+    client. Spark-side: all S3-compatible schemes route through s3a with
+    per-bucket configuration so two buckets with different credentials
+    coexist in one session; GCS routes through the gs connector. Pure
+    registration — no I/O, no connector-jar requirement until read time."""
+    m = re.match(r"([A-Za-z][A-Za-z0-9+.-]*)://([^/]+)", path)
+    if not m:
+        return path
+    scheme, bucket = m.group(1).lower(), m.group(2)
+    opts = {k.lower(): v for k, v in (options or {}).items()}
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if scheme in ("s3", "s3a", "oss", "cos"):
+        prefix = f"fs.s3a.bucket.{bucket}."
+        for k, v in opts.items():
+            if k in _S3_OPTION_MAP:
+                hconf.set(prefix + _S3_OPTION_MAP[k], v)
+            elif k == "aws.allow_http":
+                hconf.set(
+                    prefix + "connection.ssl.enabled",
+                    "false" if v.lower() in ("true", "1") else "true",
+                )
+        if scheme in ("oss", "cos") and "aws.endpoint" not in opts:
+            # reference requires an explicit endpoint for oss/cos
+            raise ValueError(
+                f"{scheme}:// locations require OPTIONS('aws.endpoint' ...)"
+            )
+        if any(k in opts for k in _S3_OPTION_MAP) or "aws.allow_http" in opts:
+            # explicit credentials: pin the per-bucket provider to simple
+            # static credentials instead of the default provider chain
+            hconf.set(
+                prefix + "aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider",
+            )
+        return "s3a://" + path.split("://", 1)[1]
+    if scheme in ("gs", "gcs"):
+        if "gcp.service_account_path" in opts:
+            hconf.set(
+                "google.cloud.auth.service.account.json.keyfile",
+                opts["gcp.service_account_path"],
+            )
+        return "gs://" + path.split("://", 1)[1]
+    return path
+
+
 def _column_defs_to_ddl(cols: str) -> str:
     """'name type, ...' column defs → Spark DDL schema string: split on
     top-level commas only (types like DECIMAL(10,2) contain commas) and map
@@ -1903,6 +1974,9 @@ def _column_defs_to_ddl(cols: str) -> str:
                 continue
             cname, _, ctype = coldef.partition(" ")
             ctype = ctype.strip()
+            # quoted identifiers: '"date" DATE' → backticked Spark DDL
+            if cname[:1] == '"' and cname[-1:] == '"':
+                cname = f"`{cname[1:-1]}`"
             # constraint suffixes are advisory here (Spark DDL schema
             # strings carry no NOT NULL) — drop them
             ctype = re.sub(
@@ -2059,6 +2133,32 @@ class SessionContext:
         self._prepared: dict[str, str] = {}
         # view name → defining SQL, for information_schema.views
         self._view_defs: dict[str, str] = {}
+        # external tables that can act as INSERT sinks (FileSinkExec /
+        # insert_to_external: name → format/path/schema/partitioning)
+        self._external_sinks: dict[str, dict] = {}
+        # path-registered tables: name → (base_path, re-register thunk).
+        # A COPY that lands new files under base_path re-runs the thunk so
+        # the table re-lists its files (ListingTable re-lists per query;
+        # a Spark path DataFrame pins its file index at read time).
+        self._path_tables: dict[str, tuple] = {}
+        # DataFusion-compatible config registry (settings.py): SET/SHOW
+        # SQL, information_schema.df_settings, and live Spark conf mapping.
+        # datafusion-cli enables information_schema at startup — this
+        # facade plays the cli role, so it does too (the reference's
+        # SessionContext default is false; SET ... = false restores it).
+        from arrow_datafusion_spark.settings import Settings
+
+        self.settings = Settings(self.spark)
+        self.settings.set("datafusion.catalog.information_schema", "true")
+        # DROP FUNCTION removes a name from this session's function
+        # registry (sql/src/statement.rs DropFunction; create_function.slt:
+        # dropping a built-in makes later calls error) — Spark can't drop
+        # builtins, so dropped names are tracked and rejected at plan time.
+        self._dropped_functions: set[str] = set()
+        # declared NOT NULL columns per CREATE TABLE (coldefs) table —
+        # Spark managed storage drops nullability, but the reference
+        # REJECTS inserts that would null a non-nullable column
+        self._not_null: dict[str, frozenset] = {}
 
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
@@ -2072,8 +2172,43 @@ class SessionContext:
         df.createOrReplaceTempView(name)
         self._tables[name] = df
 
+    def register_object_store(self, path: str, options: dict | None = None) -> str:
+        """Object-store registration (datafusion-cli/src/object_storage.rs
+        get_s3/oss/cos/gcs_object_store_builder): map DataFusion's URL
+        schemes and credential OPTIONS onto Spark's Hadoop-filesystem
+        equivalents, per bucket, and return the Spark-readable path.
+
+        ``s3://bucket/…`` → ``s3a://bucket/…`` with ``aws.*`` options set as
+        ``fs.s3a.bucket.<bucket>.*`` conf (credentials scoped to the bucket,
+        not the session); ``oss://``/``cos://`` are S3-compatible stores
+        (endpoint required, like the reference); ``gs://`` passes through to
+        the GCS connector. Local/file paths return unchanged. No I/O happens
+        here — registration only, exactly like the reference."""
+        return _resolve_object_store_location(self.spark, path, options)
+
     def register_parquet(self, name: str, path: str) -> None:
-        self.register_table(name, self.spark.read.parquet(path))
+        self.register_table(
+            name, self.spark.read.parquet(self.register_object_store(path))
+        )
+        self._track_path(name, path, lambda: self.register_parquet(name, path))
+
+    def _track_path(self, name: str, path: str, redo) -> None:
+        base = re.split(r"[*?\[]", path, 1)[0].rstrip("/")
+        self._path_tables[name] = (base, redo)
+
+    def _refresh_path_tables(self, written_path: str) -> None:
+        """Re-register any path table whose base directory contains the
+        just-written target, so its file listing picks up the new files."""
+        import os as _os
+
+        target = _os.path.abspath(
+            written_path[len("file://"):]
+            if written_path.startswith("file://")
+            else written_path
+        )
+        for name, (base, redo) in list(self._path_tables.items()):
+            if target.startswith(_os.path.abspath(base) + _os.sep):
+                redo()
 
     def register_csv(self, name: str, path: str, schema: str | None = None, **options) -> None:
         """CSV registration — explicit DDL ``schema`` wins; otherwise infer
@@ -2086,14 +2221,26 @@ class SessionContext:
             options.pop("inferSchema", None)
         else:
             options.setdefault("inferSchema", True)
-        self.register_table(name, reader.options(**options).csv(path))
+        self.register_table(
+            name,
+            reader.options(**options).csv(self.register_object_store(path)),
+        )
+        self._track_path(
+            name, path, lambda: self.register_csv(name, path, schema=schema, **options)
+        )
 
     def register_json(self, name: str, path: str, schema: str | None = None, **options) -> None:
         """Newline-delimited JSON (NdJsonExec, physical_plan/json.rs:53)."""
         reader = self.spark.read
         if schema:
             reader = reader.schema(schema)
-        self.register_table(name, reader.options(**options).json(path))
+        self.register_table(
+            name,
+            reader.options(**options).json(self.register_object_store(path)),
+        )
+        self._track_path(
+            name, path, lambda: self.register_json(name, path, schema=schema, **options)
+        )
 
     # Per-SparkSession (weak) state shared across SessionContext instances:
     # whether the spark-avro jar answered the probe, and which Python data
@@ -2120,6 +2267,7 @@ class SessionContext:
         a connector-not-found error downgrades (and is cached per session) —
         a bad path or corrupt file propagates rather than silently switching
         readers."""
+        path = self.register_object_store(path)
         if SessionContext._AVRO_JAR.get(self.spark, True):
             try:
                 df = self.spark.read.format("avro").load(path)
@@ -2150,6 +2298,7 @@ class SessionContext:
                 SessionContext._AVRO_JAR[self.spark] = False
         self._ensure_py_source("avro_py")
         self.register_table(name, self.spark.read.format("avro_py").load(path))
+        self._track_path(name, path, lambda: self.register_avro(name, path))
 
     def register_arrow(self, name: str, path: str) -> None:
         """Arrow IPC file or directory of files (ArrowExec,
@@ -2157,7 +2306,13 @@ class SessionContext:
         Python data source in sources/arrow_ipc.py (one task per IPC record
         batch); rows never pass through the driver."""
         self._ensure_py_source("arrow_ipc")
-        self.register_table(name, self.spark.read.format("arrow_ipc").load(path))
+        self.register_table(
+            name,
+            self.spark.read.format("arrow_ipc").load(
+                self.register_object_store(path)
+            ),
+        )
+        self._track_path(name, path, lambda: self.register_arrow(name, path))
 
     def register_view(self, name: str, sql: str) -> None:
         self.register_table(name, self.sql(sql))
@@ -2172,6 +2327,7 @@ class SessionContext:
         self.spark.catalog.dropTempView(name)
         self._tables.pop(name, None)
         self._view_defs.pop(name, None)
+        self._path_tables.pop(name, None)
         # keep session.load_tables' registered-view memo honest
         from arrow_datafusion_spark import session as _session
 
@@ -2188,7 +2344,10 @@ class SessionContext:
         )
 
     def table_exist(self, name: str) -> bool:
-        return name in self.tables()
+        ts = self.tables()
+        # Spark's catalog lowercases managed-table names while resolution
+        # stays case-insensitive — mirror that here
+        return name in ts or name.lower() in {t.lower() for t in ts}
 
     # -- readers (DataFrame API entry, SURVEY.md §3.2) ----------------------
 
@@ -2222,6 +2381,25 @@ class SessionContext:
         goes straight to ``spark.sql``.
         """
         self._ensure_macros()
+        handled = self._sql_set_or_show(query)
+        if handled is not None:
+            return handled
+        # DataFusion's default catalog tree: 'datafusion.public.t',
+        # 'public.t' and 't' name the same session object. Strip the
+        # configured default-catalog/schema qualifiers in DDL/utility
+        # statement heads (DML queries resolve through Spark's catalog,
+        # which has no 'public' schema).
+        if re.match(
+            r"\s*(CREATE|DROP|DESCRIBE|DESC|INSERT|SHOW)\b", query, re.IGNORECASE
+        ):
+            cat = self.settings.get("datafusion.catalog.default_catalog")
+            sch = self.settings.get("datafusion.catalog.default_schema")
+            query = re.sub(
+                rf"\b(?:{re.escape(cat)}\s*\.\s*)?{re.escape(sch)}\s*\.\s*"
+                r"(?=[A-Za-z_`\"])",
+                "",
+                query,
+            )
         m = re.match(r"\s*EXPLAIN\s+ANALYZE\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
         if m:
             # DataFusion's EXPLAIN ANALYZE returns a (plan_type, plan) table
@@ -2316,7 +2494,36 @@ class SessionContext:
             # Real managed tables (CTAS) fall through to Spark below.
             self.deregister_table(m.group(1))
             return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)"
+            r"\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m:
+            # DROP FUNCTION (statement.rs DropFunction): removes the name
+            # from the session registry; later references fail to plan.
+            if_exists, fname = bool(m.group(1)), m.group(2).lower()
+            from arrow_datafusion_spark.functions.scalar import SCALAR as _scalar_reg
+
+            exists = fname not in self._dropped_functions and (
+                fname in _scalar_reg or self.spark.catalog.functionExists(fname)
+            )
+            if not exists and not if_exists:
+                raise ValueError("Execution error: Function does not exist")
+            self._dropped_functions.add(fname)
+            return self.spark.createDataFrame([], "result string")
+        if self._dropped_functions:
+            shielded = _strip_strings(query)
+            for fname in self._dropped_functions:
+                if re.search(rf"\b{fname}\s*\(", shielded, re.IGNORECASE):
+                    raise ValueError(f"Invalid function '{fname}'")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
+            if not self.settings.get_bool("datafusion.execution.enable_recursive_ctes"):
+                raise ValueError(
+                    "This feature is not implemented: Recursive CTEs are "
+                    "not enabled"
+                )
             return self._sql_recursive(query, args)
         if re.search(
             r"\binformation_schema\s*\.\s*(tables|columns|views|schemata|df_settings)\b",
@@ -2325,21 +2532,51 @@ class SessionContext:
         ):
             query = self._bind_information_schema(query)
         mor = re.match(
-            r"(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+)([A-Za-z_][A-Za-z0-9_]*)",
+            r"(\s*CREATE\s+)OR\s+REPLACE\s+(TABLE\s+)(?:(IF\s+NOT\s+EXISTS)\s+)?"
+            r"([A-Za-z_][A-Za-z0-9_]*)",
             query,
             re.IGNORECASE,
         )
+        if mor and mor.group(3):
+            # statement.rs: or_replace and if_not_exists are incompatible
+            raise ValueError("'IF NOT EXISTS' cannot coexist with 'REPLACE'")
         if mor:
-            # CREATE OR REPLACE TABLE: drop-then-create (DataFusion's
-            # or_replace flag; Spark v1 catalogs lack native support)
-            self.spark.sql(f"DROP TABLE IF EXISTS {mor.group(3)}")
-            query = query[: mor.end(1)] + query[mor.start(2) :]
+            # CREATE OR REPLACE TABLE (DataFusion's or_replace flag; Spark
+            # v1 catalogs lack native support). The reference only swaps
+            # AFTER the new definition succeeds — so when the target exists,
+            # build the replacement under a temp name first, then atomically
+            # drop-and-rename; a malformed new definition leaves the old
+            # table intact.
+            name = mor.group(4)
+            stripped = query[: mor.end(1)] + query[mor.start(2) :]
+            if self.table_exist(name):
+                tmp = f"{name}__cor_new"
+                pos = mor.end(1) + (mor.start(4) - mor.start(2))
+                assert stripped[pos : pos + len(name)] == name
+                tmp_query = stripped[:pos] + tmp + stripped[pos + len(name) :]
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+                self.deregister_table(tmp)
+                res = self.sql(tmp_query, args)  # raises → old table intact
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                self.deregister_table(name)
+                if any(
+                    t.name == tmp and t.tableType != "TEMPORARY"
+                    for t in self._catalog_tables()
+                ):
+                    self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+                else:
+                    # replacement landed as a session registration (temp
+                    # view) — re-register under the target name
+                    self.register_table(name, self.table(tmp))
+                    self.deregister_table(tmp)
+                return res
+            query = stripped
         m = re.match(
             # CREATE TABLE name (coldefs) [AS query] — Spark rejects a
             # schema in CTAS; DataFusion casts the query output positionally
             r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
             r"([A-Za-z_][A-Za-z0-9_]*)\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
-            r"(?:AS\s+(.*))?$",
+            r"(?:AS\s+(.*?))?\s*;?\s*$",
             query,
             re.IGNORECASE | re.DOTALL,
         )
@@ -2358,6 +2595,7 @@ class SessionContext:
             self.spark.createDataFrame(
                 [], _column_defs_to_ddl(m.group(3))
             ).write.mode("ignore" if m.group(1) else "errorifexists").saveAsTable(name)
+            self._record_not_null(name, m.group(3))
             return self.spark.createDataFrame([], "result string")
         m = re.match(
             r"\s*SELECT\s+(.*?)\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(FROM\s+.*)$",
@@ -2402,6 +2640,9 @@ class SessionContext:
             # one-row `count` result (DataSinkExec); Spark's INSERT returns
             # nothing, so the count comes from a before/after table count.
             target = m.group(1)
+            if target in self._external_sinks:
+                return self._insert_external(target, query, args)
+            self._validate_insert(target, query, args)
             try:
                 before = self.spark.table(target).count()
             except Exception:
@@ -2423,6 +2664,223 @@ class SessionContext:
             return self.spark.createDataFrame([(after - before,)], "count bigint")
         return self._spark_sql(query, args)
 
+    def _reregister_external(self, name: str) -> None:
+        """(Re-)register an external sink table from its on-disk files —
+        partition columns come from hive-style directory discovery, data
+        columns from the declared schema (ListingTable's split between
+        file schema and table partition columns)."""
+        sink = self._external_sinks[name]
+        fmt, path, parts = sink["fmt"], sink["path"], sink["parts"]
+        import os as _os
+
+        has_files = _os.path.isfile(path) or (
+            _os.path.isdir(path)
+            and any(
+                not f.startswith((".", "_"))
+                for _, _, fs in _os.walk(path)
+                for f in fs
+            )
+        )
+        if not has_files:
+            self.register_table(
+                name, self.spark.createDataFrame([], sink["schema"])
+            )
+            self._track_path(name, path, lambda: self._reregister_external(name))
+            return
+        if fmt == "arrow":
+            self._ensure_py_source("arrow_ipc")
+            df = self.spark.read.format("arrow_ipc").load(path)
+        else:
+            data_schema = sink["schema"]
+            if data_schema and parts:
+                low = {p.lower() for p in parts}
+                data_schema = ", ".join(
+                    d
+                    for d in _split_top_level(data_schema)
+                    if d.strip().split()[0].lower() not in low
+                )
+            reader = self.spark.read
+            if data_schema:
+                reader = reader.schema(data_schema)
+            if fmt == "csv":
+                ropts = {"header": sink["header"], **sink.get("csv_lex", {})}
+                if sink.get("delim"):
+                    ropts["sep"] = sink["delim"]
+                df = reader.options(**ropts).csv(path)
+            elif fmt == "json":
+                df = reader.json(path)
+            else:
+                df = reader.parquet(path)
+            if parts and sink["schema"]:
+                # discovery re-infers partition value types (e.g. int for
+                # a=10) — cast back to the DECLARED types, in the logical
+                # data-cols-then-partition-cols order
+                sel = []
+                for d in _split_top_level(sink["schema"]):
+                    toks = d.strip().split()
+                    sel.append(
+                        F.col(toks[0]).cast(" ".join(toks[1:])).alias(toks[0])
+                    )
+                df = df.select(*sel)
+        self.register_table(name, df)
+        self._track_path(name, path, lambda: self._reregister_external(name))
+
+    def _insert_external(self, target: str, query: str, args) -> DataFrame:
+        """INSERT INTO an external table → append files at its location
+        (the reference's FileSinkExec), then re-list. Returns the count."""
+        sink = self._external_sinks[target]
+        m = re.match(
+            r"\s*INSERT\s+INTO\s+[A-Za-z_][A-Za-z0-9_]*\s*"
+            r"(?:\(([^)]*)\))?\s*(.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {query[:80]!r}")
+        collist, body = m.group(1), m.group(2).strip().rstrip(";")
+        schema = self.spark.table(target).schema
+        names = (
+            [c.strip().lower() for c in collist.split(",")]
+            if collist
+            else [f.name.lower() for f in schema]
+        )
+        if len(names) != len(set(names)):
+            dup = next(c for c in names if names.count(c) > 1)
+            raise ValueError(
+                f"Schema contains duplicate unqualified field name {dup}"
+            )
+        src = self._spark_sql(body, args)
+        if len(src.columns) != len(names):
+            raise ValueError("Column count doesn't match insert query!")
+        sel, checks = [], []
+        not_null = sink.get("not_null", set())
+        for f in schema:
+            if f.name.lower() in names:
+                i = names.index(f.name.lower())
+                src_c = src[src.columns[i]]
+                cast_c = src_c.cast(f.dataType)
+                sel.append(cast_c.alias(f.name))
+                # the reference REJECTS lossy casts (Arrow cast error);
+                # Spark's non-ANSI cast nulls them — detect and raise
+                checks.append(
+                    F.sum(
+                        F.when(src_c.isNotNull() & cast_c.isNull(), 1).otherwise(0)
+                    ).alias(f"cast__{f.name}")
+                )
+                if f.name.lower() in not_null:
+                    checks.append(
+                        F.sum(F.when(cast_c.isNull(), 1).otherwise(0)).alias(
+                            f"null__{f.name}"
+                        )
+                    )
+            else:
+                if f.name.lower() in not_null:
+                    raise ValueError(
+                        f"Invalid batch column at '{f.name}' has null but "
+                        "schema specifies non-nullable"
+                    )
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        if checks:
+            crow = src.agg(*checks).first()
+            for k, v in crow.asDict().items():
+                if v:
+                    kind, col = k.split("__", 1)
+                    if kind == "cast":
+                        raise ValueError(
+                            f"Cast error: cannot cast value to {col}'s type"
+                        )
+                    raise ValueError(
+                        f"Invalid batch column at '{col}' has null but "
+                        "schema specifies non-nullable"
+                    )
+        out = src.select(*sel)
+        if re.match(r"\s*\(?\s*VALUES\b", body, re.IGNORECASE):
+            out = out.coalesce(1)  # keep literal-row order in the file
+        n = out.count()
+        fmt, path, parts = sink["fmt"], sink["path"], sink["parts"]
+        if sink.get("single_file"):
+            if not sink.get("unbounded"):
+                # ListingTable rejects single-file inserts; only the
+                # StreamTable (UNBOUNDED) path appends to one file
+                raise ValueError(
+                    "Inserting into a ListingTable backed by a single file "
+                    "is not supported, URL is possibly missing a trailing "
+                    "`/`. To append to an existing file use StreamTable, "
+                    "e.g. by using CREATE UNBOUNDED EXTERNAL TABLE"
+                )
+            self._insert_single_file(target, out, sink)
+            self._reregister_external(target)
+            return self.spark.createDataFrame([(n,)], "count bigint")
+        if fmt == "arrow":
+            self._insert_external_arrow(out, path, parts)
+        else:
+            w = out.write.mode("append")
+            if fmt == "csv":
+                wopts = {"header": sink["header"], **sink.get("csv_lex", {})}
+                if sink.get("delim"):
+                    wopts["sep"] = sink["delim"]
+                w = w.options(**wopts)
+            if parts:
+                w = w.partitionBy(*parts)
+            w.format(fmt).save(path)
+        self._reregister_external(target)
+        return self.spark.createDataFrame([(n,)], "count bigint")
+
+    def _insert_single_file(self, target: str, out: DataFrame, sink) -> None:
+        """UNBOUNDED single-file sink: append the new rows to the one file
+        (StreamTable append semantics) via read-union-rewrite."""
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        fmt, path = sink["fmt"], sink["path"]
+        combined = out
+        if _os.path.isfile(path):
+            combined = self.table(target).unionAll(out)
+        wopts: dict = {}
+        if fmt == "csv":
+            wopts = {"header": sink["header"], **sink.get("csv_lex", {})}
+            if sink.get("delim"):
+                wopts["sep"] = sink["delim"]
+        tmp = path + ".__sink_tmp__"
+        combined.coalesce(1).write.mode("overwrite").options(**wopts).format(
+            fmt
+        ).save(tmp)
+        parts_files = sorted(_glob.glob(_os.path.join(tmp, "part-*")))
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        if _os.path.exists(path):
+            _os.remove(path)
+        if parts_files:
+            _shutil.move(parts_files[0], path)
+        else:
+            open(path, "w").close()
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    def _insert_external_arrow(self, out: DataFrame, path: str, parts) -> None:
+        """Arrow IPC sink files (interchange format — driver-materialized
+        like _copy_to_arrow; large exports should prefer parquet)."""
+        import os as _os
+
+        import pyarrow as _pa
+
+        def _write_one(df, d) -> None:
+            _os.makedirs(d, exist_ok=True)
+            seq = sum(1 for f in _os.listdir(d) if f.endswith(".arrow"))
+            tbl = df.toArrow()
+            with _pa.OSFile(_os.path.join(d, f"part-{seq}.arrow"), "wb") as fh:
+                with _pa.ipc.new_file(fh, tbl.schema) as w:
+                    w.write_table(tbl)
+
+        if not parts:
+            _write_one(out, path)
+            return
+        for r in out.select(*parts).distinct().collect():
+            sub, d = out, path
+            for p in parts:
+                sub = sub.filter(F.col(p) == r[p])
+                d = _os.path.join(d, f"{p}={r[p]}")
+            _write_one(sub.drop(*parts), d)
+
     def _sql_describe(self, name: str) -> DataFrame:
         """DataFusion's DESCRIBE: (column_name, data_type, is_nullable)
         with Arrow Debug type display and YES/NO nullability."""
@@ -2433,6 +2891,69 @@ class SessionContext:
         return self.spark.createDataFrame(
             rows, "column_name string, data_type string, is_nullable string"
         )
+
+    def _record_not_null(self, name: str, coldefs: str) -> None:
+        """Remember which columns of a CREATE TABLE (coldefs) declared
+        NOT NULL (managed storage loses nullability; see _not_null)."""
+        nn = set()
+        for d in _split_top_level(coldefs):
+            toks = d.strip().split()
+            if toks and re.search(r"\bNOT\s+NULL\b", d, re.IGNORECASE):
+                nn.add(toks[0].strip('"`').lower())
+        if nn:
+            self._not_null[name.lower()] = frozenset(nn)
+        else:
+            self._not_null.pop(name.lower(), None)
+
+    def _validate_insert(self, target: str, query: str, args) -> None:
+        """The reference's Insert planning checks, which Spark's native
+        INSERT lets through (insert.slt): duplicate names in the column
+        list, source/target column-count mismatch, and NULLs reaching a
+        declared NOT NULL column (missing from the column list, or
+        present in the inserted data)."""
+        m = re.match(
+            r"\s*INSERT\s+INTO\s+[A-Za-z_][A-Za-z0-9_]*\s*"
+            r"(?:\(([^)]*)\))?\s*(.*)$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return
+        collist, body = m.group(1), m.group(2).strip().rstrip(";")
+        schema_cols = [f.name.lower() for f in self.spark.table(target).schema]
+        names = (
+            [c.strip().strip('"`').lower() for c in collist.split(",")]
+            if collist
+            else schema_cols
+        )
+        if len(names) != len(set(names)):
+            dup = next(c for c in names if names.count(c) > 1)
+            raise ValueError(
+                f"Schema contains duplicate unqualified field name {dup}"
+            )
+        src = self._spark_sql(body, args)  # plan only — no job
+        if len(src.columns) != len(names):
+            raise ValueError("Column count doesn't match insert query!")
+        nn = self._not_null.get(target.lower(), frozenset())
+        if not nn:
+            return
+        for col in nn - set(names):
+            raise ValueError(
+                f"Invalid batch column at '{col}' has null but schema "
+                "specifies non-nullable"
+            )
+        checks = [
+            F.sum(F.when(src[src.columns[names.index(col)]].isNull(), 1)
+                  .otherwise(0)).alias(col)
+            for col in nn
+        ]
+        nulls = src.agg(*checks).first()
+        for col in nn:
+            if nulls[col]:
+                raise ValueError(
+                    f"Invalid batch column at '{col}' has null but schema "
+                    "specifies non-nullable"
+                )
 
     def _insert_coerced(self, target: str, query: str, args) -> None:
         """INSERT with the source cast to the target schema (see caller)."""
@@ -2492,6 +3013,178 @@ class SessionContext:
         ).saveAsTable(name)
         return self.spark.createDataFrame([], "result string")
 
+    # -- SET / SHOW statement layer (config.rs ConfigOptions; SET/SHOW
+    # planning in sql/src/planner.rs; set_variable.slt, options.slt,
+    # information_schema.slt SHOW sections) ------------------------------
+
+    def _require_info_schema(self, what: str) -> None:
+        if not self.settings.get_bool("datafusion.catalog.information_schema"):
+            raise ValueError(
+                f"Error during planning: {what} is not supported unless "
+                "information_schema is enabled"
+            )
+
+    def _show_df(self, rows, verbose: bool) -> DataFrame:
+        schema = (
+            "name string, value string, description string"
+            if verbose
+            else "name string, value string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def _sql_set_or_show(self, query: str):
+        """Handle SET / SHOW statements; returns a DataFrame when handled,
+        None to fall through to the rest of the dispatch.
+
+        Forms (each as in the reference): ``SET key TO|= value`` with the
+        typed validation in settings.py; ``SET TIME ZONE`` /
+        ``SET TIMEZONE`` as aliases for datafusion.execution.time_zone;
+        ``SHOW ALL [VERBOSE]``, ``SHOW <key> [VERBOSE]``, ``SHOW TIME
+        ZONE``, ``SHOW TABLES``, ``SHOW [FULL] COLUMNS FROM t`` — the SHOW
+        family requires datafusion.catalog.information_schema=true.
+        ``spark.*`` keys and Spark-native forms (bare ``SET``, ``SHOW
+        FUNCTIONS/DATABASES``) pass through to Spark untouched."""
+        q = query.strip().rstrip(";").strip()
+        m = re.match(
+            r"SET\s+TIME\s*ZONE\s*(?:TO\s+|=\s*)?(.+)$", q, re.IGNORECASE
+        )
+        if m:
+            self.settings.set("datafusion.execution.time_zone", m.group(1))
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(
+            r"SET\s+([A-Za-z_][\w.]*)\s*(?:TO\s+|=\s*)(.+)$",
+            q,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            key, value = m.group(1), m.group(2).strip()
+            if key.lower().startswith("spark."):
+                return self.spark.sql(q)  # native Spark conf
+            self.settings.set(key, value)  # raises on unknown namespace
+            return self.spark.createDataFrame([], "result string")
+        m = re.match(r"SHOW\s+(ALL|TIME\s*ZONE)\s*(VERBOSE)?$", q, re.IGNORECASE)
+        if m:
+            self._require_info_schema("SHOW [VARIABLE]")
+            verbose = bool(m.group(2))
+            if m.group(1).upper() == "ALL":
+                rows = (
+                    self.settings.verbose_rows() if verbose else self.settings.rows()
+                )
+            else:
+                tz = self.settings.get("datafusion.execution.time_zone")
+                name = "datafusion.execution.time_zone"
+                rows = [
+                    (name, tz, self.settings.describe("execution.time_zone"))
+                    if verbose
+                    else (name, tz)
+                ]
+            return self._show_df(rows, verbose)
+        m = re.match(r"SHOW\s+([A-Za-z_][\w]*(?:\.[\w]+)+)\s*(VERBOSE)?$", q, re.IGNORECASE)
+        if m:
+            key, verbose = m.group(1), bool(m.group(2))
+            if key.lower().startswith("spark."):
+                return self.spark.sql(q)
+            self._require_info_schema("SHOW [VARIABLE]")
+            name = "datafusion." + self.settings._suffix(key)
+            v = self.settings.get(key)
+            v = "NULL" if v is None else v
+            rows = [
+                (name, v, self.settings.describe(name.removeprefix("datafusion.")))
+                if verbose
+                else (name, v)
+            ]
+            return self._show_df(rows, verbose)
+        if re.match(r"SHOW\s+TABLES$", q, re.IGNORECASE):
+            self._require_info_schema("SHOW TABLES")
+            return self.information_schema_tables()
+        m = re.match(
+            r"SHOW\s+(FULL\s+)?COLUMNS\s+(?:FROM|IN)\s+(.+)$", q, re.IGNORECASE
+        )
+        if m:
+            self._require_info_schema("SHOW COLUMNS")
+            full, rest = bool(m.group(1)), m.group(2).strip()
+            if re.search(r"\b(LIKE|WHERE)\b", rest, re.IGNORECASE):
+                raise ValueError(
+                    "Error during planning: SHOW COLUMNS with WHERE or LIKE "
+                    "is not supported"
+                )
+            return self._show_columns(rest, full)
+        return None
+
+    def _resolve_user_table(self, ident: str) -> str:
+        """Resolve a possibly catalog/schema-qualified, possibly quoted
+        table identifier to the session table name. Unquoted identifiers
+        normalize to lowercase (sql_parser.enable_ident_normalization);
+        quoted ones are exact-case. Unknown → the reference's planning
+        error with the fully-qualified name."""
+        cat = self.settings.get("datafusion.catalog.default_catalog")
+        sch = self.settings.get("datafusion.catalog.default_schema")
+        parts = [
+            p[1:-1] if p[:1] in "\"`" else p.lower()
+            for p in re.findall(r'"[^"]*"|`[^`]*`|[^.]+', ident.strip())
+        ]
+        name = parts[-1]
+        known = {t.name for t in self._catalog_tables()}
+        if name not in known:
+            raise ValueError(
+                f"Error during planning: table '{cat}.{sch}.{name}' not found"
+            )
+        return name
+
+    def _ansi_columns_rows(self, names: list[str]) -> list[tuple]:
+        """information_schema.columns rows in the reference's 15-column
+        ANSI layout (information_schema.rs InformationSchemaColumns —
+        precision/radix per Arrow type: ints → bit width radix 2, Float32
+        24 / Float64 53 radix 2, Decimal(p,s) → p radix 10 scale s; Utf8 /
+        Binary character_octet_length i32::MAX)."""
+        cat = self.settings.get("datafusion.catalog.default_catalog")
+        sch = self.settings.get("datafusion.catalog.default_schema")
+        rows = []
+        for tname in names:
+            for i, f in enumerate(self.spark.table(tname).schema.fields):
+                arrow = _arrow_type_display(f.dataType)
+                char_octet = prec = radix = scale = None
+                if arrow in ("Utf8", "Binary"):
+                    char_octet = 2147483647
+                m_int = re.fullmatch(r"U?Int(8|16|32|64)", arrow)
+                if m_int:
+                    prec, radix = int(m_int.group(1)), 2
+                elif arrow == "Float32":
+                    prec, radix = 24, 2
+                elif arrow == "Float64":
+                    prec, radix = 53, 2
+                else:
+                    m_dec = re.fullmatch(r"Decimal\d*\((\d+),\s*(-?\d+)\)", arrow)
+                    if m_dec:
+                        prec, radix = int(m_dec.group(1)), 10
+                        scale = int(m_dec.group(2))
+                rows.append(
+                    (cat, sch, tname, f.name, i, None,
+                     "YES" if f.nullable else "NO", arrow,
+                     None, char_octet, prec, radix, scale, None, None)
+                )
+        return rows
+
+    _ANSI_COLUMNS_SCHEMA = (
+        "table_catalog string, table_schema string, table_name string, "
+        "column_name string, ordinal_position int, column_default string, "
+        "is_nullable string, data_type string, "
+        "character_maximum_length bigint, character_octet_length bigint, "
+        "numeric_precision bigint, numeric_precision_radix bigint, "
+        "numeric_scale bigint, datetime_precision bigint, interval_type string"
+    )
+
+    def _show_columns(self, ident: str, full: bool) -> DataFrame:
+        name = self._resolve_user_table(ident)
+        rows = self._ansi_columns_rows([name])
+        if full:
+            return self.spark.createDataFrame(rows, self._ANSI_COLUMNS_SCHEMA)
+        return self.spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[7], r[6]) for r in rows],
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, data_type string, is_nullable string",
+        )
+
     def _bind_information_schema(self, query: str) -> str:
         """SQL-queryable information_schema (information_schema.rs:45-54
         exposes tables / views / columns / df_settings / schemata):
@@ -2500,6 +3193,14 @@ class SessionContext:
         views). The helper views themselves (``__info_schema_*``) are
         internal and filtered out of every listing so results are not
         call-order dependent."""
+        # a fully-qualified 'datafusion.information_schema.X' reference is
+        # the same object (the reference's default catalog)
+        query = re.sub(
+            r"\bdatafusion\s*\.\s*(?=information_schema\s*\.)",
+            "",
+            query,
+            flags=re.IGNORECASE,
+        )
         shielded = _strip_strings(query)
 
         def _used(name: str) -> bool:
@@ -2509,19 +3210,25 @@ class SessionContext:
                 )
             )
 
+        if not self.settings.get_bool("datafusion.catalog.information_schema"):
+            first = next(
+                (n for n in ("tables", "columns", "views", "schemata",
+                             "df_settings") if _used(n)),
+                "tables",
+            )
+            cat = self.settings.get("datafusion.catalog.default_catalog")
+            raise ValueError(
+                f"Error during planning: table '{cat}.information_schema."
+                f"{first}' not found"
+            )
         if _used("tables"):
             self.information_schema_tables().createOrReplaceTempView(
                 "__info_schema_tables"
             )
         if _used("columns"):
-            rows = []
-            for t in self._catalog_tables():
-                for i, c in enumerate(self.spark.catalog.listColumns(t.name)):
-                    rows.append((t.name, c.name, i, c.dataType, c.nullable))
             self.spark.createDataFrame(
-                rows,
-                "table_name string, column_name string, ordinal_position int, "
-                "data_type string, is_nullable boolean",
+                self._ansi_columns_rows([t.name for t in self._catalog_tables()]),
+                self._ANSI_COLUMNS_SCHEMA,
             ).createOrReplaceTempView("__info_schema_columns")
         if _used("views"):
             self.information_schema_views().createOrReplaceTempView(
@@ -2535,6 +3242,16 @@ class SessionContext:
             self.information_schema_df_settings().createOrReplaceTempView(
                 "__info_schema_df_settings"
             )
+        # column refs qualified through the schema
+        # ('information_schema.tables.table_schema') resolve against the
+        # alias added below, so strip them down to '<view>.<col>' first
+        query = re.sub(
+            r"\binformation_schema\s*\.\s*"
+            r"(tables|columns|views|schemata|df_settings)\s*\.\s*(?=[A-Za-z_])",
+            r"\1.",
+            query,
+            flags=re.IGNORECASE,
+        )
         for name in ("tables", "columns", "views", "schemata", "df_settings"):
             query = re.sub(
                 rf"\binformation_schema\s*\.\s*{name}\b",
@@ -2542,6 +3259,16 @@ class SessionContext:
                 query,
                 flags=re.IGNORECASE,
             )
+        # a FROM/JOIN reference with no alias keeps its original table name
+        # visible to column refs ('tables.table_schema') — alias it back
+        query = re.sub(
+            r"\b(FROM|JOIN)(\s+)__info_schema_(\w+)"
+            r"(?=\s*(?:$|WHERE\b|GROUP\b|ORDER\b|JOIN\b|LEFT\b|RIGHT\b|"
+            r"INNER\b|CROSS\b|LIMIT\b|HAVING\b|UNION\b|;|\)|,))",
+            r"\1\2__info_schema_\3 AS \3",
+            query,
+            flags=re.IGNORECASE,
+        )
         return query
 
     def _sql_create_external(self, query: str) -> DataFrame:
@@ -2557,15 +3284,22 @@ class SessionContext:
         register_* method so DataFusion SQL scripts register tables
         unchanged; returns an empty 0-row frame like the reference."""
         head = re.match(
-            r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
-            r"(IF\s+NOT\s+EXISTS\s+)?"
+            r"\s*CREATE\s+(UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?"
             r"([A-Za-z_][A-Za-z0-9_]*)\s*",
             query,
             re.IGNORECASE,
         )
         if not head:
             raise ValueError(f"cannot parse CREATE EXTERNAL TABLE: {query[:80]!r}")
-        if_not_exists, name = bool(head.group(1)), head.group(2)
+        unbounded, name = bool(head.group(1)), head.group(2)
+        if_not_exists = bool(
+            re.match(
+                r"\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+IF\s+NOT\s+EXISTS\b",
+                query,
+                re.IGNORECASE,
+            )
+        )
         pos = head.end()
         cols = None
         if query[pos : pos + 1] == "(":  # balanced scan: types may nest parens
@@ -2596,13 +3330,117 @@ class SessionContext:
         ).lower() in ("true", "1")
         md = re.search(r"DELIMITER\s+'([^']+)'", rest, re.IGNORECASE)
         delim = md.group(1) if md else opts.get("format.delimiter", opts.get("delimiter"))
+        # CSV lexical options (file_format/csv.rs CsvOptions): quote /
+        # escape / comment map 1:1 onto Spark's CSV reader options
+        csv_lex: dict = {}
+        if "format.quote" in opts:
+            csv_lex["quote"] = opts["format.quote"]
+        if "format.escape" in opts:
+            csv_lex["escape"] = opts["format.escape"]
+        else:
+            # arrow's CSV dialect escapes quotes by DOUBLING ("") by
+            # default; univocity's default is backslash — pin to arrow's
+            csv_lex["escape"] = '"'
+        if "format.comment" in opts:
+            csv_lex["comment"] = opts["format.comment"]
         if if_not_exists and self.table_exist(name):
             return self.spark.createDataFrame([], "result string")
+        # object-store LOCATIONs: register credentials/scheme with Spark's
+        # Hadoop conf (datafusion-cli object_storage.rs parity)
+        path = self.register_object_store(path, opts)
         schema = _column_defs_to_ddl(cols) if cols else None
+        # External tables are INSERT sinks in the reference (FileSinkExec,
+        # datasource/file_format/write/orchestration.rs): record the sink
+        # shape, and allow registration over an EMPTY/missing location
+        # (files appear at first INSERT).
+        mp = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.IGNORECASE)
+        # PARTITIONED BY entries may be bare names or carry inline types
+        # ("PARTITIONED BY (a string, b string)") — the name is token 0
+        sink_parts = (
+            [
+                c.strip().strip("'\"").split()[0]
+                for c in mp.group(1).split(",")
+                if c.strip()
+            ]
+            if mp
+            else []
+        )
+        local = path[len("file://") :] if path.startswith("file://") else path
+        if not re.match(r"[A-Za-z][A-Za-z0-9+.-]*://", local) and fmt in (
+            "parquet",
+            "csv",
+            "json",
+            "ndjson",
+            "arrow",
+        ):
+            import os as _os
+
+            single_file = bool(
+                re.search(r"\.(csv|json|ndjson|parquet|arrow)$", local, re.IGNORECASE)
+            )
+            if schema and sink_parts:
+                # the reference moves partition columns to the END of the
+                # logical schema (insert_to_external.slt:159 'partitioned
+                # cols are moved to the end')
+                low = {p.lower() for p in sink_parts}
+                defs = _split_top_level(schema)
+                by_name = {d.strip().split()[0].lower(): d.strip() for d in defs}
+                data = [d for d in defs if d.strip().split()[0].lower() not in low]
+                parts_defs = [
+                    by_name.get(pn.lower(), f"{pn} STRING") for pn in sink_parts
+                ]
+                schema = ", ".join([d.strip() for d in data] + parts_defs)
+            not_null = (
+                {
+                    d.strip().split()[0].lower()
+                    for d in _split_top_level(cols)
+                    if re.search(r"\bNOT\s+NULL\b", d, re.IGNORECASE)
+                }
+                if cols
+                else set()
+            )
+            self._external_sinks[name] = {
+                "fmt": "json" if fmt == "ndjson" else fmt,
+                "path": local,
+                "schema": schema,
+                "header": header,
+                "delim": delim,
+                "csv_lex": csv_lex,
+                "parts": sink_parts,
+                "single_file": single_file,
+                "unbounded": unbounded,
+                "not_null": not_null,
+            }
+            has_files = _os.path.isfile(local) or (
+                _os.path.isdir(local)
+                and any(
+                    not f.startswith((".", "_"))
+                    for _, _, fs in _os.walk(local)
+                    for f in fs
+                )
+            )
+            if not has_files:
+                if schema is None:
+                    raise ValueError(
+                        "CREATE EXTERNAL TABLE over an empty location "
+                        f"requires a column list: {path!r}"
+                    )
+                if not single_file:
+                    _os.makedirs(local, exist_ok=True)
+                self.register_table(name, self.spark.createDataFrame([], schema))
+                self._track_path(
+                    name, local, lambda: self._reregister_external(name)
+                )
+                return self.spark.createDataFrame([], "result string")
+            if sink_parts:
+                # partitioned layout on disk: register through the sink
+                # reader (data schema minus partition cols + discovery)
+                self._reregister_external(name)
+                return self.spark.createDataFrame([], "result string")
         if fmt == "parquet":
             self.register_parquet(name, path)
         elif fmt == "csv":
-            kw: dict = {"header": header}
+            kw: dict = {"header": header, **csv_lex}
             if delim:
                 kw["sep"] = delim
             self.register_csv(name, path, schema=schema, **kw)
@@ -2633,7 +3471,10 @@ class SessionContext:
         """
         m = re.match(
             r"\s*COPY\s+(.+?)\s+TO\s+'([^']+)'"
-            r"(?:\s+STORED\s+AS\s+(\w+)|\s+FORMAT\s+(\w+))?\s*;?\s*$",
+            r"(?:\s+STORED\s+AS\s+(\w+)|\s+FORMAT\s+(\w+))?"
+            r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+            r"(?:\s+OPTIONS\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\))?"
+            r"\s*;?\s*$",
             query,
             re.IGNORECASE | re.DOTALL,
         )
@@ -2642,30 +3483,150 @@ class SessionContext:
         source, path, fmt = m.group(1).strip(), m.group(2), (
             m.group(3) or m.group(4) or ""
         ).lower()
+        part_cols = [
+            c.strip().strip("'\"") for c in (m.group(5) or "").split(",") if c.strip()
+        ]
+        # OPTIONS('k' 'v' | k v, ...) — values may be bare words/numbers
+        copts: dict[str, str] = {}
+        for item in _split_top_level(m.group(6) or ""):
+            toks = [a or b for a, b in re.findall(r"'([^']*)'|(\S+)", item)]
+            if len(toks) == 2:
+                copts[toks[0].lower()] = toks[1]
+            elif len(toks) == 1 and toks[0]:
+                copts[toks[0].lower()] = "true"
+            elif len(toks) > 2:
+                # non-literal option value (e.g. `row_group_size 55 + 102`)
+                # — the reference rejects these at plan time
+                raise ValueError(f"invalid COPY option value: {item.strip()!r}")
+        if copts.get("execution.keep_partition_by_columns", "").lower() not in (
+            "",
+            "true",
+            "false",
+        ):
+            raise ValueError("invalid execution.keep_partition_by_columns value")
         if not fmt:
-            # DataFusion infers the format from the target extension
-            ext = path.rsplit(".", 1)[-1].lower() if "." in path else "parquet"
+            # DataFusion infers the format from the target extension; a
+            # directory target without STORED AS is a plan-time error
+            # (copy.slt:156 'Format not explicitly set')
+            if "." not in path.rsplit("/", 1)[-1]:
+                raise ValueError(
+                    "Format not explicitly set and unable to get file "
+                    "extension! Use STORED AS to define file format."
+                )
+            ext = path.rsplit(".", 1)[-1].lower()
             fmt = {"csv": "csv", "json": "json", "ndjson": "json"}.get(ext, "parquet")
         if source.startswith("("):
             df = self._spark_sql(source[1:-1].strip(), args)
         else:
             df = self.table(source)
-        writer = df.write.mode("overwrite")
+        # COPY TO '<name>.<ext>' writes ONE FILE in the reference (a later
+        # directory-scan table over the parent must find real files, not
+        # Spark part-file directories): write a single-partition temp dir
+        # and move the part file to the target. Extension-less directory
+        # targets keep the distributed per-partition layout, and APPEND new
+        # files (the reference adds files to an existing directory;
+        # copy.slt:188 expects 2+4 = 6 rows after a second COPY).
+        single_file = bool(
+            re.search(r"\.(csv|json|ndjson|parquet|arrow)$", path, re.IGNORECASE)
+        ) and not re.match(r"[A-Za-z][A-Za-z0-9+.-]*://", path.replace("file://", ""))
+        # writer options from COPY OPTIONS (format.* namespace)
+        header = copts.get("format.has_header", "false").lower() in ("true", "1")
+        compression = copts.get("format.compression", "")
+        compression = re.sub(r"\(\d+\)$", "", compression).lower()  # zstd(10)→zstd
+        wopts: dict = {}
         if fmt == "csv":
-            writer = writer.option("header", True)
-        writer.format(fmt).save(path)
+            # DataFusion's CSV COPY writes NO header unless asked
+            # (csv_files.slt:142 / copy.slt:438 read back headerless)
+            wopts["header"] = header
+            if "format.delimiter" in copts:
+                wopts["sep"] = copts["format.delimiter"]
+            if "format.quote" in copts:
+                wopts["quote"] = copts["format.quote"]
+            # arrow's writer escapes quotes by DOUBLING unless double_quote
+            # is disabled with an explicit escape char; univocity's default
+            # is backslash-escaping, so pin escape accordingly
+            esc = copts.get("format.escape")
+            if copts.get("format.double_quote", "true").lower() != "false" or not esc:
+                esc = esc or '"'
+            wopts["escape"] = esc
+            # arrow does not quote fields that merely START with '#';
+            # univocity quotes comment-leading fields unless the writer's
+            # comment char is moved off '#'
+            wopts["comment"] = "\u0001"
+        if compression and compression != "uncompressed":
+            wopts["compression"] = compression
+        if fmt == "arrow":
+            self._copy_to_arrow(df, path, single_file)
+            n = df.count()
+            return self.spark.createDataFrame([(n,)], "count bigint")
+        writer_df = df.coalesce(1) if single_file else df
+        writer = writer_df.write.options(**wopts)
+        if part_cols:
+            if copts.get("execution.keep_partition_by_columns", "").lower() == "true":
+                raise NotImplementedError(
+                    "keep_partition_by_columns: Spark's partitioned writer "
+                    "always factors partition columns into the directory key"
+                )
+            writer = writer.partitionBy(*part_cols)
+        if single_file:
+            import glob as _glob
+            import os as _os
+            import shutil as _shutil
+
+            local = path[len("file://") :] if path.startswith("file://") else path
+            tmp = local + ".__copy_tmp__"
+            writer.mode("overwrite").format(fmt).save(tmp)
+            parts = sorted(_glob.glob(_os.path.join(tmp, "part-*")))
+            _os.makedirs(_os.path.dirname(local) or ".", exist_ok=True)
+            if _os.path.isdir(local):
+                _shutil.rmtree(local)
+            if parts:
+                _shutil.move(parts[0], local)
+            else:  # empty result: emit an empty file like the reference
+                open(local, "w").close()
+            _shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            writer.mode("append").format(fmt).save(path)
+        # tables registered over this path (or a parent directory) hold a
+        # file listing pinned at registration — re-register them so they
+        # see the new files (the reference's ListingTable re-lists per
+        # query)
+        self._refresh_path_tables(path)
         # row count from the WRITTEN files (parquet: footer metadata only),
         # not a re-execution of the source query. Empty csv/json results
         # write no data files and defeat schema inference — fall back to
         # executing the source's count (DataFusion returns count=0 there).
-        reader = self.spark.read
-        if fmt == "csv":
-            reader = reader.option("header", True)
+        # Directory targets may contain PRE-EXISTING files (append) — count
+        # the source there instead of the whole directory.
+        if not single_file:
+            return self.spark.createDataFrame([(df.count(),)], "count bigint")
+        reader = self.spark.read.options(**wopts)
         try:
             n = reader.format(fmt).load(path).count()
         except Exception:
             n = df.count()
         return self.spark.createDataFrame([(n,)], "count bigint")
+
+    def _copy_to_arrow(self, df: DataFrame, path: str, single_file: bool) -> None:
+        """COPY ... STORED AS ARROW → one Arrow IPC file (the reference's
+        ArrowWriter also emits a single stream per target). Arrow is the
+        interchange sink — materialized via the driver like the reference's
+        single-writer sink; large exports should prefer parquet."""
+        import os as _os
+
+        import pyarrow as _pa
+
+        local = path[len("file://") :] if path.startswith("file://") else path
+        tbl = df.toArrow()
+        if single_file:
+            target = local
+            _os.makedirs(_os.path.dirname(local) or ".", exist_ok=True)
+        else:
+            _os.makedirs(local, exist_ok=True)
+            target = _os.path.join(local, "part-0.arrow")
+        with _pa.OSFile(target, "wb") as f:
+            with _pa.ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
 
     def _sql_recursive(self, query: str, args=None) -> DataFrame:
         """Evaluate ``WITH RECURSIVE c1 AS (...), c2 AS (...) <select>``.
@@ -2691,6 +3652,33 @@ class SessionContext:
                 shadowed.append((name, prev))
                 if re.search(rf"\b{re.escape(name)}\b", _strip_strings(body)):
                     base_sql, step_sql, distinct = _split_recursive_union(body)
+                    # Multiple table references to the recursive CTE inside
+                    # its own step are rejected, exactly like the reference
+                    # (recursive_query.rs: "Multiple recursive references to
+                    # the same CTE are not supported"). Semantically they'd
+                    # need per-iteration self-joins; operationally each
+                    # composed step would embed the frontier plan TWICE, so
+                    # the unrolled plan grows 2^k — exponential analysis.
+                    step_shielded = _strip_strings(step_sql)
+                    refs = len(
+                        re.findall(
+                            rf"\b(?:FROM|JOIN)\s+{re.escape(name)}\b",
+                            step_shielded,
+                            re.IGNORECASE,
+                        )
+                    ) + len(
+                        re.findall(
+                            rf",\s*{re.escape(name)}\b(?!\s*\()",
+                            step_shielded,
+                            re.IGNORECASE,
+                        )
+                    )
+                    if refs > 1:
+                        raise ValueError(
+                            "This feature is not implemented: Multiple "
+                            "recursive references to the same CTE are not "
+                            "supported"
+                        )
                     base = self._spark_sql(base_sql, args)
                     if cols:
                         base = base.toDF(*cols)
@@ -2732,27 +3720,36 @@ class SessionContext:
             if not t.name.startswith("__info_schema_")
         ]
 
+    _INFO_SCHEMA_VIEWS = ("columns", "df_settings", "schemata", "tables", "views")
+
     def information_schema_tables(self) -> DataFrame:
-        """information_schema.tables emulation over the session catalog."""
+        """information_schema.tables (information_schema.rs
+        InformationSchemaTables): the five information_schema views under
+        the ``information_schema`` schema, then every catalog object under
+        the default schema — BASE TABLE or VIEW, displayed under the
+        configured default_catalog/default_schema names the way the
+        reference displays its catalog tree."""
+        cat = self.settings.get("datafusion.catalog.default_catalog")
+        sch = self.settings.get("datafusion.catalog.default_schema")
         rows = [
-            (t.catalog or "spark_catalog", t.namespace[0] if t.namespace else "default",
-             t.name, t.tableType)
-            for t in self._catalog_tables()
+            (cat, "information_schema", v, "VIEW") for v in self._INFO_SCHEMA_VIEWS
         ]
+        for t in self._catalog_tables():
+            kind = (
+                "VIEW"
+                if t.tableType == "VIEW" or t.name in self._view_defs
+                else "BASE TABLE"
+            )
+            rows.append((cat, sch, t.name, kind))
         return self.spark.createDataFrame(
             rows, "table_catalog string, table_schema string, table_name string, "
             "table_type string",
         )
 
     def information_schema_columns(self, table: str) -> DataFrame:
-        """information_schema.columns emulation for one table."""
-        rows = [
-            (table, c.name, i, c.dataType, c.nullable)
-            for i, c in enumerate(self.spark.catalog.listColumns(table))
-        ]
+        """information_schema.columns for one table (ANSI 15-column layout)."""
         return self.spark.createDataFrame(
-            rows, "table_name string, column_name string, ordinal_position int, "
-            "data_type string, is_nullable boolean",
+            self._ansi_columns_rows([table]), self._ANSI_COLUMNS_SCHEMA
         )
 
     def information_schema_views(self) -> DataFrame:
@@ -2764,10 +3761,10 @@ class SessionContext:
         # (_view_defs) or catalog VIEW entries — register_table'd fixtures
         # are temp views underneath but are TABLES to the user, and the
         # reference's ViewsTable (information_schema.rs) lists only views.
+        cat = self.settings.get("datafusion.catalog.default_catalog")
+        sch = self.settings.get("datafusion.catalog.default_schema")
         rows = [
-            (t.catalog or "spark_catalog",
-             t.namespace[0] if t.namespace else "default",
-             t.name, self._view_defs.get(t.name))
+            (cat, sch, t.name, self._view_defs.get(t.name))
             for t in self._catalog_tables()
             if t.tableType == "VIEW" or t.name in self._view_defs
         ]
@@ -2777,22 +3774,33 @@ class SessionContext:
         )
 
     def information_schema_schemata(self) -> DataFrame:
-        """information_schema.schemata (information_schema.rs SchemataTable)
-        over the catalog's databases."""
-        rows = [
-            (d.catalog or "spark_catalog", d.name, None)
-            for d in self.spark.catalog.listDatabases()
-        ]
+        """information_schema.schemata (information_schema.rs
+        SchemataTable): one row for the default schema, plus one per
+        user-created schema (CREATE SCHEMA → Spark database). Spark's
+        ``default`` database and the session's current database both
+        present as the configured default_schema — they are the same
+        "public" schema role; other databases keep their names."""
+        cat = self.settings.get("datafusion.catalog.default_catalog")
+        sch = self.settings.get("datafusion.catalog.default_schema")
+        current = self.spark.catalog.currentDatabase()
+        names = [sch]
+        for d in self.spark.catalog.listDatabases():
+            if d.name not in ("default", current):
+                names.append(d.name)
+        rows = [(cat, n, None, None, None, None, None) for n in names]
         return self.spark.createDataFrame(
-            rows, "catalog_name string, schema_name string, schema_owner string",
+            rows, "catalog_name string, schema_name string, schema_owner string, "
+            "default_character_set_catalog string, "
+            "default_character_set_schema string, "
+            "default_character_set_name string, sql_path string",
         )
 
     def information_schema_df_settings(self) -> DataFrame:
         """information_schema.df_settings (information_schema.rs
         DfSettingsTable — the engine's live config as a (name, value)
-        table). Spark analog: the session's SQL conf via ``SET``."""
-        return self.spark.sql("SET").selectExpr(
-            "key AS name", "value"
+        table), served from the DataFusion-compatible settings registry."""
+        return self.spark.createDataFrame(
+            self.settings.rows(), "name string, value string"
         )
 
     def describe_table(self, name: str) -> DataFrame:

@@ -454,10 +454,14 @@ def _array_slice(a, frm, to, *stride) -> Column:
 
 
 def _array_has(a, v) -> Column:
-    """array_has: false whenever no match — incl. NULL needle and arrays
-    containing NULL (array.slt:4976 expects false; Spark's array_contains
-    yields NULL in both cases)."""
-    return F.coalesce(F.array_contains(_c(a), _c(v)), F.lit(False))
+    """array_has: NULL for a NULL array input; otherwise false whenever no
+    match — incl. NULL needle and arrays containing NULL (array.slt:4976
+    expects false; Spark's array_contains yields NULL in both cases).
+    Mirrors the SQL rewrite in context.py so both surfaces agree."""
+    a = _c(a)
+    return F.when(a.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.coalesce(F.array_contains(a, _c(v)), F.lit(False))
+    )
 
 
 def _array_position(a, v, *frm) -> Column:

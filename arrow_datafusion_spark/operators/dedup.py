@@ -294,6 +294,11 @@ def minhash_near_duplicates(
 
 _JAC_UDFS: dict[tuple, "object"] = {}
 
+# Cap on the candidate-doc TEXT bytes we are willing to broadcast to every
+# executor (aligned with the order of spark.sql.autoBroadcastJoinThreshold
+# defaults scaled for a deliberate, measured broadcast).
+_BROADCAST_TEXT_BYTES_CAP = 64 * 1024 * 1024
+
 
 def _verify_pairs_jaccard(
     pairs: DataFrame,
@@ -324,6 +329,20 @@ def _verify_pairs_jaccard(
         id_col,
         "left_semi",
     )
+    # The candidate-doc set is consumed at least twice (side a, side b) and
+    # its parent subtree (scan + distinct + semi-join) is the expensive
+    # part, so materialize it ONCE up front — disk-backed, linear in the
+    # candidate set, never the corpus. The broadcast decision is then gated
+    # on the BYTES of what would actually be broadcast — the candidate-doc
+    # TEXT — not the pair count: 1M pairs can reference 2M distinct docs at
+    # ~KB of text each, a multi-GB broadcast that would OOM executors. The
+    # byte measure is an aggregate over the already-materialized partitions
+    # (no recompute of the semi-join subtree).
+    cand_docs = cand_docs.localCheckpoint(eager=True)
+    stats = cand_docs.agg(
+        F.sum(F.octet_length(F.col(text_col).cast("string"))).alias("bytes")
+    ).first()
+    small = (stats["bytes"] or 0) <= _BROADCAST_TEXT_BYTES_CAP
     a = cand_docs.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a")
     )
@@ -375,14 +394,14 @@ def _verify_pairs_jaccard(
     # (AQE would coalesce the tiny-by-bytes pair set to one partition) and
     # gives batches cache locality.
     spread = pairs.repartition(_parallelism(df), "doc_a")
-    # Candidate-doc texts: BROADCAST both sides when the pair set is small
-    # enough that the semi-joined doc set must be too (callers pass a
-    # checkpointed `pairs`, so this count is a metadata read). The planner
-    # won't pick this itself — the semi-join ruins its size estimate and it
-    # falls back to shuffling the a-joined result (text_a!) by doc_b,
-    # ~120 MB at sf0.1 and 2× the verify wall-clock. Above the limit
-    # (corpus-scale candidate sets) the shuffle join is the correct shape.
-    if pairs.count() <= 1_000_000:
+    # Candidate-doc texts: BROADCAST both sides when the measured byte size
+    # of the semi-joined text set fits comfortably in executor memory. The
+    # planner won't pick this itself — the semi-join ruins its size
+    # estimate and it falls back to shuffling the a-joined result
+    # (text_a!) by doc_b, ~120 MB at sf0.1 and 2× the verify wall-clock.
+    # Above the cap (corpus-scale candidate sets) the shuffle join is the
+    # correct shape.
+    if small:
         a, b = F.broadcast(a), F.broadcast(b)
     return (
         spread.join(a, "doc_a")

@@ -236,12 +236,16 @@ def sql_copy_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated — a broken writer or a wrong written row set shows up
     against the fixture-side oracle."""
     import os
+    import shutil
     import tempfile
 
     ctx = _ctx(spark, sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), f"adfspark-{os.getpid()}", "orders_copy"
     )
+    # COPY TO a directory APPENDS files (reference semantics) — re-runs in
+    # the same process must start from an empty target
+    shutil.rmtree(path, ignore_errors=True)
     copied = ctx.sql(
         f"""COPY (SELECT o_orderkey, o_orderstatus, o_totalprice
                  FROM orders WHERE o_totalprice > 150000)

@@ -76,6 +76,12 @@ def build_spark(app: str = "arrow-datafusion-spark", cpus: int | None = None) ->
     )
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)
+    # static extra confs (k=v;k=v) — used by the test harness to give each
+    # concurrent pytest shard a private warehouse/metastore
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            b = b.config(k, v)
     return b.getOrCreate()
 
 

@@ -27,6 +27,7 @@ point it at their own .slt suites (``run_slt_file(ctx, path)``).
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -80,6 +81,17 @@ def parse_slt(text: str) -> list[Record]:
             kind = "statement_ok" if m.group(1) == "ok" else "statement_error"
             start = i
             i += 1
+            # tolerate blank lines between the directive and its SQL
+            # (arrow_files.slt:21 — the reference harness accepts this) —
+            # but never swallow a comment or the next record's directive
+            j = i
+            while j < n and not lines[j].strip():
+                j += 1
+            if j < n and not re.match(
+                r"#|statement\s|query\s|halt$|onlyif|skipif|control|hash-threshold",
+                lines[j].strip(),
+            ):
+                i = j
             sql_lines: list[str] = []
             while i < n and lines[i].strip() and not lines[i].startswith("----"):
                 sql_lines.append(lines[i])
@@ -267,12 +279,33 @@ def _ts_key(s: str):
     return (m.group(1), m.group(2), (m.group(3) or "").ljust(9, "0"))
 
 
+# Set per-file by run_slt_file: True only when the .slt file involves
+# Float32 data (FLOAT/REAL columns, arrow_cast to Float32, or the
+# aggregate_test_100 fixture whose c11 column is Float32). Files with no
+# f32 surface get strict f64 comparison — see _values_equal.
+_F32_FILE = True
+
+
 def _values_equal(exp: str, act: str, code: str) -> bool:
     if exp == act:
         return True
     tk_e, tk_a = _ts_key(exp), _ts_key(act)
     if tk_e is not None and tk_a is not None:
         return tk_e == tk_a
+    if exp.startswith("{") and exp.endswith("}") and act.startswith("{") and (
+        act.endswith("}")
+    ):
+        # struct cells: strip field names (reference names positionally c0,
+        # c1, … while Spark propagates source names) and compare the field
+        # VALUES element-wise so numeric tolerance applies inside structs
+        strip = lambda s: re.sub(  # noqa: E731
+            r"([{,]\s*)[A-Za-z_][A-Za-z0-9_]*:\s*", r"\1", s
+        )
+        es = [e.strip() for e in _split_array_items(strip(exp)[1:-1])]
+        as_ = [a.strip() for a in _split_array_items(strip(act)[1:-1])]
+        return len(es) == len(as_) and all(
+            _values_equal(e, a, "?") for e, a in zip(es, as_)
+        )
     if exp.startswith("[") and exp.endswith("]") and act.startswith("[") and (
         act.endswith("]")
     ):
@@ -301,9 +334,12 @@ def _values_equal(exp: str, act: str, code: str) -> bool:
             # displays f32 columns at f32 precision (shortest round-trip,
             # ≤9 significant digits); this engine widens to f64. When the
             # EXPECTED cell carries ≤9 significant digits, equality at f32
-            # granularity is exactly "the same f32 value".
+            # granularity is exactly "the same f32 value". Gated on the
+            # FILE actually involving Float32 columns (_F32_FILE, set by
+            # run_slt_file) so genuine f64 divergences in f32-free files
+            # are not masked by the looser granularity.
             digits = exp.replace("-", "").replace(".", "").lstrip("0")
-            if len(digits) <= 9 and "e" not in exp.lower():
+            if _F32_FILE and len(digits) <= 9 and "e" not in exp.lower():
                 import struct
 
                 as_f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
@@ -343,14 +379,74 @@ _SPARK_TYPE_RE = re.compile(
 )
 
 
+def _arrow_type_family(t: str) -> str | None:
+    """Coarse family of an Arrow type display name, for the documented
+    §1.2 coercion-divergence whitelist below."""
+    if re.fullmatch(r"U?Int(8|16|32|64)", t):
+        return "int"
+    if re.fullmatch(r"Float(16|32|64)", t):
+        return "float"
+    if t.startswith("Decimal"):
+        return "decimal"
+    if t in ("Utf8", "LargeUtf8", "Utf8View"):
+        return "utf8"
+    if t.startswith("Dictionary("):
+        # dictionary is an ENCODING: Dictionary(K, V) is logically V —
+        # Spark has no dictionary type, so compare as the value type's
+        # family (e.g. Dictionary(Int64, Int32) vs Int32 is documented)
+        inner = t[len("Dictionary(") : -1]
+        value = inner.split(",", 1)[1].strip() if "," in inner else inner
+        return _arrow_type_family(value)
+    if t.startswith("Timestamp("):
+        return "timestamp"
+    if t.startswith(("Time32(", "Time64(")):
+        return "time"
+    if t in ("Date32", "Date64"):
+        return "date"
+    if t.startswith(("List(", "LargeList(", "FixedSizeList(")):
+        return "list"
+    if t.startswith(("Interval(", "Duration(")):
+        return "interval"
+    if t in ("Binary", "LargeBinary", "BinaryView"):
+        return "binary"
+    return None
+
+
+# Arrow-name pairs that the §1.2 policies actually document as coercion
+# divergences (literal/width typing, unsigned widening, f32→f64 widening,
+# ns→µs truncation, Large*/FixedSize* container flavors, decimal-vs-float
+# result typing for avg/division). ANY other Arrow-vs-Arrow mismatch —
+# e.g. Int64 vs Float64 from a broken coercion — is a genuine failure.
+_COERCION_FAMILY_OK = {
+    ("int", "int"),
+    ("float", "float"),
+    ("utf8", "utf8"),
+    ("timestamp", "timestamp"),
+    ("time", "time"),
+    ("date", "date"),
+    ("list", "list"),
+    ("interval", "interval"),
+    ("decimal", "decimal"),
+    ("float", "decimal"),
+    ("decimal", "float"),
+    ("binary", "binary"),
+}
+
+
 def _is_type_divergence(ev: str, av: str) -> bool:
     # expected Arrow name vs our Spark name — display divergence; OR two
-    # DIFFERENT Arrow names (e.g. coalesce(int, decimal) widens to Float64
-    # in the reference, DECIMAL in Spark) — a §1.2 coercion-rule
-    # divergence. Value cells still compare strictly either way.
-    return bool(_ARROW_TYPE_RE.match(ev)) and (
-        bool(_SPARK_TYPE_RE.match(av)) or bool(_ARROW_TYPE_RE.match(av))
-    )
+    # DIFFERENT Arrow names from a WHITELISTED coercion family pair (e.g.
+    # avg(decimal) is Float64 in the reference, DECIMAL in Spark) — a
+    # documented §1.2 coercion-rule divergence. Arrow-vs-Arrow mismatches
+    # outside the whitelist (e.g. Int64 vs Float64) fail. Value cells
+    # still compare strictly either way.
+    if not _ARROW_TYPE_RE.match(ev):
+        return False
+    if _ARROW_TYPE_RE.match(av):
+        return (_arrow_type_family(ev), _arrow_type_family(av)) in (
+            _COERCION_FAMILY_OK
+        )
+    return bool(_SPARK_TYPE_RE.match(av))
 
 
 def _split_array_items(s: str) -> list[str]:
@@ -528,6 +624,11 @@ def _resolve_rel_paths(sql: str, base_dir: str | None) -> str:
     if base_dir is None:
         return sql
 
+    # TO '<path>' only appears in COPY statements — rewriting TO in other
+    # statements would mangle SET ... TO '<value>' assignments
+    if not re.match(r"\s*(?:COPY|CREATE)\b", sql, re.IGNORECASE):
+        return sql
+
     def fix(m: "re.Match[str]") -> str:
         p = m.group(2)
         if p.startswith(("/", "file:", "s3", "hdfs:")) or p.startswith(
@@ -537,6 +638,24 @@ def _resolve_rel_paths(sql: str, base_dir: str | None) -> str:
         import os as _os
 
         full = _os.path.normpath(_os.path.join(base_dir, p))
+        if not _os.path.exists(full) and "/parquet-testing/data/" in full:
+            alt = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "tests", "fixtures", "parquet_gen", _os.path.basename(full),
+            )
+            if _os.path.exists(alt):
+                full = alt
+        if not _os.path.exists(full) and "/testing/data/avro/" in full:
+            # the reference's `testing` submodule is not checked out —
+            # tests/avro_fixtures.py re-materializes these files (same
+            # rows/schemas/codecs, reconstructed from the reference's own
+            # expected outputs); substitute the generated copy
+            alt = _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "tests", "fixtures", "avro_gen", _os.path.basename(full),
+            )
+            if _os.path.exists(alt):
+                full = alt
         if not _os.path.exists(full) and _os.path.basename(full) == (
             "aggregate_test_100.csv"
         ):
@@ -585,11 +704,41 @@ def run_slt_file(
     table names like ``t1`` across files; managed tables would otherwise
     collide and leave warehouse residue across runs)."""
     with open(path) as f:
-        records = parse_slt(f.read())
+        text = f.read()
+    records = parse_slt(text)
+    global _F32_FILE
+    _F32_FILE = bool(
+        re.search(r"Float32|\bFLOAT\b|\bREAL\b|\bc11\b|aggregate_test_100", text)
+    )
     base = _slt_base_dir(path)
     for rec in records:
-        rec.sql = _float_literals_to_double(_resolve_rel_paths(rec.sql, base))
+        rec.sql = _resolve_rel_paths(rec.sql, base)
     rep = SltReport(path)
+    # directory COPY targets APPEND files (reference semantics) — start
+    # each file run from a clean per-file scratch dir (the reference
+    # harness does the same for its test_files/scratch/<stem> convention)
+    import shutil as _shutil
+
+    stem = path.rsplit("/", 1)[-1].removesuffix(".slt")
+    _shutil.rmtree(os.path.join("test_files", "scratch", stem), ignore_errors=True)
+    # settings-mapped Spark confs a file may change via SET (settings.py
+    # _apply): snapshot and restore so one file's SET (e.g. batch_size=1,
+    # target_partitions=3) can't bleed into every later file on the shared
+    # session
+    _MAPPED_CONFS = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.join.preferSortMergeJoin",
+        "spark.sql.parquet.compression.codec",
+    )
+    conf_before = {}
+    for k in _MAPPED_CONFS:
+        try:
+            conf_before[k] = ctx.spark.conf.get(k)
+        except Exception:
+            conf_before[k] = None
     db = None
     views_before: set[str] = set()
     if isolate:
@@ -608,6 +757,14 @@ def run_slt_file(
     try:
         _run_records(ctx, records, rep, stop_on_fail)
     finally:
+        for k, v in conf_before.items():
+            try:
+                if v is None:
+                    ctx.spark.conf.unset(k)
+                else:
+                    ctx.spark.conf.set(k, v)
+            except Exception:
+                pass
         if db:
             for t in ctx.spark.catalog.listTables():
                 if t.tableType == "TEMPORARY" and t.name not in views_before:
@@ -640,10 +797,27 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
         finally:
             t.cancel()
 
+    def _effective_sql(sql: str) -> str:
+        """The decimal-literal→DOUBLE rewrite is a DIALECT normalization
+        (the reference parser types bare decimal literals Float64 by
+        default) — it must not touch SET/SHOW statement values, and it
+        turns itself off while datafusion.sql_parser.parse_float_as_decimal
+        is set (then Spark's native DECIMAL literal typing is exactly the
+        reference's configured behavior — options.slt:112+)."""
+        if re.match(r"\s*(SET|SHOW)\b", sql, re.IGNORECASE):
+            return sql
+        settings = getattr(ctx, "settings", None)
+        if settings is not None and settings.get_bool(
+            "datafusion.sql_parser.parse_float_as_decimal"
+        ):
+            return sql
+        return _float_literals_to_double(sql)
+
     for rec in records:
+        sql = _effective_sql(rec.sql)
         if rec.kind == "statement_error":
             try:
-                run_bounded(lambda: ctx.sql(rec.sql).collect())
+                run_bounded(lambda: ctx.sql(sql).collect())
                 rep.divergences += 1  # we accept what the reference rejects
             except Exception:
                 rep.passed += 1
@@ -652,7 +826,7 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             try:
 
                 def _stmt():
-                    df = ctx.sql(rec.sql)
+                    df = ctx.sql(sql)
                     if df is not None:
                         df.collect()
 
@@ -667,6 +841,12 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             rep.skipped += 1  # plan text is engine-specific by definition
             rep.skips.append(f"{rec.line}: EXPLAIN (plan text engine-specific)")
             continue
+        if re.match(r"\s*SHOW\s+CREATE\s+TABLE\b", rec.sql, re.IGNORECASE):
+            # catalog-row display (catalog/schema names, DDL text) is
+            # engine-specific like EXPLAIN output
+            rep.skipped += 1
+            rep.skips.append(f"{rec.line}: SHOW CREATE TABLE (engine-specific)")
+            continue
         if "\\" in rec.sql:
             # lexical divergence: the reference does NOT process backslash
             # escapes in '...' literals (Postgres rules); Spark does
@@ -675,7 +855,7 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             continue
         try:
             rows = run_bounded(
-                lambda: [tuple(r) for r in ctx.sql(rec.sql).collect()]
+                lambda: [tuple(r) for r in ctx.sql(sql).collect()]
             )
         except Exception as exc:
             rep.skipped += 1
@@ -686,8 +866,12 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             verdict not in (None, "hash-form", "type-divergence")
             and rec.sort_mode is None
             and len(rec.expected) > 1
-            and not re.search(r"\bORDER\s+BY\b", rec.sql, re.IGNORECASE)
+            and not _has_top_level_order_by(rec.sql)
         ):
+            # ORDER BY inside an aggregate/window call (FIRST_VALUE(c
+            # ORDER BY …), ARRAY_AGG(x ORDER BY …)) does NOT order the
+            # result rows — only a top-level ORDER BY disables the
+            # multiset fallback
             # no ORDER BY and no sort directive: the expected block encodes
             # the reference's natural (insertion/scan) order, which no other
             # engine can promise — compare as a multiset instead

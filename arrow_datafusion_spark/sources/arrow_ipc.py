@@ -25,11 +25,37 @@ def _list_files(path: str) -> list[str]:
     import os as _os
 
     files = sorted(
-        _glob.glob(_os.path.join(path, "*.arrow")) if _os.path.isdir(path) else [path]
+        _glob.glob(_os.path.join(path, "**", "*.arrow"), recursive=True)
+        if _os.path.isdir(path)
+        else [path]
     )
     if not files:
         raise ValueError(f"no .arrow files under {path!r}")
     return files
+
+
+def _partition_columns(base: str, files: list[str]) -> dict[str, dict[str, object]]:
+    """Hive-style ``key=value`` directory partitioning (the reference's
+    ListingTable partition discovery, datasource/listing/table.rs): map
+    partition key → {file → typed value}. Values that all parse as ints
+    surface as int64 columns (DataFusion infers partition value types),
+    everything else as strings."""
+    import os as _os
+
+    per_key: dict[str, dict[str, str]] = {}
+    for f in files:
+        rel = _os.path.relpath(f, base)
+        for seg in rel.split(_os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                per_key.setdefault(k, {})[f] = v
+    out: dict[str, dict[str, object]] = {}
+    for k, vals in per_key.items():
+        try:
+            out[k] = {f: int(v) for f, v in vals.items()}
+        except ValueError:
+            out[k] = dict(vals)
+    return out
 
 
 def write_arrow_partitioned(df, path: str) -> None:
@@ -148,30 +174,50 @@ try:  # Python Data Source API (Spark 4+)
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _IpcBatch(InputPartition):
-        def __init__(self, path: str, batch: int):
-            self.path, self.batch = path, batch
+        def __init__(self, path: str, batch: int, part_vals: tuple):
+            self.path, self.batch, self.part_vals = path, batch, part_vals
 
     class _IpcReader(DataSourceReader):
         def __init__(self, options):
-            self.files = _list_files(options["path"])
+            self.base = options["path"]
+            self.files = _list_files(self.base)
+            self.part_cols = _partition_columns(self.base, self.files)
 
         def partitions(self):
             import pyarrow.ipc as ipc
 
             parts = []
             for f in self.files:
+                pv = tuple(
+                    (k, vals.get(f)) for k, vals in sorted(self.part_cols.items())
+                )
                 with ipc.open_file(f) as r:
-                    parts.extend(_IpcBatch(f, i) for i in range(r.num_record_batches))
+                    parts.extend(
+                        _IpcBatch(f, i, pv) for i in range(r.num_record_batches)
+                    )
             return parts
 
         def read(self, partition: _IpcBatch):
+            import pyarrow as pa
             import pyarrow.ipc as ipc
 
             # Yield the RecordBatch itself — the Python Data Source API
             # ships Arrow batches to the JVM without per-row Python object
             # conversion, keeping the scan Arrow-native end to end.
             with ipc.open_file(partition.path) as r:
-                yield _coerce_batch(r.get_batch(partition.batch))
+                batch = _coerce_batch(r.get_batch(partition.batch))
+            if partition.part_vals:
+                # hive-partitioned layout: append the directory-derived
+                # partition values as constant columns (ListingTable
+                # appends partition columns after the file columns)
+                arrays = list(batch.columns)
+                names = list(batch.schema.names)
+                for k, v in partition.part_vals:
+                    t = pa.int64() if isinstance(v, int) else pa.string()
+                    arrays.append(pa.array([v] * batch.num_rows, type=t))
+                    names.append(k)
+                batch = pa.RecordBatch.from_arrays(arrays, names=names)
+            yield batch
 
     class ArrowIpcDataSource(DataSource):
         """``spark.read.format("arrow_ipc").load(path)`` — one Spark task
@@ -182,11 +228,23 @@ try:  # Python Data Source API (Spark 4+)
             return "arrow_ipc"
 
         def schema(self):
+            import pyarrow as pa
             import pyarrow.ipc as ipc
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            with ipc.open_file(_list_files(self.options["path"])[0]) as r:
-                return from_arrow_schema(_coerce_schema(r.schema))
+            files = _list_files(self.options["path"])
+            with ipc.open_file(files[0]) as r:
+                sch = _coerce_schema(r.schema)
+            for k, vals in sorted(
+                _partition_columns(self.options["path"], files).items()
+            ):
+                t = (
+                    pa.int64()
+                    if all(isinstance(v, int) for v in vals.values())
+                    else pa.string()
+                )
+                sch = sch.append(pa.field(k, t))
+            return from_arrow_schema(sch)
 
         def reader(self, schema):
             return _IpcReader(self.options)

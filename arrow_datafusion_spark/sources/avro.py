@@ -72,6 +72,98 @@ def _read_long(buf: io.BytesIO) -> int:
         shift += 7
 
 
+def _compress(codec: str, payload: bytes) -> bytes:
+    """Block compression, per the Avro 1.x codec registry (null, deflate,
+    bzip2, xz, snappy, zstandard — the same set apache-avro gives the
+    reference's AvroExec). snappy appends a 4-byte big-endian CRC32 of the
+    UNCOMPRESSED data per the spec; zstd/snappy route through pyarrow's
+    bundled codecs, bzip2/xz through the stdlib."""
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.compress(payload)[2:-4]  # raw deflate per spec
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(payload)
+    if codec == "snappy":
+        import pyarrow as pa
+
+        comp = pa.Codec("snappy").compress(payload, asbytes=True)
+        return comp + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return pa.Codec("zstd").compress(payload, asbytes=True)
+    raise ValueError(f"unsupported codec {codec!r}")
+
+
+def _snappy_uncompressed_len(comp: bytes) -> int:
+    """Raw snappy data leads with a varint of the uncompressed length."""
+    n = shift = i = 0
+    while True:
+        b = comp[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return n
+        shift += 7
+
+
+def _zstd_content_size(frame: bytes) -> int:
+    """Frame-header content size (RFC 8878 §3.1.1) — present in every
+    single-shot pyarrow/zstd frame this writer produces."""
+    if len(frame) < 6 or struct.unpack("<I", frame[:4])[0] != 0xFD2FB528:
+        raise ValueError("not a zstd frame")
+    fhd = frame[4]
+    fcs_flag, single_segment = fhd >> 6, (fhd >> 5) & 1
+    pos = 5
+    if not single_segment:
+        pos += 1  # window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]  # dictionary id
+    nbytes = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    if not nbytes:
+        raise ValueError("zstd frame carries no content size")
+    val = int.from_bytes(frame[pos : pos + nbytes], "little")
+    return val + 256 if fcs_flag == 1 else val
+
+
+def _decompress(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.decompress(payload, wbits=-15)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(payload)
+    if codec == "snappy":
+        import pyarrow as pa
+
+        comp, crc = payload[:-4], payload[-4:]
+        out = pa.Codec("snappy").decompress(
+            comp, decompressed_size=_snappy_uncompressed_len(comp), asbytes=True
+        )
+        if struct.pack(">I", zlib.crc32(out) & 0xFFFFFFFF) != crc:
+            raise ValueError("snappy block CRC mismatch")
+        return out
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return pa.Codec("zstd").decompress(
+            payload, decompressed_size=_zstd_content_size(payload), asbytes=True
+        )
+    raise ValueError(f"unsupported codec {codec!r}")
+
+
 def _write_value(buf: io.BytesIO, typ, v) -> None:
     """Recursive binary encoder over an Avro type (str primitive, list union,
     or dict complex — array/map/record per the 1.x spec)."""
@@ -100,6 +192,13 @@ def _write_value(buf: io.BytesIO, typ, v) -> None:
         elif kind == "record":
             for f, item in zip(typ["fields"], v):
                 _write_value(buf, f["type"], item)
+        elif kind == "enum":  # spec: zigzag index into the symbol list
+            _write_long(buf, typ["symbols"].index(v))
+        elif kind == "fixed":  # spec: exactly `size` raw bytes
+            raw = bytes(v)
+            if len(raw) != typ["size"]:
+                raise ValueError(f"fixed size mismatch: {len(raw)} != {typ['size']}")
+            buf.write(raw)
         else:  # {"type": "long"}-style wrapping of a primitive
             _write_value(buf, kind, v)
     elif typ == "boolean":
@@ -155,6 +254,10 @@ def _read_value(buf: io.BytesIO, typ):
                     out[k] = _read_value(buf, typ["values"])
         if kind == "record":
             return tuple(_read_value(buf, f["type"]) for f in typ["fields"])
+        if kind == "enum":
+            return typ["symbols"][_read_long(buf)]
+        if kind == "fixed":
+            return buf.read(typ["size"])
         return _read_value(buf, kind)
     if typ == "boolean":
         return buf.read(1) == b"\x01"
@@ -225,9 +328,7 @@ def write_avro(
                         if v is None:
                             continue
                     _write_value(body, typ, v)
-            payload = body.getvalue()
-            if codec == "deflate":
-                payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+            payload = _compress(codec, body.getvalue())
             blk = io.BytesIO()
             _write_long(blk, len(chunk))
             _write_long(blk, len(payload))
@@ -316,10 +417,7 @@ def decode_block(
     with open(path, "rb") as fh:
         fh.seek(offset)
         payload = fh.read(size)
-    if codec == "deflate":
-        payload = zlib.decompress(payload, wbits=-15)
-    elif codec != "null":
-        raise ValueError(f"unsupported codec {codec!r}")
+    payload = _decompress(codec, payload)
     fields = _field_types(schema)
     buf = io.BytesIO(payload)
     for _ in range(n_rows):
@@ -360,6 +458,10 @@ def _spark_type(typ) -> str:
                 f"{f['name']}: {_spark_type(f['type'])}" for f in typ["fields"]
             )
             return f"struct<{inner}>"
+        if kind == "enum":  # avro_to_arrow: enum surfaces as its symbol text
+            return "string"
+        if kind == "fixed":  # fixed-size byte array → binary
+            return "binary"
         return _spark_type(kind)
     return _SPARK_TYPES[typ]
 

@@ -14,6 +14,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    # Per-process catalog isolation (opt-in via SPARK_GRAFT_TEST_ISOLATE=1):
+    # managed tables live in spark-warehouse + a Derby metastore lock, so
+    # two concurrent pytest shards on the same repo dir would collide.
+    # Pointing both at a process-private tmp dir makes shards independent.
+    if os.environ.get("SPARK_GRAFT_TEST_ISOLATE"):
+        import tempfile
+
+        iso = tempfile.mkdtemp(prefix=f"adfspark-test-{os.getpid()}-")
+        os.environ["SPARK_GRAFT_EXTRA_CONFS"] = (
+            f"spark.sql.warehouse.dir={iso}/warehouse;"
+            f"spark.driver.extraJavaOptions=-Duser.timezone=UTC "
+            f"-Dderby.system.home={iso}/derby"
+        )
     s = build_spark(app="adf-spark-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     yield s
     s.stop()

@@ -371,19 +371,24 @@ def test_information_schema_sql(spark, sf_dir):
     assert "small_nations" in views
     assert "n_nationkey < 5" in views["small_nations"]
 
-    # schemata: at least the default database
+    # schemata: the default schema displays under the reference's 'public'
+    # name (information_schema.rs SchemataTable; datafusion.catalog.
+    # default_schema)
     schemata = {
         r.schema_name
         for r in ctx.sql("SELECT schema_name FROM information_schema.schemata").collect()
     }
-    assert "default" in schemata
+    assert "public" in schemata
 
-    # df_settings: live session conf as (name, value) rows
-    tz = ctx.sql(
+    # df_settings: the DataFusion-compatible settings registry as
+    # (name, value) rows, live — a SET statement is visible in the view
+    ctx.sql("SET datafusion.execution.batch_size = 4096")
+    bs = ctx.sql(
         "SELECT value FROM information_schema.df_settings "
-        "WHERE name = 'spark.sql.session.timeZone'"
+        "WHERE name = 'datafusion.execution.batch_size'"
     ).collect()
-    assert tz and tz[0].value == "UTC"
+    assert bs and bs[0].value == "4096"
+    ctx.sql("SET datafusion.execution.batch_size = 8192")
     ctx.deregister_table("small_nations")
 
 
