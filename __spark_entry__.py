@@ -91,6 +91,13 @@ def _registries() -> tuple[dict, dict]:
         #     reference rejection (plan-time guard) — re-validate the
         #     recursion family
         "recursive_reach", "sql_recursive_series", "sql_recursive_graph",
+        #     new entry: SET/df_settings round-trip (settings registry);
+        #     dedup_components' convergence probe now rides the checkpoint
+        #     job (Observation) — 1.94s -> 1.35s, labels unchanged
+        "sql_settings", "dedup_components",
+        #     q5 rebuilt: broadcast the filtered c⋈o build side instead of
+        #     letting static stats broadcast lineitem (0.53s -> 0.40s)
+        "tpch_q5",
         # (h) round-5 changes
         "scan_avro_nested",
         # (a) never checked

@@ -178,9 +178,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.simhash16_arrow(T.ws_tokens(F.col("text"))).cast("string").alias("k2"),
     )
 
+    from pyspark.sql import Observation
+
     lbl = keyed.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
     prev_sum = lbl.agg(F.sum("label")).collect()[0][0]
-    for _ in range(50):
+    for i in range(50):
         new = lbl
         for key in ("k1", "k2"):
             new = new.withColumn(
@@ -195,8 +197,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("label", F.least("label", "label2"))
             .drop("label2")
         )
-        new = new.localCheckpoint(eager=True)
-        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        # The convergence probe rides the checkpoint's own materialization
+        # job (Observation metrics flow through localCheckpoint) — one job
+        # per round instead of checkpoint + separate agg, and in local mode
+        # each job is ~0.1 s of scheduling floor, so this halves the
+        # per-round cost.
+        obs = Observation(f"cc_round_{i}")
+        new = new.observe(obs, F.sum("label").alias("s")).localCheckpoint(
+            eager=True
+        )
+        cur_sum = obs.get["s"]
         lbl = new
         if cur_sum == prev_sum:  # labels only decrease: unchanged sum = fixpoint
             break

@@ -302,8 +302,38 @@ ORDER BY t.table_name
 """
 
 
+def sql_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET / df_settings round-trip (config.rs ConfigOptions + the
+    DfSettingsTable view, set_variable.slt semantics): SET a typed value,
+    then read it and two registry defaults back through SQL. The values
+    are engine-defined constants, so the DuckDB oracle states them as a
+    VALUES literal — a hash-exact cross-check that the SET statement
+    landed and df_settings serves the registry."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql("SET datafusion.execution.batch_size = 4096")
+    out = ctx.sql("""
+        SELECT name, value FROM information_schema.df_settings
+        WHERE name IN ('datafusion.execution.batch_size',
+                       'datafusion.catalog.default_catalog',
+                       'datafusion.sql_parser.dialect')
+        ORDER BY name
+    """)
+    ctx.sql("SET datafusion.execution.batch_size = 8192")
+    return out
+
+
+SQL_SETTINGS_SQL = """
+SELECT * FROM (VALUES
+    ('datafusion.catalog.default_catalog', 'datafusion'),
+    ('datafusion.execution.batch_size', '4096'),
+    ('datafusion.sql_parser.dialect', 'generic')
+) AS t(name, value) ORDER BY name
+"""
+
+
 QUERIES = {
     "sql_basic": sql_basic,
+    "sql_settings": sql_settings,
     "sql_info_schema": sql_info_schema,
     "sql_params": sql_params,
     "sql_copy_to": sql_copy_to,
@@ -315,6 +345,7 @@ QUERIES = {
 }
 ORACLE = {
     "sql_basic": SQL_BASIC_SQL,
+    "sql_settings": SQL_SETTINGS_SQL,
     "sql_info_schema": SQL_INFO_SCHEMA_SQL,
     "sql_params": SQL_PARAMS_SQL,
     "sql_copy_to": SQL_COPY_TO_SQL,

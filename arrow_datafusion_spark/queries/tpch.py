@@ -312,15 +312,25 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = supplier.join(
         asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
     )
-    return _sorted_small(
+    # Build side of the lineitem join is the date∧region-filtered c⋈o
+    # result (~0.6% of orders rows × two int columns), broadcast by hint:
+    # Catalyst's static stats see unfiltered lineitem under the broadcast
+    # threshold at bench scale and would broadcast the FACT side instead
+    # (measured 0.53 s → 0.40 s at sf0.1 min-of-3). The hinted side stays
+    # the smaller one at any realistic SF (it scales with orders × 3%
+    # selectivity; lineitem is 4× orders rows and unfiltered here).
+    c_o = (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    return _sorted_small(
+        lineitem.join(F.broadcast(c_o), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supp,
+            F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
