@@ -131,6 +131,16 @@ _SQL_LIST_ALIASES = {
     "array_cat": "\x02array_concat\x02",
     "array_concat": "\x02array_concat\x02",
     "make_list": "array",
+    # non-list simple renames sharing the same swap mechanism
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "today": "current_date",
+    "row": "struct",  # ROW(a, b) value constructor (ExprPlanner RowExpr)
+    "string_to_list": "string_to_array",
+    "array_push_back": "array_append",
+    "list_push_back": "array_append",
+    "array_push_front": "array_prepend",
+    "list_push_front": "array_prepend",
     "make_array": "array",
 }
 
@@ -1163,8 +1173,20 @@ def _rewrite_bracket_literals(q: str) -> str:
         while j >= 0 and q[j].isspace():
             j -= 1
         if j >= 0 and (q[j].isalnum() or q[j] in "_)]`\x00"):
-            i += 1
-            continue
+            # ... unless the preceding word is a SQL keyword — 'SELECT [1]'
+            # or 'WHEN [..]' introduces a literal, not a subscript base
+            k = j
+            while k >= 0 and (q[k].isalnum() or q[k] == "_"):
+                k -= 1
+            word = q[k + 1 : j + 1].upper()
+            if word not in (
+                "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR",
+                "NOT", "IN", "BY", "ON", "RETURN", "UNION", "ALL",
+                "DISTINCT", "HAVING", "LIMIT", "OFFSET", "AS", "CASE",
+                "BETWEEN", "LIKE", "IS", "VALUES", "SET",
+            ):
+                i += 1
+                continue
         close = _match_paren(q, i)
         if close is None:
             i += 1
@@ -1218,6 +1240,57 @@ def _rewrite_sql(q: str) -> str:
     # parameterless spelling is rewritten (VARCHAR(10) stays)
     q = re.sub(r"::\s*varchar\b(?!\s*\()", "::STRING", q, flags=re.IGNORECASE)
     q = re.sub(r"\bAS\s+varchar\s*\)", "AS STRING)", q, flags=re.IGNORECASE)
+
+    # digest(x, 'algo') / shaN(x) (functions/src/crypto): binary digests.
+    # Spark's md5/sha1/sha2 return HEX STRINGS — unhex() recovers the
+    # reference's binary return type (slt displays binary as lower-hex,
+    # so round-tripping through hex is exact). blake2/blake3 stay
+    # unrewritten (no Spark primitive) and surface as unsupported.
+    _DIGEST_FORMS = {
+        "md5": "unhex(md5({0}))",
+        "sha1": "unhex(sha1({0}))",
+        "sha224": "unhex(sha2({0}, 224))",
+        "sha256": "unhex(sha2({0}, 256))",
+        "sha384": "unhex(sha2({0}, 384))",
+        "sha512": "unhex(sha2({0}, 512))",
+    }
+    pos = 0
+    while True:
+        hit = _find_call(q, "digest", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = _split_top_level(q[a:e])
+        m = re.fullmatch(r"\x00(\d+)\x00", parts[1].strip()) if (
+            len(parts) == 2
+        ) else None
+        algo = lits[int(m.group(1))].strip("'").lower() if m else None
+        if algo not in _DIGEST_FORMS:
+            pos = e
+            continue
+        repl = _DIGEST_FORMS[algo].format(parts[0].strip())
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    for algo in ("sha224", "sha256", "sha384", "sha512"):
+        pos = 0
+        while True:
+            hit = _find_call(q, algo, pos)
+            if hit is None:
+                break
+            s, a, e = hit
+            repl = _DIGEST_FORMS[algo].format(q[a:e])
+            q = q[:s] + repl + q[e + 1:]
+            pos = s + len(repl)
+    # to_hex(int): lowercase hex display (functions/src/string/to_hex.rs)
+    pos = 0
+    while True:
+        hit = _find_call(q, "to_hex", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        repl = f"lower(hex({q[a:e]}))"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
 
     # DataFusion's list_* alias spellings → the type-generic Spark builtin
     # (functions-array registers a list_* alias per array_* udf). Only
@@ -1343,6 +1416,24 @@ def _rewrite_sql(q: str) -> str:
         inner = q[a:e]
         # the unit may be a quoted identifier — EXTRACT("dow" FROM …) —
         # already converted to backticks by the quote rewrite above
+        msub = re.match(
+            r"\s*[`\"]?(millisecond|microsecond|nanosecond)[`\"]?\s+from\s+(.*)$",
+            inner,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if msub:
+            # sub-second units (functions/src/datetime/date_part.rs):
+            # fractional seconds scaled — Spark only has second; values
+            # beyond µs resolution are governed by the ns→µs policy
+            scale = {"millisecond": "1000", "microsecond": "1000000",
+                     "nanosecond": "1000000000"}[msub.group(1).lower()]
+            expr = f"(extract(second FROM {msub.group(2).strip()}) * {scale})"
+            if msub.group(1).lower() == "nanosecond":
+                # the reference returns an integer nanosecond count
+                expr = f"CAST({expr} AS BIGINT)"
+            q = q[:s] + expr + q[e + 1:]
+            pos = s + len(expr)
+            continue
         m = re.match(
             r"\s*[`\"]?dow[`\"]?\s+from\s+(.*)$", inner, re.IGNORECASE | re.DOTALL
         )
@@ -1352,6 +1443,32 @@ def _rewrite_sql(q: str) -> str:
         repl = f"(extract(dayofweek FROM {m.group(1).strip()}) - 1)"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
+    # encode/decode(x, 'base64'|'hex') (functions/src/encoding/inner.rs):
+    # Spark's builtins of the same name are charset converters — map the
+    # reference's encodings onto base64/hex primitives (hex lowercased to
+    # match Arrow's display). Unknown encoding names fall through to
+    # Spark's error, matching the reference's rejection.
+    for fn, forms in (
+        ("encode", {"base64": "base64({0})", "hex": "lower(hex({0}))"}),
+        ("decode", {"base64": "unbase64({0})", "hex": "unhex({0})"}),
+    ):
+        pos = 0
+        while True:
+            hit = _find_call(q, fn, pos)
+            if hit is None:
+                break
+            s, a, e = hit
+            parts = _split_top_level(q[a:e])
+            m = re.fullmatch(r"\x00(\d+)\x00", parts[1].strip()) if (
+                len(parts) == 2
+            ) else None
+            enc = lits[int(m.group(1))].strip("'").lower() if m else None
+            if enc not in forms:
+                pos = e
+                continue
+            repl = forms[enc].format(parts[0].strip())
+            q = q[:s] + repl + q[e + 1:]
+            pos = s + len(repl)
     pos = 0
     while True:
         hit = _find_call(q, "date_part", pos)
@@ -1362,10 +1479,18 @@ def _rewrite_sql(q: str) -> str:
         first = parts[0].strip() if parts else ""
         m = re.fullmatch(r"\x00(\d+)\x00", first)
         unit = (lits[int(m.group(1))].strip("'").lower() if m else "")
-        if len(parts) != 2 or unit != "dow":
+        sub = {"millisecond": "1000", "microsecond": "1000000",
+               "nanosecond": "1000000000"}
+        if len(parts) != 2 or unit not in ("dow", *sub):
             pos = e
             continue
-        repl = f"(extract(dayofweek FROM {parts[1].strip()}) - 1)"
+        arg = parts[1].strip()
+        if unit == "dow":
+            repl = f"(extract(dayofweek FROM {arg}) - 1)"
+        else:
+            repl = f"(extract(second FROM {arg}) * {sub[unit]})"
+            if unit == "nanosecond":
+                repl = f"CAST({repl} AS BIGINT)"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
     # left/right with NEGATIVE n drop |n| chars from the other end in the

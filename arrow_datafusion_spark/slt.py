@@ -235,6 +235,12 @@ def _norm_elem(v, code: str) -> str:
         # keep the declared scale — arrow prints 1.0, not 1 (Spark types
         # the literal DECIMAL(2,1) where the reference types Float64)
         return format(v, "f")
+    if isinstance(v, float) and math.isfinite(v):
+        # arrow's NESTED float Display is the shortest round-trip form
+        # (full precision — '-0.8414709848078965'), unlike the top level's
+        # BigDecimal.round(12); Python's repr is exactly that form
+        s = repr(v)
+        return s if "." in s or "e" in s or "E" in s else s + ".0"
     s = _norm_cell(v, code)
     if isinstance(v, float) and "." not in s and s not in (
         "NaN", "Infinity", "-Infinity",

@@ -219,7 +219,28 @@ _KNOWN = {
     ("functions.slt", 562): "f32 compute: avg(sqrt(f32)) evaluated in f64",
     ("functions.slt", 611): "f32 compute: sqrt(f32) display at f64",
     ("expr.slt", 998): "ns-precision fractional seconds",
+    ("expr.slt", 1003): "ns-precision fractional seconds (millisecond)",
+    ("expr.slt", 1008): "ns-precision fractional seconds (microsecond)",
+    ("expr.slt", 1013): "ns-precision fractional seconds (nanosecond)",
     ("expr.slt", 1018): "ns-precision fractional seconds",
+    ("expr.slt", 1023): "ns-precision fractional seconds (millisecond)",
+    ("expr.slt", 1028): "ns-precision fractional seconds (microsecond)",
+    ("expr.slt", 1033): "ns-precision fractional seconds (nanosecond)",
+    ("expr.slt", 1056): "ns-precision fractional seconds (millisecond)",
+    ("expr.slt", 1061): "ns-precision fractional seconds (microsecond)",
+    ("expr.slt", 1066): "ns-precision fractional seconds (nanosecond)",
+    ("expr.slt", 1076): "ns-precision fractional seconds (millisecond)",
+    ("expr.slt", 1081): "ns-precision fractional seconds (microsecond)",
+    ("expr.slt", 1086): "ns-precision fractional seconds (nanosecond)",
+    # empty-value display forms: the reference renders a zero-length
+    # binary as a blank cell and empty encode('') output without the
+    # (empty) placeholder — cosmetic Display divergence on '' inputs
+    ("expr.slt", 1802): "empty-binary display form",
+    ("expr.slt", 1812): "empty-string encode display form",
+    # the reference evaluates log() at Float32 here — the expected cell
+    # carries f32 artifacts (0.3010299801826477) at 16 digits, outside the
+    # ≤9-digit f32-granularity comparator rule (§1.2 f64-widening policy)
+    ("array.slt", 645): "reference f32 log artifact in array literal",
     ("expr.slt", 1051): "ns-precision fractional seconds",
     ("expr.slt", 1071): "ns-precision fractional seconds",
     ("regexp.slt", 267): "regexp_replace first-match default (Spark: all)",
@@ -352,6 +373,15 @@ def test_reference_sqllogictest_file(spark, fname):
                 "alltypes_plain_multi_files",
                 os.path.join(gen, "alltypes_plain_multi_files"),
             )
+    if fname == "map.slt":
+        # test_context.rs register_table_with_map: an EMPTY table with
+        # (int_field bigint, map_field map<bigint,bigint>)
+        ctx.register_table(
+            "table_with_map",
+            spark.createDataFrame(
+                [], "int_field bigint, map_field map<bigint,bigint>"
+            ),
+        )
     if fname == "metadata.slt":
         # the reference harness creates table_with_metadata in Rust
         # (sqllogictest/src/test_context.rs register_metadata_tables:
@@ -380,7 +410,8 @@ def test_reference_sqllogictest_file(spark, fname):
         # (registered before run_slt_file's snapshot, so its own cleanup
         # treats them as pre-existing) — drop them here or they leak into
         # every later file's information_schema listings
-        for fixture in ("alltypes_plain_multi_files", "table_with_metadata"):
+        for fixture in ("alltypes_plain_multi_files", "table_with_metadata",
+                        "table_with_map"):
             if fixture in ctx._tables:
                 ctx.deregister_table(fixture)
     unexplained = [
