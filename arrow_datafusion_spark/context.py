@@ -1443,6 +1443,56 @@ def _rewrite_sql(q: str) -> str:
         repl = f"(extract(dayofweek FROM {m.group(1).strip()}) - 1)"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
+    # Interval literal spellings Spark's parser rejects but the reference
+    # accepts (sql/src/expr/value.rs interval parsing): a bare number is
+    # SECONDS ("interval '1'"), units may be fractional ("interval '0.5
+    # minute'"), and a trailing bare number after unit pairs is seconds
+    # ("interval '1 day 1'"). Day-time-only forms rewrite to an exact
+    # DAY TO SECOND literal; year/month forms are left alone (Spark's
+    # year-month interval type can't round-trip through this surface).
+    _DT_UNITS = {
+        "day": 86400.0, "days": 86400.0, "d": 86400.0,
+        "hour": 3600.0, "hours": 3600.0, "h": 3600.0,
+        "minute": 60.0, "minutes": 60.0, "min": 60.0, "mins": 60.0,
+        "second": 1.0, "seconds": 1.0, "sec": 1.0, "secs": 1.0,
+        "millisecond": 1e-3, "milliseconds": 1e-3,
+        "week": 604800.0, "weeks": 604800.0,
+    }
+
+    def _interval_lit(m: "re.Match[str]") -> str:
+        raw = lits[int(m.group(1))].strip("'").strip()
+        toks = raw.split()
+        total, i, needs_rewrite = 0.0, 0, False
+        while i < len(toks):
+            try:
+                n = float(toks[i])
+            except ValueError:
+                return m.group(0)  # not number-led — leave for Spark
+            if i + 1 < len(toks):
+                unit = toks[i + 1].lower()
+                if unit not in _DT_UNITS:
+                    return m.group(0)  # year/month or unknown — leave
+                total += n * _DT_UNITS[unit]
+                if n != int(n):
+                    needs_rewrite = True  # fractional unit count
+                i += 2
+            else:
+                total += n  # trailing bare number = seconds
+                needs_rewrite = True
+                i += 1
+        if not needs_rewrite or total < 0:
+            return m.group(0)
+        days, rem = divmod(total, 86400.0)
+        hours, rem = divmod(rem, 3600.0)
+        mins, secs = divmod(rem, 60.0)
+        return (
+            f"INTERVAL '{int(days)} {int(hours):02d}:{int(mins):02d}:"
+            f"{secs:09.6f}' DAY TO SECOND"
+        )
+
+    q = re.sub(r"\binterval\s+\x00(\d+)\x00(?!\s*[A-Za-z])", _interval_lit, q,
+               flags=re.IGNORECASE)
+
     # encode/decode(x, 'base64'|'hex') (functions/src/encoding/inner.rs):
     # Spark's builtins of the same name are charset converters — map the
     # reference's encodings onto base64/hex primitives (hex lowercased to
