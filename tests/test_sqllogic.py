@@ -252,41 +252,41 @@ _KNOWN = {
 # file → minimum records that must PASS (floors set ~5% under measured so
 # environmental jitter can't flake, while silent regression still fails)
 _FILES = {
-    "coalesce.slt": 35,
-    "cast.slt": 5,
-    "math.slt": 65,
-    "expr.slt": 190,
-    "union.slt": 17,
-    "intersection.slt": 2,
-    "dates.slt": 18,
-    "regexp.slt": 11,
-    "strings.slt": 12,
-    "functions.slt": 155,
+    "coalesce.slt": 42,
+    "cast.slt": 6,
+    "math.slt": 90,
+    "expr.slt": 310,
+    "union.slt": 26,
+    "intersection.slt": 4,
+    "dates.slt": 19,
+    "regexp.slt": 20,
+    "strings.slt": 13,
+    "functions.slt": 175,
     "nvl.slt": 8,
-    "limit.slt": 20,
-    "window.slt": 215,
-    "aggregate.slt": 705,
-    "joins.slt": 250,
-    "subquery.slt": 56,
-    "map.slt": 7,
-    "unnest.slt": 17,
-    "decimal.slt": 48,
-    "interval.slt": 31,
-    "timestamps.slt": 204,
-    "array.slt": 655,
-    "select.slt": 140,
-    "scalar.slt": 230,
-    "predicates.slt": 65,
-    "join.slt": 88,
-    "cte.slt": 24,
-    "group.slt": 31,
-    "order.slt": 67,
-    "projection.slt": 25,
+    "limit.slt": 39,
+    "window.slt": 222,
+    "aggregate.slt": 743,
+    "joins.slt": 256,
+    "subquery.slt": 57,
+    "map.slt": 9,
+    "unnest.slt": 35,
+    "decimal.slt": 50,
+    "interval.slt": 32,
+    "timestamps.slt": 216,
+    "array.slt": 683,
+    "select.slt": 147,
+    "scalar.slt": 233,
+    "predicates.slt": 71,
+    "join.slt": 90,
+    "cte.slt": 31,
+    "group.slt": 32,
+    "order.slt": 70,
+    "projection.slt": 26,
     "topk.slt": 10,
-    "binary.slt": 19,
+    "binary.slt": 25,
     "describe.slt": 8,
-    "arrow_typeof.slt": 27,
-    "insert.slt": 40,
+    "arrow_typeof.slt": 28,
+    "insert.slt": 42,
     "identifiers.slt": 17,
     "nullif.slt": 8,
     "nvl2.slt": 8,
@@ -295,15 +295,15 @@ _FILES = {
     "distinct_on.slt": 8,
     "type_coercion.slt": 5,
     "group_by.slt": 430,
-    "struct.slt": 21,
+    "struct.slt": 22,
     "array_query.slt": 38,
     "aggregates_topk.slt": 14,
     "wildcard.slt": 11,
     "same_column_name_cross_join.slt": 10,
-    "encoding.slt": 5,
+    "encoding.slt": 6,
     "errors.slt": 19,
     "agg_func_substitute.slt": 2,
-    "update.slt": 2,
+    "update.slt": 4,
     "prepare.slt": 3,
     "optimizer_group_by_constant.slt": 3,
     "push_down_filter.slt": 9,
@@ -313,29 +313,29 @@ _FILES = {
     "sort_merge_join.slt": 55,
     "dictionary.slt": 11,
     "json.slt": 13,
-    "parquet.slt": 25,
-    "schema_evolution.slt": 4,
+    "parquet.slt": 26,
+    "schema_evolution.slt": 5,
     "arrow_files.slt": 9,
     "clickbench.slt": 36,
     "insert_to_external.slt": 72,
     # SET/SHOW + configuration registry (settings.py), information_schema
     # ANSI layouts, DROP FUNCTION, quoted/UNBOUNDED external tables
-    "set_variable.slt": 50,
-    "options.slt": 26,
+    "set_variable.slt": 53,
+    "options.slt": 27,
     "create_function.slt": 8,
     "metadata.slt": 3,
-    "information_schema.slt": 55,
+    "information_schema.slt": 58,
     "information_schema_columns.slt": 5,
     "information_schema_table_types.slt": 5,
     "information_schema_multiple_catalogs.slt": 15,
     "join_disable_repartition_joins.slt": 4,
     "filter_without_sort_exec.slt": 1,
-    "explain.slt": 15,
-    "create_external_table.slt": 18,
+    "explain.slt": 16,
+    "create_external_table.slt": 19,
     "repartition.slt": 8,
-    "repartition_scan.slt": 20,
+    "repartition_scan.slt": 24,
     "monotonic_projection_test.slt": 1,
-    "parquet_sorted_statistics.slt": 14,
+    "parquet_sorted_statistics.slt": 15,
     # avro.slt's fixtures live in the reference's `testing` submodule,
     # which is not checked out here — tests/avro_fixtures.py
     # re-materializes them (same rows/schemas/codecs incl. snappy/bzip2/
@@ -345,8 +345,8 @@ _FILES = {
     # pg_compat golden suites — Spark-vs-Postgres semantic differences
     # surface here; every residual is in _KNOWN with a policy citation
     "pg_compat/pg_compat_null.slt": 5,
-    "pg_compat/pg_compat_simple.slt": 13,
-    "pg_compat/pg_compat_types.slt": 15,
+    "pg_compat/pg_compat_simple.slt": 14,
+    "pg_compat/pg_compat_types.slt": 16,
     "pg_compat/pg_compat_type_coercion.slt": 7,
     "pg_compat/pg_compat_union.slt": 7,
     "pg_compat/pg_compat_window.slt": 12,
