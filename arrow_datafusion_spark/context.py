@@ -2569,12 +2569,25 @@ class SessionContext:
         ):
             cat = self.settings.get("datafusion.catalog.default_catalog")
             sch = self.settings.get("datafusion.catalog.default_schema")
+            # shield '...' literals so a quoted string containing
+            # 'public.' survives the qualifier strip intact, and match
+            # case-insensitively (the reference resolves catalog/schema
+            # identifiers case-insensitively)
+            _lits: list[str] = []
+
+            def _shield_lit(m: re.Match) -> str:
+                _lits.append(m.group(0))
+                return f"\x00{len(_lits) - 1}\x00"
+
+            query = re.sub(r"'(?:[^']|'')*'", _shield_lit, query)
             query = re.sub(
                 rf"\b(?:{re.escape(cat)}\s*\.\s*)?{re.escape(sch)}\s*\.\s*"
                 r"(?=[A-Za-z_`\"])",
                 "",
                 query,
+                flags=re.IGNORECASE,
             )
+            query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
         m = re.match(r"\s*EXPLAIN\s+ANALYZE\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
         if m:
             # DataFusion's EXPLAIN ANALYZE returns a (plan_type, plan) table
@@ -2688,7 +2701,18 @@ class SessionContext:
                 raise ValueError("Execution error: Function does not exist")
             self._dropped_functions.add(fname)
             return self.spark.createDataFrame([], "result string")
-        if self._dropped_functions:
+        mcf = re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?",
+            query,
+            re.IGNORECASE,
+        )
+        if mcf:
+            # re-registering a dropped name resurrects it (the registry is
+            # live, not append-only) — and the statement itself must not
+            # trip the dropped-name plan scan below
+            self._dropped_functions.discard(mcf.group(1).lower())
+        if self._dropped_functions and not mcf:
             shielded = _strip_strings(query)
             for fname in self._dropped_functions:
                 if re.search(rf"\b{fname}\s*\(", shielded, re.IGNORECASE):
@@ -4038,16 +4062,21 @@ class SessionContext:
     def register_udf(self, name: str, fn: Callable, return_type) -> None:
         """Row-at-a-time scalar UDF (ScalarUDFImpl, expr/src/udf.rs:328).
         Prefer register_pandas_udf — this is the slow path."""
+        self._dropped_functions.discard(name.lower())
         self.spark.udf.register(name, fn, return_type)
 
     def register_pandas_udf(self, name: str, fn: Callable, return_type) -> None:
         """Vectorized (Arrow-batched) scalar UDF — the fast Python path."""
         from pyspark.sql.functions import pandas_udf
 
+        self._dropped_functions.discard(name.lower())
         self.spark.udf.register(name, pandas_udf(fn, return_type))
 
     def register_sql_macro(self, ddl: str) -> None:
         """Register a pure-SQL function (Spark 4 SQL UDF) — zero Python cost."""
+        m = re.search(r"\bFUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?", ddl, re.IGNORECASE)
+        if m:
+            self._dropped_functions.discard(m.group(1).lower())
         self.spark.sql(ddl)
 
     def register_udtf(self, name: str, udtf_cls) -> None:

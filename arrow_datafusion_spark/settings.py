@@ -233,6 +233,9 @@ class Settings:
                     # the reference surfaces the underlying Rust parse error
                     raise ValueError("External error: invalid digit found in string")
                 raise ValueError(f"Error parsing {raw} as usize")
+            if int(body) > _U64_MAX:
+                # Rust's u64::from_str overflows here
+                raise ValueError(f"Error parsing {raw} as usize")
             return str(int(body))
         if base == "f64":
             try:

@@ -713,8 +713,12 @@ def run_slt_file(
         text = f.read()
     records = parse_slt(text)
     global _F32_FILE
+    # f32-comparison gate: type keywords case-insensitive (files declare
+    # 'float'/'real' in either case); the c11-column trigger only fires in
+    # files that actually load the aggregate_test_100 fixture (ADVICE r6)
     _F32_FILE = bool(
-        re.search(r"Float32|\bFLOAT\b|\bREAL\b|\bc11\b|aggregate_test_100", text)
+        re.search(r"Float32|\bFLOAT\b|\bREAL\b", text, re.IGNORECASE)
+        or "aggregate_test_100" in text  # fixture's c11 is Float32
     )
     base = _slt_base_dir(path)
     for rec in records:
@@ -747,11 +751,30 @@ def run_slt_file(
             conf_before[k] = None
     db = None
     views_before: set[str] = set()
+    dbs_before: set[str] = set()
     if isolate:
         import re as _re
 
         db = "slt_" + _re.sub(r"\W", "_", path.rsplit("/", 1)[-1])
         ctx.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        # a file that CREATEs databases/schemas (e.g.
+        # information_schema_multiple_catalogs.slt) must start clean even
+        # when a previous crashed run left them in the warehouse — pre-drop
+        # every database name the file is about to create, then drop
+        # whatever the run materialized afterwards (snapshot diff)
+        for m in _re.finditer(
+            r"create\s+(?:database|schema)\s+(?:if\s+not\s+exists\s+)?"
+            r"([A-Za-z_][\w.]*)",
+            text,
+            _re.IGNORECASE,
+        ):
+            first = m.group(1).split(".")[0]
+            if first.lower() not in ("default", db.lower()):
+                try:
+                    ctx.spark.sql(f"DROP DATABASE IF EXISTS `{first}` CASCADE")
+                except Exception:
+                    pass
+        dbs_before = {d.name for d in ctx.spark.catalog.listDatabases()}
         ctx.spark.sql(f"CREATE DATABASE {db}")
         ctx.spark.sql(f"USE {db}")
         # temp views are SESSION-global (they ignore USE database): a
@@ -777,6 +800,17 @@ def run_slt_file(
                     ctx.spark.catalog.dropTempView(t.name)
             ctx.spark.sql("USE default")
             ctx.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            # drop any database the FILE created (CREATE DATABASE/SCHEMA
+            # statements inside the corpus) so runs leave no warehouse
+            # residue and later files/runs see a clean catalog
+            try:
+                for d in ctx.spark.catalog.listDatabases():
+                    if d.name not in dbs_before and d.name != "default":
+                        ctx.spark.sql(
+                            f"DROP DATABASE IF EXISTS `{d.name}` CASCADE"
+                        )
+            except Exception:
+                pass
     return rep
 
 

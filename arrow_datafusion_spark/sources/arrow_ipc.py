@@ -51,10 +51,17 @@ def _partition_columns(base: str, files: list[str]) -> dict[str, dict[str, objec
                 per_key.setdefault(k, {})[f] = v
     out: dict[str, dict[str, object]] = {}
     for k, vals in per_key.items():
+        # the type decision must hold across ALL files (mixed layouts where
+        # some files lack the key surface a NULL for them): int64 only when
+        # every file has the key and every value parses as int — otherwise
+        # string, so schema() and read() agree for every partition
         try:
-            out[k] = {f: int(v) for f, v in vals.items()}
+            if len(vals) == len(files):
+                out[k] = {f: int(v) for f, v in vals.items()}
+            else:
+                out[k] = {f: vals.get(f) for f in files}
         except ValueError:
-            out[k] = dict(vals)
+            out[k] = {f: vals.get(f) for f in files}
     return out
 
 

@@ -359,6 +359,15 @@ def test_reference_sqllogictest_file(spark, fname):
     from arrow_datafusion_spark.context import SessionContext
     from arrow_datafusion_spark.slt import run_slt_file
 
+    # Hermetic per-file session: temp views, temp functions, and session
+    # conf are SparkSession-scoped, so a fresh sub-session (shared
+    # SparkContext + metastore, private everything else) guarantees no
+    # other test module's session-global temp views can shadow this
+    # file's `CREATE EXTERNAL TABLE IF NOT EXISTS` fixtures — the
+    # cross-module order-dependence pytest previously hit on
+    # predicates/subquery/information_schema.slt. Persistent-table
+    # isolation stays with run_slt_file's per-file database.
+    spark = spark.newSession()
     ctx = SessionContext(spark)
     if fname in ("avro.slt", "parquet.slt", "explain.slt"):
         # re-materialize the reference's `testing` submodule avro fixtures
