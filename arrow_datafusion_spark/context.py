@@ -1235,6 +1235,19 @@ def _rewrite_sql(q: str) -> str:
     for pg, sp in _TYPE_MAP.items():
         q = re.sub(rf"::\s*{pg}\b", f"::{sp}", q, flags=re.IGNORECASE)
         q = re.sub(rf"\bAS\s+{pg}\s*\)", f"AS {sp})", q, flags=re.IGNORECASE)
+    # integer→DATE cast: arrow REINTERPRETS the int as days since epoch
+    # (same Date32 rule as arrow_cast above — common/src/scalar handles
+    # Date32 as i32 days); Spark's INT→DATE cast is an analysis error, so
+    # lower the ClickBench-style `x::INT::DATE` chain onto
+    # DATE_FROM_UNIX_DATE, which is exactly days-since-epoch→date
+    q = re.sub(
+        r"((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+        r"|\((?:[^()]|\([^()]*\))*\))"
+        r"\s*::\s*(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT)\s*::\s*DATE\b",
+        r"DATE_FROM_UNIX_DATE(CAST(\1 AS INT))",
+        q,
+        flags=re.IGNORECASE,
+    )
     # bare VARCHAR in cast position: DataFusion's VARCHAR is unbounded
     # (→ Utf8); Spark 4 requires a length parameter — only the
     # parameterless spelling is rewritten (VARCHAR(10) stays)

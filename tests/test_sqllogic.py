@@ -37,6 +37,29 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 #   unless the 'g' flag); Spark's builtin replaces every match.
 # - struct-from-columns display and overlay NULL-argument propagation.
 _KNOWN = {
+    # tpch/tpch.slt (the reference's own q1-q22 goldens at dbgen SF0.1,
+    # run via tests/tpch_tbl.py's duckdb-dbgen regeneration):
+    # - decimal AVG rounding: the reference's DecimalAverager divides the
+    #   i128 sum by count with TRUNCATING integer division
+    #   (functions-aggregate/src/average.rs), so q1's avg_disc shows
+    #   0.050144 where the exact quotient 0.0501445970... rounds HALF_UP
+    #   to 0.050145 under Spark decimal division. Last-digit only; every
+    #   other q1 cell matches.
+    # - dbgen text streams: duckdb's dbgen port reproduces every numeric/
+    #   key/date/name column of classic dbgen at SF0.1 (16 of 22 queries
+    #   match the goldens cell-exactly) but its random-TEXT streams
+    #   (V_STR addresses, TEXT-grammar comments) diverge at fractional
+    #   SF. Affects only queries that OUTPUT address/comment cells
+    #   (q2/q10/q15/q20 — all their key and numeric cells match) or
+    #   FILTER on comment text (q13's `o_comment not like
+    #   '%special%requests%'` distribution). Not reproducible without
+    #   dbgen's dists.dss word lists, which no repo here ships.
+    ("tpch/tpch.slt", 206): "decimal AVG truncating division (average.rs)",
+    ("tpch/tpch.slt", 347): "dbgen text stream (c_address/c_comment cells)",
+    ("tpch/tpch.slt", 763): "dbgen text stream (o_comment LIKE distribution)",
+    ("tpch/tpch.slt", 985): "dbgen text stream (s_address cell)",
+    ("tpch/tpch.slt", 1728): "dbgen text stream (s_address/s_comment cells)",
+    ("tpch/tpch.slt", 1917): "dbgen text stream (s_address cell)",
     # window.slt: sort-tie order. The reference's DESC sort reverses its
     # (declared-ordered) scan, so rows tied on the sort key appear in
     # REVERSE input order; Spark's stable sort keeps forward input order.
@@ -350,6 +373,14 @@ _FILES = {
     "pg_compat/pg_compat_type_coercion.slt": 7,
     "pg_compat/pg_compat_union.slt": 7,
     "pg_compat/pg_compat_window.slt": 12,
+    # the reference's OWN TPC-H golden answers (q1-q22 at dbgen SF0.1) —
+    # tests/tpch_tbl.py regenerates the .tbl data the repo doesn't ship
+    # (duckdb's tpch extension reproduces classic dbgen's numeric/key/
+    # date columns exactly at SF0.1); the 22 `explain` plan-text records
+    # are engine-specific skips; 6 records carry _KNOWN policy notes
+    # (decimal-AVG truncation, dbgen text-stream provenance). Floor:
+    # 16 DDL statements + 16 cell-exact answer queries.
+    "tpch/tpch.slt": 32,
 }
 
 
@@ -369,6 +400,12 @@ def test_reference_sqllogictest_file(spark, fname):
     # isolation stays with run_slt_file's per-file database.
     spark = spark.newSession()
     ctx = SessionContext(spark)
+    if fname == "tpch/tpch.slt":
+        # regenerate the dbgen SF0.1 .tbl data the goldens were computed
+        # from (cached on disk after the first run)
+        from tests import tpch_tbl
+
+        tpch_tbl.generate()
     if fname in ("avro.slt", "parquet.slt", "explain.slt"):
         # re-materialize the reference's `testing` submodule avro fixtures
         # (absent here) — see tests/avro_fixtures.py; the slt runner
