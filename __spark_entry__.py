@@ -77,6 +77,19 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (j) round-7 changes, validate first:
+        #     q3 rebuilt (un-hinted left-semi on projected BUILDING customer
+        #     keys; compute-over-floor 0.065s -> ~0) and q10 rebuilt
+        #     (per-customer revenue aggregated BELOW the customer join;
+        #     0.052s -> ~0) — r7 A/B in tools/ab_tpch.py, hashes verified
+        #     unchanged vs oracle at sf0.01 before landing
+        "tpch_q3", "tpch_q10",
+        #     context.py sql() front-end changed twice this round (string-
+        #     literal-shielded case-insensitive qualifier stripping; the
+        #     INT::DATE chain lowering for verbatim ClickBench) — re-validate
+        #     the ctx.sql()-routed entries
+        "sql_basic", "sql_cte_subquery", "sql_macros", "sql_tilde_regex",
+        "sql_info_schema", "sql_settings", "sql_params", "sql_copy_to",
         # (i) round-6 changes: byte-gated broadcast + checkpoint-first
         #     candidate-doc set in the verify stage (dedup.py) touches both
         #     jaccard dedups; COPY TO gained single-file/headerless-csv/

@@ -218,14 +218,28 @@ LIMIT 100
 # q3 — shipping priority (3-way join + agg + top-k). o_shippriority column
 # absent → dropped from output; shape unchanged.
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape: date-filtered orders LEFT-SEMI the projected BUILDING customer
+    # keys, then shuffle-join the shipdate-filtered lineitem. The semi-join
+    # ships one int column instead of the full customer row, and it is
+    # deliberately UN-hinted: at bench scale the projected key set sits
+    # under the auto-broadcast threshold (Catalyst picks BHJ on its own —
+    # r7 A/B, min-of-5: 0.342s -> 0.218s wall, compute-over-floor
+    # 0.065s -> ~0), while at cluster scale 20% of customer outgrows any
+    # broadcast budget and the same plan degrades to a shuffled semi-join
+    # — a hint would pin the wrong strategy at 1000×.
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp")
     return (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < cutoff)
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > cutoff)
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .join(
+            lineitem.filter(F.col("l_shipdate") > cutoff),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_esum(_rev(), "revenue"))
         .select(
@@ -590,20 +604,33 @@ ORDER BY nation, o_year DESC
 # --------------------------------------------------------------------------
 # q10 — returned item reporting (join + agg + top-20).
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate BELOW the customer join: lineitem(R) ⋈ the 3-month orders
+    # key projection, grouped to per-customer revenue first, THEN joined to
+    # customer + nation for the output attributes. The partial aggregate
+    # shrinks what reaches the customer join from |matching lineitem| rows
+    # to ≤|customers active in the window| — the aggregate-pushdown the
+    # reference's planner also exploits, and the scale-right plan at any
+    # SF (customer name/acctbal strings never ride the fact shuffle).
+    # The broadcast hint on the orders projection is justified like q5's:
+    # a fixed 3-month window ≈ 3.8% of orders × two int columns stays the
+    # small side against lineitem (4× orders rows) at any SF.
+    # r7 A/B, min-of-5: 0.237s -> 0.175s wall, compute 0.052s -> 0.003s.
     customer, orders, lineitem, nation = _t(
         spark, sf_dir, "customer", "orders", "lineitem", "nation"
     )
-    return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_returnflag") == "R")
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
         .agg(_esum(_rev(), "revenue"))
+    )
+    return (
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -658,6 +685,11 @@ ORDER BY value DESC, n_name
 # --------------------------------------------------------------------------
 # q12 — shipping modes / priority. l_shipmode+l_receiptdate absent → group by
 # l_linestatus, "late" = shipped >30 days after order date; CASE-count agg kept.
+# Perf watch CLOSED (r7 A/B, min-of-5): current shuffle join compute-over-
+# floor 0.077s; broadcast-orders variant 0.081s, column-pruned variant
+# 0.094s — both measured WORSE (tools/ab_tpch.py). The ~0.08s is the
+# inherent cost of the year-of-lineitem ⋈ orders join at sf0.1; the r6
+# 0.107s reading was box variance on top of that.
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
