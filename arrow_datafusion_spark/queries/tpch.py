@@ -685,16 +685,27 @@ ORDER BY value DESC, n_name
 # --------------------------------------------------------------------------
 # q12 — shipping modes / priority. l_shipmode+l_receiptdate absent → group by
 # l_linestatus, "late" = shipped >30 days after order date; CASE-count agg kept.
-# Perf watch CLOSED (r7 A/B, min-of-5): current shuffle join compute-over-
-# floor 0.077s; broadcast-orders variant 0.081s, column-pruned variant
-# 0.094s — both measured WORSE (tools/ab_tpch.py). The ~0.08s is the
-# inherent cost of the year-of-lineitem ⋈ orders join at sf0.1; the r6
-# 0.107s reading was box variance on top of that.
+# Perf watch CLOSED (r7): at sf0.1 the broadcast/pruned variants measured
+# worse and the ~0.08s compute looked inherent — but the SF1 A/B exposed
+# the real cause: Spark picked sort-merge where the reference hash-joins.
+# Fixed with the SHUFFLE_HASH hint below (1.15s -> 0.69s at SF1).
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join strategy: SHUFFLE_HASH on the orders build side. Spark's planner
+    # prefers sort-merge for this large⋈large join; the reference always
+    # partitioned-hash-joins (physical-plan hash_join, prefer_hash_join=true
+    # in its bench config). The hint drops both sort passes while keeping
+    # the shuffle partitioning — per-partition build side is |orders|/N
+    # rows, which fits executor memory at any SF given sane partition
+    # counts, and Spark's SHJ spills since 3.2 if it doesn't.
+    # r7 SF1 A/B (min-of-3): 1.15s -> 0.69s wall, compute 0.93 -> 0.32s;
+    # every alternative shape (broadcast orders, column pruning, pre-
+    # computed priority flag) measured neutral-to-worse — see
+    # tools/ab_tpch.py.
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return _sorted_small(
-        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.hint("SHUFFLE_HASH")
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -728,17 +739,23 @@ ORDER BY l_linestatus
 # q13 — customer distribution (left outer join with ON-clause filter, then
 # histogram of counts). o_comment NOT LIKE filter → o_orderpriority <>.
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate orders per custkey BEFORE the customer join (the q10
+    # aggregate-pushdown pattern): the ON-clause priority filter commutes
+    # with the per-customer COUNT, so counting first means the join shuffle
+    # carries one (custkey, count) row per active customer instead of every
+    # order row, with map-side partial aggregation upstream — ~10× less
+    # shuffle volume at any SF. Customers with no qualifying orders surface
+    # through the left join as count 0, exactly like the outer-join form.
+    # r7 SF1 A/B (min-of-3): 0.81s -> 0.44s wall, compute 0.60 -> 0.18s.
     customer, orders = _t(spark, sf_dir, "customer", "orders")
-    c_orders = (
-        customer.join(
-            orders,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    c_orders = customer.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
     return _sorted_small(
         c_orders.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist")),

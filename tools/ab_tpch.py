@@ -211,14 +211,169 @@ def _q10_partial_agg(spark, sf_dir):
     )
 
 
+def _q12_bool(spark, sf_dir):
+    """Compute the priority boolean BEFORE the shuffle: the orders side of
+    the join carries (int, timestamp, bool) instead of the priority string."""
+    orders, lineitem = tpch._t(spark, sf_dir, "orders", "lineitem")
+    o = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("high"),
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate", "l_linestatus").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return tpch._sorted_small(
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("high"), 1)).alias("high_line_count"),
+            F.count(F.when(~F.col("high"), 1)).alias("low_line_count"),
+        ),
+        "l_linestatus",
+    )
+
+
+def _q16_predistinct(spark, sf_dir):
+    """Dedup (l_partkey, l_suppkey) BEFORE the part join — reconstructs the
+    reference's partsupp cardinality from the fact table, so the join and
+    the countDistinct expand see |part x avg-suppliers| rows, not |lineitem|."""
+    lineitem, part, supplier = tpch._t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    links = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return tpch._sorted_small(
+        part.filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        )
+        .join(links, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")),
+        F.desc("supplier_cnt"),
+        "p_brand",
+        "p_type",
+        "p_size",
+    )
+
+
+def _q4_bcast(spark, sf_dir):
+    """Hint-broadcast the 3-month orders window into the lineitem join."""
+    orders, lineitem = tpch._t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = lineitem.select("l_orderkey", "l_shipdate").join(
+        F.broadcast(o),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    return tpch._sorted_small(
+        late.groupBy("o_orderpriority").agg(
+            F.countDistinct("o_orderkey").alias("order_count")
+        ),
+        "o_orderpriority",
+    )
+
+
+def _q12_shuffle_hash(spark, sf_dir):
+    """SHUFFLE_HASH the orders side: Spark's default prefers sort-merge for
+    large-large joins; DataFusion always partitioned-hash-joins. The hint
+    skips both sort passes (scale-appropriate: hash side is per-partition)."""
+    orders, lineitem = tpch._t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return tpch._sorted_small(
+        orders.hint("SHUFFLE_HASH")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        ),
+        "l_linestatus",
+    )
+
+
+def _q13_preagg(spark, sf_dir):
+    """Aggregate orders per custkey BEFORE the customer join (q10 pattern):
+    the shuffle carries (custkey, count) partial aggregates instead of raw
+    order rows; customers with no orders get 0 via the left join."""
+    customer, orders = tpch._t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    c_orders = customer.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    return tpch._sorted_small(
+        c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist")),
+        F.desc("custdist"),
+        F.desc("c_count"),
+    )
+
+
+def _q2_shj(spark, sf_dir):
+    """SHUFFLE_HASH the distinct-links dedup join chain (the one SMJ left
+    in the whole suite's static plans)."""
+    from pyspark.sql import Window
+
+    part, supplier, lineitem, nation, region = tpch._t(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    eur_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    p = part.filter(F.col("p_size") == 15)
+    links = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
+    )
+    cand = p.hint("SHUFFLE_HASH").join(
+        links, F.col("p_partkey") == F.col("l_partkey")
+    ).join(eur_supp.hint("SHUFFLE_HASH"), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_acctbal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_acctbal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
 _VARIANTS = {
+    "q2": [("shj", _q2_shj)],
     "q3": [
         ("bcast_co", _q3_bcast),
         ("bcast_cust", _q3_bcast_cust),
         ("semi_nohint", _q3_semi_nohint),
     ],
+    "q4": [("bcast_o", _q4_bcast)],
     "q10": [("bcast_co", _q10_bcast), ("partial_agg", _q10_partial_agg)],
-    "q12": [("bcast_o", _q12_bcast), ("prune", _q12_prune)],
+    "q12": [
+        ("bcast_o", _q12_bcast),
+        ("prune", _q12_prune),
+        ("bool", _q12_bool),
+        ("shuffle_hash", _q12_shuffle_hash),
+    ],
+    "q13": [("preagg", _q13_preagg)],
+    "q16": [("predistinct", _q16_predistinct)],
 }
 
 
@@ -227,10 +382,19 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--n", type=int, default=5)
     ap.add_argument("--explain", action="store_true")
+    ap.add_argument(
+        "--sf1",
+        action="store_true",
+        help="A/B on the .bench_layout/sf1 layout under ENGINE-default "
+        "runtime (AQE on, 32 partitions) — the bench_sf1.py protocol",
+    )
     args = ap.parse_args()
 
     spark = bench._build_session()
-    lay = bench._layout_dir("/root/testdata/sf0.1")
+    if args.sf1:
+        lay = os.path.join(_REPO, ".bench_layout", "sf1_layout")
+    else:
+        lay = bench._layout_dir("/root/testdata/sf0.1")
     warm = bench._layout_dir(bench._WARM_SRC)
 
     def rows(df):
@@ -241,9 +405,20 @@ def main() -> None:
         tpch.QUERIES[f"tpch_{q}"](spark, warm).collect()
         for _, fn in _VARIANTS.get(q, []):
             fn(spark, warm).collect()
-    for df in bench.load_tables(spark, lay).values():
-        df.count()
-    bench._apply_tuning(spark)
+    tables = (
+        ["lineitem", "orders", "customer", "supplier", "part", "nation", "region"]
+        if args.sf1
+        else list(bench.ALL_TABLES)
+    )
+    for name in tables:
+        spark.read.parquet(f"{lay}/{name}.parquet").count()
+    if args.sf1:  # bench_sf1.py protocol: engine-default runtime
+        from arrow_datafusion_spark.session import prepare
+
+        prepare(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    else:
+        bench._apply_tuning(spark)
 
     for q in args.queries:
         cur = tpch.QUERIES[f"tpch_{q}"]

@@ -118,15 +118,20 @@ def main() -> None:
 
     raw = generate(args.regen)
     spark = bench._build_session()
-    # re-encode into the parallel multi-file layout, same as bench.py
-    lay = bench._layout_dir(raw)
+    # re-encode into a parallel multi-file layout (same discipline as
+    # bench.py's ingest, files-per-table scaled 2x for the 10x data —
+    # ~190k lineitem rows/file). NOTE: must be a DIFFERENT dir from raw
+    # (bench._layout_dir(raw) maps the sf1 dir onto itself).
+    lay = os.path.join(_REPO, ".bench_layout", "sf1_layout")
+    parts = {"lineitem": 32, "orders": 16, "customer": 4, "part": 4,
+             "supplier": 2, "nation": 1, "region": 1}
     if not os.path.isdir(lay) or args.regen:
         shutil.rmtree(lay, ignore_errors=True)
         from concurrent.futures import ThreadPoolExecutor
 
         def _write(name: str) -> None:
             df = spark.read.parquet(f"{raw}/{name}.parquet")
-            df.repartition(bench._LAYOUT_PARTS.get(name, 4)).write.mode(
+            df.repartition(parts.get(name, 4)).write.mode(
                 "overwrite"
             ).parquet(f"{lay}/{name}.parquet")
 
