@@ -84,6 +84,10 @@ def _registries() -> tuple[dict, dict]:
         #     0.052s -> ~0) — r7 A/B in tools/ab_tpch.py, hashes verified
         #     unchanged vs oracle at sf0.01 before landing
         "tpch_q3", "tpch_q10",
+        #     q12 (SHUFFLE_HASH build side) and q13 (per-custkey pre-agg
+        #     below the customer join) rebuilt from the SF1 bench lens —
+        #     same A/B + hash-verify discipline
+        "tpch_q12", "tpch_q13",
         #     context.py sql() front-end changed twice this round (string-
         #     literal-shielded case-insensitive qualifier stripping; the
         #     INT::DATE chain lowering for verbatim ClickBench) — re-validate

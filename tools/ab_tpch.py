@@ -323,6 +323,28 @@ def _q13_preagg(spark, sf_dir):
     )
 
 
+def _q4_semi_shj(spark, sf_dir):
+    """LEFT-SEMI orders against the late-lineitem probe with SHUFFLE_HASH:
+    the semi avoids the countDistinct expand entirely (each order counted
+    once), and the hint builds the per-partition hash from the pruned
+    lineitem (l_orderkey, l_shipdate) pairs."""
+    orders, lineitem = tpch._t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = o.join(
+        lineitem.select("l_orderkey", "l_shipdate").hint("SHUFFLE_HASH"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return tpch._sorted_small(
+        late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")),
+        "o_orderpriority",
+    )
+
+
 def _q2_shj(spark, sf_dir):
     """SHUFFLE_HASH the distinct-links dedup join chain (the one SMJ left
     in the whole suite's static plans)."""
@@ -364,7 +386,7 @@ _VARIANTS = {
         ("bcast_cust", _q3_bcast_cust),
         ("semi_nohint", _q3_semi_nohint),
     ],
-    "q4": [("bcast_o", _q4_bcast)],
+    "q4": [("bcast_o", _q4_bcast), ("semi_shj", _q4_semi_shj)],
     "q10": [("bcast_co", _q10_bcast), ("partial_agg", _q10_partial_agg)],
     "q12": [
         ("bcast_o", _q12_bcast),
