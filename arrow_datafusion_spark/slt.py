@@ -507,6 +507,114 @@ def _has_top_level_order_by(sql: str) -> bool:
     return False
 
 
+def _top_level_clause(sql: str, keyword: str) -> tuple[int, int] | None:
+    """(start, end) of the first depth-0 occurrence of ``keyword`` (a regex),
+    or None."""
+    depth = 0
+    for m in re.finditer(r"[()\[\]]|" + keyword, sql, re.IGNORECASE):
+        t = m.group(0)
+        if t in "([":
+            depth += 1
+        elif t in ")]":
+            depth -= 1
+        elif depth == 0:
+            return m.span()
+    return None
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    out, cur, depth = [], [], 0
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _norm_expr(e: str) -> str:
+    return re.sub(r"\s+", " ", e.strip().lower())
+
+
+def _order_by_output_positions(sql: str, ncols: int) -> list[int] | None:
+    """Output column indexes (0-based) that the top-level ORDER BY
+    constrains. ORDER BY items naming non-output expressions are ignored
+    (they constrain nothing visible — the tie source). None = unparseable.
+    """
+    ob = _top_level_clause(sql, r"\bORDER\s+BY\b")
+    sel = _top_level_clause(sql, r"\bSELECT\b")
+    frm = _top_level_clause(sql, r"\bFROM\b")
+    if not ob or not sel:
+        return None
+    sel_end = frm[0] if frm and frm[0] > sel[1] else ob[0]
+    items = _split_top_level_commas(sql[sel[1] : sel_end])
+    if len(items) != ncols or any(
+        re.fullmatch(r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?\*", it) for it in items
+    ):
+        return None
+    # each select item → (normalized expr, alias or trailing identifier)
+    cols: list[tuple[str, str | None]] = []
+    for it in items:
+        m = re.match(r"(.*?)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$", it, re.IGNORECASE | re.DOTALL)
+        expr, alias = (m.group(1), m.group(2)) if m and _norm_expr(m.group(1)) else (it, None)
+        # a bare column reference is its own alias ("t2.a" → a)
+        bare = re.fullmatch(r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)", it.strip())
+        cols.append((_norm_expr(expr if alias else it), (alias or (bare.group(1) if bare else None) or "").lower() or None))
+    tail = sql[ob[1] :]
+    lim = _top_level_clause(tail, r"\b(?:LIMIT|OFFSET)\b")
+    ob_items = _split_top_level_commas(tail[: lim[0] if lim else len(tail)])
+    positions: list[int] = []
+    for item in ob_items:
+        item = re.sub(
+            r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\s*$", "", item.strip(), flags=re.IGNORECASE
+        )
+        item = re.sub(r"\s+(ASC|DESC)\s*$", "", item, flags=re.IGNORECASE)
+        if re.fullmatch(r"\d+", item):
+            p = int(item) - 1
+            if 0 <= p < ncols:
+                positions.append(p)
+            continue
+        ni = _norm_expr(item)
+        base = re.fullmatch(r"(?:[A-Za-z_][A-Za-z0-9_]*\.)?([A-Za-z_][A-Za-z0-9_]*)", item)
+        for i, (expr, alias) in enumerate(cols):
+            if ni == expr or (alias and (ni == alias or (base and base.group(1).lower() == alias))):
+                positions.append(i)
+                break
+        # unmatched: orders on a non-output expression — ignore
+    return positions
+
+
+def _tie_order_equivalent(rec: Record, rows) -> bool:
+    """True when expected and actual agree on every output column the
+    top-level ORDER BY constrains (cell-for-cell, same row count) — the
+    remaining differences are then tie-order picks inside equal sort keys,
+    which the reference's golden cannot pin for another engine."""
+    ncols = len(rec.type_codes)
+    positions = _order_by_output_positions(rec.sql, ncols)
+    if positions is None:
+        return False
+    actual = _rows_to_lines(rows, rec.type_codes)
+    expected = list(rec.expected)
+    if len(actual) != len(expected):
+        return False
+    for eline, aline in zip(expected, actual):
+        evs, avs = eline.split(), aline.split()
+        if len(evs) != ncols or len(avs) != ncols:
+            return False
+        for p in positions:
+            code = rec.type_codes[p] if p < len(rec.type_codes) else "?"
+            if not _values_equal(evs[p], avs[p], code):
+                return False
+    return True
+
+
 def _compare_query(rec: Record, rows) -> str | None:
     """None = pass; "hash-form"/"type-divergence" = classified skip;
     other string = failure description."""
@@ -1019,6 +1127,21 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             # itself is engine-order-dependent (the reference takes the
             # first N rows of ITS physical order) — a documented
             # divergence, not a wrong result
+            rep.divergences += 1
+            continue
+        if (
+            verdict not in (None, "hash-form", "type-divergence")
+            and re.search(r"\bLIMIT\b", rec.sql, re.IGNORECASE)
+            and _has_top_level_order_by(rec.sql)
+            and _tie_order_equivalent(rec, rows)
+        ):
+            # Top-level ORDER BY whose sort key does not uniquely determine
+            # the row set at the LIMIT boundary (e.g. join.slt's
+            # "ORDER BY a2, t2.b LIMIT 5" where t1's columns tie): the
+            # golden encodes the reference's physical tie order, which no
+            # other engine (nor another run of ours — partition order
+            # varies) can promise. Accept only when every output column the
+            # ORDER BY constrains matches cell-for-cell.
             rep.divergences += 1
             continue
         if verdict is None:

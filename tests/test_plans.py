@@ -67,12 +67,18 @@ def test_asof_single_key_shuffle(spark):
 
 def test_sort_merge_join_selected_when_broadcast_disabled(spark):
     """SortMergeJoinExec parity (sort_merge_join.rs:65): with broadcast off,
-    Catalyst must plan the orders⋈lineitem equi-join as a sort-merge join —
-    the spill-safe strategy for two large inputs at 100 TB."""
+    Catalyst must plan an un-hinted large⋈large equi-join as a sort-merge
+    join — the spill-safe strategy for two large inputs at 100 TB. q3's
+    orders⋈lineitem join is deliberately un-hinted (q12's carries a
+    measured SHUFFLE_HASH hint, so it is excluded here by design)."""
+    # Warm the table cache first: load_table() runs prepare() on a cache
+    # miss, which re-applies the 64 MiB default broadcast threshold and
+    # would silently undo the -1 set below (order-dependent otherwise).
+    _plan(spark, "tpch_q3")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = _plan(spark, "tpch_q12")
+        plan = _plan(spark, "tpch_q3")
         assert "SortMergeJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
