@@ -77,6 +77,13 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (k) round-7 slt-divergence audit: corr gained the reference's
+        #     population-stats zero-variance -> 0.0 semantics on BOTH
+        #     surfaces (registry _corr, ctx.sql CASE rewrite) and array_agg
+        #     is now NULL-preserving (struct-collect unwrap) — re-validate
+        #     the entries whose plans changed (values verified hash-equal
+        #     vs the sf0.01 oracle before landing)
+        "agg_stats", "h2o_corr_r2", "agg_ordered",
         # (j) round-7 changes, validate first:
         #     q3 rebuilt (un-hinted left-semi on projected BUILDING customer
         #     keys; compute-over-floor 0.065s -> ~0) and q10 rebuilt

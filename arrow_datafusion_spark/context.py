@@ -1647,6 +1647,37 @@ def _rewrite_sql(q: str) -> str:
         ("mean", "avg"),
     ):
         q = re.sub(rf"\b{alias}\s*\(", f"{native}(", q, flags=re.IGNORECASE)
+    # corr: the reference computes it from POPULATION statistics and returns
+    # 0.0 (not NULL) when either side has zero variance — including a single
+    # pair, where var_pop = 0 (correlation.rs:161). Spark's corr NULLs the
+    # degenerate cases; wrap it. Pairwise-masked stddevs so one-sided NULLs
+    # can't flip the zero-variance test. n>=2 nonzero-variance values are
+    # identical (the (n-1)/n factors cancel in the ratio).
+    pos = 0
+    while True:
+        hit = _find_call(q, "corr", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if (
+            len(parts) != 2
+            or parts[0].upper().startswith("DISTINCT")
+            # window form (corr(...) OVER ...): leave Spark's native corr —
+            # the CASE wrapper is an aggregate-position rewrite only
+            or re.match(r"\s*OVER\b", q[e + 1 :], re.IGNORECASE)
+        ):
+            pos = e
+            continue
+        x, y = parts
+        pair = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+        repl = (
+            f"CASE WHEN stddev_pop(CASE WHEN {pair} THEN ({x}) END) = 0 "
+            f"OR stddev_pop(CASE WHEN {pair} THEN ({y}) END) = 0 "
+            f"THEN 0.0 ELSE corr(({x}), ({y})) END"
+        )
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
     # approx_* family (physical-expr approx percentile/median): Spark's
     # exact percentile is a valid implementation of an *approximate*
     # contract (the corpus checks ±5% bounds); the t-digest centroid count
@@ -1669,6 +1700,17 @@ def _rewrite_sql(q: str) -> str:
             if fn_name == "approx_median" and len(parts) == 1:
                 repl = f"percentile({parts[0]}, 0.5)"
             elif fn_name == "approx_percentile_cont" and len(parts) in (2, 3):
+                if len(parts) == 3 and (
+                    not re.fullmatch(r"\+?\d+", parts[2]) or int(parts[2]) == 0
+                ):
+                    # approx_percentile_cont.rs: the centroid budget must be
+                    # a positive integer LITERAL (reject negatives, floats,
+                    # column references) — plan-time error in the reference
+                    raise ValueError(
+                        "approx_percentile_cont: centroid count (third "
+                        f"argument) must be a positive integer literal, got "
+                        f"{parts[2]!r}"
+                    )
                 repl = f"percentile({parts[0]}, {parts[1]})"
             elif fn_name == "approx_percentile_cont_with_weight" and len(parts) == 3:
                 # (expr, weight, pct) → percentile(expr, pct, frequency)
@@ -1843,8 +1885,10 @@ def _rewrite_sql(q: str) -> str:
         q,
         flags=re.IGNORECASE,
     )
-    # array_agg(DISTINCT x) KEEPS a null element in the reference
-    # (distinct set over all values incl. NULL); Spark's drops it
+    # array_agg KEEPS null elements in the reference (array_agg.rs
+    # accumulates the raw column, nulls included); Spark's collect_list
+    # drops them. DISTINCT form: re-attach one typed NULL when the input
+    # had any. Plain form: collect non-null STRUCT wrappers and unwrap.
     pos = 0
     while True:
         hit = _find_call(q, "array_agg", pos)
@@ -1853,8 +1897,19 @@ def _rewrite_sql(q: str) -> str:
         s_i, a, e = hit
         argstr = q[a:e]
         md = re.match(r"\s*DISTINCT\s+(.+)$", argstr, re.IGNORECASE | re.DOTALL)
-        if not md or _top_level_order_by(argstr) is not None:
+        if _top_level_order_by(argstr) is not None:
             pos = e
+            continue
+        if not md:
+            x = argstr.strip()
+            if not x or "*" in x or re.match(r"\s*OVER\b", q[e + 1 :], re.IGNORECASE):
+                # window form: the transform wrapper would detach OVER from
+                # the aggregate — leave Spark's native (null-dropping)
+                pos = e
+                continue
+            repl = f"transform(\x02array_agg\x02(struct(({x}) AS __v)), s -> s.__v)"
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
             continue
         x = md.group(1).strip()
         typed_null = f"array(first(CASE WHEN false THEN {x} END))"

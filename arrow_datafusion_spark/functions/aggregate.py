@@ -66,7 +66,7 @@ AGGREGATE: dict[str, Callable[..., Column]] = {
     "covar": lambda a, b: F.covar_samp(_c(a), _c(b)),
     "covar_samp": lambda a, b: F.covar_samp(_c(a), _c(b)),
     "covar_pop": lambda a, b: F.covar_pop(_c(a), _c(b)),
-    "corr": lambda a, b: F.corr(_c(a), _c(b)),
+    "corr": lambda a, b: _corr(_c(a), _c(b)),
     "regr_slope": lambda y, x: F.regr_slope(_c(y), _c(x)),
     "regr_intercept": lambda y, x: F.regr_intercept(_c(y), _c(x)),
     "regr_count": lambda y, x: F.regr_count(_c(y), _c(x)),
@@ -89,7 +89,11 @@ AGGREGATE: dict[str, Callable[..., Column]] = {
         sep, F.array_sort(F.collect_list(_c(c)))
     ),
     # array_agg (+DISTINCT, +ORDER BY) (physical-expr/src/aggregate/array_agg*.rs)
-    "array_agg": lambda c: F.collect_list(_c(c)),
+    # NULL elements are KEPT (array_agg.rs accumulates the raw column);
+    # collect_list drops them, so collect non-null struct wrappers and unwrap
+    "array_agg": lambda c: F.transform(
+        F.collect_list(F.struct(_c(c).alias("__v"))), lambda s: s["__v"]
+    ),
     "array_agg_ordered": lambda c: F.array_sort(F.collect_list(_c(c))),
     "array_agg_distinct": lambda c: F.array_sort(F.collect_set(_c(c))),
     # bitwise / boolean (bit_and_or_xor.rs, bool_and_or.rs)
@@ -102,6 +106,21 @@ AGGREGATE: dict[str, Callable[..., Column]] = {
     # grouping-set indicator (grouping.rs)
     "grouping": lambda c: F.grouping(_c(c)),
 }
+
+
+def _corr(a: Column, b: Column) -> Column:
+    """Pearson correlation with the reference's degenerate-case semantics
+    (correlation.rs:161): corr is computed from POPULATION statistics, and
+    zero variance on either side — including a single pair, where
+    var_pop = 0 — yields 0.0, not NULL. Empty input stays NULL. The
+    stddevs are taken over PAIRWISE non-null rows (both engines restrict
+    corr to complete pairs). n>=2 nonzero-variance results are identical
+    to Spark's corr (the (n-1)/n factors cancel in the ratio)."""
+    pair = a.isNotNull() & b.isNotNull()
+    return F.when(
+        (F.stddev_pop(F.when(pair, a)) == 0) | (F.stddev_pop(F.when(pair, b)) == 0),
+        F.lit(0.0),
+    ).otherwise(F.corr(a, b))
 
 
 def _approx_pct_weighted(c: Column, w: Column, p: float) -> Column:

@@ -91,7 +91,6 @@ _KNOWN = {
     # - ns-precision columns and interval Display forms inside arrays.
     # - string_agg without ORDER BY: concatenation order is the engine's
     #   physical row order — unspecified by SQL.
-    ("aggregate.slt", 382): "corr singular input: reference 0.0, Spark NULL",
     ("aggregate.slt", 510): "t-digest artifact (approx_median direct value)",
     ("aggregate.slt", 516): "t-digest artifact (approx_median direct value)",
     ("aggregate.slt", 533): "median typing: int64 median exact in reference",
@@ -109,7 +108,6 @@ _KNOWN = {
     ("aggregate.slt", 1488): "t-digest artifact (grouped p95 direct value)",
     ("aggregate.slt", 3628): "ns→µs truncation policy (ns column display)",
     ("aggregate.slt", 3674): "ns→µs truncation policy (ns column display)",
-    ("aggregate.slt", 3700): "interval Display inside array_agg arrays",
     ("aggregate.slt", 4933): "string_agg without ORDER BY: physical order",
     # joins.slt: the reference's integer↔timestamp casts REINTERPRET unit
     # counts (bigint ns → Timestamp(ns)); Spark's integer casts mean
@@ -258,8 +256,6 @@ _KNOWN = {
     # empty-value display forms: the reference renders a zero-length
     # binary as a blank cell and empty encode('') output without the
     # (empty) placeholder — cosmetic Display divergence on '' inputs
-    ("expr.slt", 1802): "empty-binary display form",
-    ("expr.slt", 1812): "empty-string encode display form",
     # the reference evaluates log() at Float32 here — the expected cell
     # carries f32 artifacts (0.3010299801826477) at 16 digits, outside the
     # ≤9-digit f32-granularity comparator rule (§1.2 f64-widening policy)
@@ -278,7 +274,7 @@ _FILES = {
     "coalesce.slt": 42,
     "cast.slt": 6,
     "math.slt": 90,
-    "expr.slt": 310,
+    "expr.slt": 320,
     "union.slt": 26,
     "intersection.slt": 4,
     "dates.slt": 19,
@@ -288,7 +284,7 @@ _FILES = {
     "nvl.slt": 8,
     "limit.slt": 39,
     "window.slt": 222,
-    "aggregate.slt": 743,
+    "aggregate.slt": 770,
     "joins.slt": 256,
     "subquery.slt": 57,
     "map.slt": 9,
