@@ -24,6 +24,7 @@ string-level only (no extra plan nodes).
 
 from __future__ import annotations
 
+import os
 import re
 import weakref
 from collections.abc import Callable
@@ -2677,14 +2678,38 @@ class SessionContext:
         m = re.match(
             # the optional type list may nest parens (DECIMAL(10,2))
             r"\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*"
-            r"(?:\((?:[^()]|\([^()]*\))*\))?\s+AS\s+(.*)$",
+            r"(\((?:[^()]|\([^()]*\))*\))?\s+AS\s+(.*)$",
             query,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
             # PREPARE name [(types)] AS query (sql/src/statement.rs Prepare):
             # store the text; EXECUTE binds $n placeholders positionally.
-            self._prepared[m.group(1).lower()] = m.group(2).strip()
+            # Plan-time rejections mirror the reference's planner:
+            name, typelist, body = m.group(1).lower(), m.group(2), m.group(3).strip()
+            if name in self._prepared:
+                # duplicate PREPARE without DEALLOCATE
+                raise ValueError(f"prepared statement {name!r} already exists")
+            shielded = re.sub(r"'[^']*'", "''", body)
+            if re.search(r"\$[A-Za-z_]", shielded):
+                # only positional $n placeholders are supported
+                raise ValueError("named placeholders ($foo) are not supported")
+            if re.search(r"\bIS\s+(NOT\s+)?\$\d", shielded, re.IGNORECASE):
+                raise ValueError("IS $n is not a valid placeholder position")
+            used = [int(n) for n in re.findall(r"\$(\d+)", shielded)]
+            if typelist is not None:
+                ntypes = len(_split_top_level(typelist[1:-1]))
+                if used and max(used) > ntypes:
+                    raise ValueError(
+                        f"prepared statement uses ${max(used)} but only "
+                        f"{ntypes} parameter types were declared"
+                    )
+            if re.match(r"\s*(SELECT|VALUES|WITH)\b", body, re.IGNORECASE):
+                # validate the body plans (placeholders bound to NULL) so a
+                # body the reference rejects at PREPARE time (e.g. columns
+                # with no table) fails here, not at first EXECUTE
+                self.sql(re.sub(r"\$\d+", "NULL", body))
+            self._prepared[name] = body
             return self.spark.createDataFrame([], "result string")
         m = re.match(
             r"\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\((.*)\))?\s*;?\s*$",
@@ -2734,6 +2759,13 @@ class SessionContext:
                 if if_exists:
                     return self.spark.createDataFrame([], "result string")
                 raise ValueError(f"no view named {name!r}")
+            if name not in self._view_defs and not any(
+                t.name == name and t.tableType == "VIEW"
+                for t in self.spark.catalog.listTables()
+            ):
+                # drop_view_cant_drop_table (ddl.slt): the name resolves to
+                # a TABLE — DROP VIEW must not remove it
+                raise ValueError(f"View {name!r} doesn't exist.")
             self.deregister_table(name)
             return self.spark.createDataFrame([], "result string")
         m = re.match(
@@ -2741,6 +2773,10 @@ class SessionContext:
             query,
             re.IGNORECASE,
         )
+        if m and m.group(1) in self._view_defs:
+            # drop_table_cant_drop_view (ddl.slt): the name is a session
+            # VIEW — DROP TABLE must not remove it
+            raise ValueError(f"Table {m.group(1)!r} doesn't exist.")
         if m and any(
             t.name == m.group(1) and t.tableType == "TEMPORARY"
             for t in self.spark.catalog.listTables()
@@ -2785,6 +2821,24 @@ class SessionContext:
             for fname in self._dropped_functions:
                 if re.search(rf"\b{fname}\s*\(", shielded, re.IGNORECASE):
                     raise ValueError(f"Invalid function '{fname}'")
+        shielded_q = _strip_strings(query)
+        if re.search(
+            r"\b(ROWS|RANGE|GROUPS)\s+BETWEEN\b[^()]*?"
+            r"(\bNULL\s+(PRECEDING|FOLLOWING)|-\s*\d+\s+(PRECEDING|FOLLOWING))",
+            shielded_q,
+            re.IGNORECASE | re.DOTALL,
+        ) or re.search(
+            r"-\s*\d+\s+(PRECEDING|FOLLOWING)", shielded_q, re.IGNORECASE
+        ):
+            # window frame offsets must be non-negative integers (the
+            # reference's WindowFrame validation) — Spark parses NULL /
+            # negative bounds as expressions and misplans them
+            raise ValueError(
+                "Invalid window frame: frame offsets must be non negative integers"
+            )
+        if re.search(r"\bNTILE\s*\(\s*\)", shielded_q, re.IGNORECASE):
+            # ntile.rs: NTILE requires an argument
+            raise ValueError("NTILE requires a positive integer")
         if re.match(r"\s*WITH\s+RECURSIVE\b", query, re.IGNORECASE):
             if not self.settings.get_bool("datafusion.execution.enable_recursive_ctes"):
                 raise ValueError(
@@ -3538,6 +3592,219 @@ class SessionContext:
         )
         return query
 
+    def _validate_external_ddl(self, rest: str, cols: str | None, name: str) -> None:
+        """Strict clause-tail scan mirroring parser.rs
+        ``parse_create_external_table``: the clauses may appear in any
+        order, each at most once (WITH ORDER may repeat), and nothing else
+        is accepted. Raises the reference's ParserError shapes on unknown
+        tokens, duplicate clauses, and malformed WITH/ORDER; then applies
+        the planner's semantic checks (partition column membership,
+        CsvOptions key validity, single-file partitioned location,
+        on-disk partition-order inference)."""
+        n = len(rest)
+
+        def balanced_end(i: int) -> int:  # rest[i] == "(" (caller-checked)
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if rest[j] == "'":  # skip quoted spans (paths may hold parens)
+                    j += 1
+                    while j < n and rest[j] != "'":
+                        j += 1
+                else:
+                    depth += {"(": 1, ")": -1}.get(rest[j], 0)
+                j += 1
+            if depth:
+                raise ValueError('ParserError("Expected ), found: EOF")')
+            return j
+
+        seen: set[str] = set()
+        part_inner: str | None = None
+        fmt: str | None = None
+        opt_inner: str | None = None
+        has_location = False
+        i = 0
+        while True:
+            while i < n and (rest[i].isspace() or rest[i] == ";"):
+                i += 1
+            if i >= n:
+                break
+            tail = rest[i:]
+            m = re.match(r"STORED\s+AS\s+(\w+)", tail, re.IGNORECASE)
+            if m:
+                if "stored" in seen:
+                    raise ValueError('ParserError("STORED AS specified more than once")')
+                seen.add("stored")
+                fmt = m.group(1).lower()
+                i += m.end()
+                continue
+            m = re.match(r"LOCATION\s+'[^']*'", tail, re.IGNORECASE)
+            if m:
+                if "location" in seen:
+                    raise ValueError('ParserError("LOCATION specified more than once")')
+                seen.add("location")
+                has_location = True
+                i += m.end()
+                continue
+            m = re.match(r"OPTIONS\s*\(", tail, re.IGNORECASE)
+            if m:
+                if "options" in seen:
+                    raise ValueError('ParserError("OPTIONS specified more than once")')
+                seen.add("options")
+                end = balanced_end(i + m.end() - 1)
+                opt_inner = rest[i + m.end() : end - 1]
+                i = end
+                continue
+            m = re.match(r"PARTITIONED(\s+BY)?", tail, re.IGNORECASE)
+            if m:
+                if not m.group(1):
+                    nxt = re.match(r"PARTITIONED\s+(\S+)", tail, re.IGNORECASE)
+                    raise ValueError(
+                        f'ParserError("Expected BY, found: '
+                        f'{nxt.group(1) if nxt else "EOF"}")'
+                    )
+                if "partitioned" in seen:
+                    raise ValueError(
+                        'ParserError("PARTITIONED BY specified more than once")'
+                    )
+                seen.add("partitioned")
+                j = i + m.end()
+                while j < n and rest[j].isspace():
+                    j += 1
+                if j >= n or rest[j] != "(":
+                    tok = re.match(r"(\S+)", rest[j:])
+                    raise ValueError(
+                        f'ParserError("Expected (, found: '
+                        f'{tok.group(1) if tok else "EOF"}")'
+                    )
+                end = balanced_end(j)
+                part_inner = rest[j + 1 : end - 1]
+                i = end
+                continue
+            m = re.match(r"WITH\s+(\w+)", tail, re.IGNORECASE)
+            if m:
+                kw = m.group(1).upper()
+                if kw == "ORDER":
+                    j = i + m.end()
+                    while j < n and rest[j].isspace():
+                        j += 1
+                    if j >= n or rest[j] != "(":
+                        tok = re.match(r"(\S+)", rest[j:])
+                        raise ValueError(
+                            f'ParserError("Expected (, found: '
+                            f'{tok.group(1) if tok else "EOF"}")'
+                        )
+                    i = balanced_end(j)
+                    continue
+                if kw == "HEADER":
+                    m2 = re.match(r"WITH\s+HEADER\s+ROW", tail, re.IGNORECASE)
+                    if not m2:
+                        nxt = re.match(r"WITH\s+HEADER\s+(\S+)", tail, re.IGNORECASE)
+                        raise ValueError(
+                            f'ParserError("Expected ROW, found: '
+                            f'{nxt.group(1) if nxt else "EOF"}")'
+                        )
+                    i += m2.end()
+                    continue
+                raise ValueError(f'ParserError("Expected HEADER, found: {m.group(1)}")')
+            m = re.match(r"DELIMITER\s+'[^']*'", tail, re.IGNORECASE)
+            if m:
+                i += m.end()
+                continue
+            m = re.match(r"COMPRESSION\s+TYPE\s+\w+", tail, re.IGNORECASE)
+            if m:
+                i += m.end()
+                continue
+            tok = re.match(r"(\S+)", tail)
+            raise ValueError(f'ParserError("Unexpected token {tok.group(1)}")')
+        # ---- planner semantic checks ----
+        if part_inner is not None and cols is not None:
+            schema_names = [
+                re.match(r'\s*(?:"([^"]+)"|([A-Za-z_]\w*))', c).group(0).strip().strip('"').lower()
+                for c in _split_top_level(cols)
+                if re.match(r'\s*(?:"[^"]+"|[A-Za-z_]\w*)', c)
+                and not re.match(
+                    r"\s*(PRIMARY|FOREIGN|UNIQUE|CONSTRAINT|CHECK)\b", c, re.IGNORECASE
+                )
+            ]
+            for item in _split_top_level(part_inner):
+                toks = item.split()
+                if not toks:
+                    continue
+                pname = toks[0].strip('"').lower()
+                if len(toks) == 1:  # bare: must name a schema column
+                    if pname not in schema_names:
+                        raise ValueError(
+                            f'Unable to get field named "{pname}". '
+                            f"Valid fields: {schema_names}"
+                        )
+                elif pname in schema_names:  # typed: must not duplicate one
+                    raise ValueError(
+                        f"Schema error: Schema contains duplicate "
+                        f"unqualified field name {pname}"
+                    )
+        if opt_inner is not None and fmt == "csv":
+            valid = {
+                "has_header", "delimiter", "quote", "terminator", "escape",
+                "comment", "compression", "schema_infer_max_rec",
+                "date_format", "datetime_format", "timestamp_format",
+                "timestamp_tz_format", "time_format", "null_value",
+                "null_regex", "double_quote", "newlines_in_values",
+            }
+            for k, _v in re.findall(r"'((?:[^']|'')*)'\s*=?\s*'((?:[^']|'')*)'", opt_inner):
+                kl = k.lower()
+                if kl.startswith("format.") and kl[len("format."):] not in valid:
+                    raise ValueError(
+                        f'Config value "{kl[len("format."):]}" not found on CsvOptions'
+                    )
+        if part_inner is not None and has_location:
+            mpath = re.search(r"LOCATION\s+'([^']*)'", rest, re.IGNORECASE)
+            path = mpath.group(1) if mpath else ""
+            if re.match(r"^(/|\./|[A-Za-z]:)", path) or "://" not in path:
+                declared = [
+                    it.split()[0].strip('"').lower()
+                    for it in _split_top_level(part_inner)
+                    if it.split()
+                ]
+                self._check_disk_partitions(path, declared)
+
+    @staticmethod
+    def _check_disk_partitions(path: str, declared: list[str]) -> None:
+        """Planner check: a partitioned table needs a directory location,
+        and the declared partition columns must be a PREFIX of the key=value
+        directory structure already on disk (listing_table_factory.rs
+        partition inference). Empty/missing locations pass (nothing written
+        yet)."""
+        if not os.path.exists(path):
+            # ListingTableUrl shape rule: a non-existent path without a
+            # trailing slash whose last segment carries an extension is a
+            # single FILE url — partitioning needs a directory
+            last = path.rstrip("/").rsplit("/", 1)[-1]
+            if not path.endswith("/") and "." in last:
+                raise ValueError(
+                    "Can't create a partitioned table backed by a single "
+                    "file, perhaps the URL is missing a trailing slash?"
+                )
+            return
+        if os.path.isfile(path):
+            raise ValueError(
+                "Can't create a partitioned table backed by a single file, "
+                "perhaps the URL is missing a trailing slash?"
+            )
+        inferred: list[str] | None = None
+        for root, _dirs, files in os.walk(path):
+            if any(not f.startswith((".", "_")) for f in files):
+                relsegs = [
+                    s for s in os.path.relpath(root, path).split(os.sep) if s not in (".",)
+                ]
+                keys = [s.split("=", 1)[0].lower() for s in relsegs if "=" in s]
+                inferred = keys
+                break
+        if inferred:
+            if declared != inferred[: len(declared)]:
+                raise ValueError(
+                    f"Inferred partitions to be {inferred}, but got {declared}"
+                )
+
     def _sql_create_external(self, query: str) -> DataFrame:
         """DataFusion's registration DDL — sql/src/statement.rs
         `CreateExternalTable` / parser.rs `parse_create_external_table`:
@@ -3577,6 +3844,7 @@ class SessionContext:
             cols = query[pos + 1 : i - 1]
             pos = i
         rest = query[pos:]
+        self._validate_external_ddl(rest, cols, name)
         m = re.search(r"STORED\s+AS\s+(\w+)", rest, re.IGNORECASE)
         if not m:
             raise ValueError(f"CREATE EXTERNAL TABLE missing STORED AS: {query[:80]!r}")

@@ -283,7 +283,7 @@ _FILES = {
     "functions.slt": 175,
     "nvl.slt": 8,
     "limit.slt": 39,
-    "window.slt": 222,
+    "window.slt": 230,
     "aggregate.slt": 770,
     "joins.slt": 256,
     "subquery.slt": 57,
@@ -323,10 +323,10 @@ _FILES = {
     "errors.slt": 19,
     "agg_func_substitute.slt": 2,
     "update.slt": 4,
-    "prepare.slt": 3,
+    "prepare.slt": 15,
     "optimizer_group_by_constant.slt": 3,
     "push_down_filter.slt": 9,
-    "ddl.slt": 125,
+    "ddl.slt": 130,
     "copy.slt": 70,
     "csv_files.slt": 25,
     "sort_merge_join.slt": 55,
@@ -350,7 +350,7 @@ _FILES = {
     "join_disable_repartition_joins.slt": 4,
     "filter_without_sort_exec.slt": 1,
     "explain.slt": 16,
-    "create_external_table.slt": 19,
+    "create_external_table.slt": 31,
     "repartition.slt": 8,
     "repartition_scan.slt": 24,
     "monotonic_projection_test.slt": 1,
