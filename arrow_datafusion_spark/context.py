@@ -3991,9 +3991,89 @@ class SessionContext:
 
     def _spark_sql(self, query: str, args=None) -> DataFrame:
         """Rewritten query → spark.sql, carrying bound parameters if any."""
+        query = self._rewrite_median(query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
+
+    def _rewrite_median(self, q: str) -> str:
+        """Type-preserving exact median (median.rs calculate_median): the
+        reference returns the INPUT type — for an even count the two middle
+        values are averaged in the native type's arithmetic, i.e.
+        TRUNCATING for integers and decimals ((a+b) i128-div 2), float mean
+        for floats. Spark's median is always an interpolating DOUBLE, which
+        loses both the type and exactness (int64 > 2^53, decimal scale).
+
+        Lowered to a sorted-collect formula when the argument's type is
+        statically resolvable — a bare column of the single plain FROM
+        table — and integral or decimal. Floats keep Spark's median (same
+        value), and unresolvable shapes (joins, subqueries, expressions)
+        keep the interpolating median as the documented divergence.
+        Spark computes the repeated collect_list aggregate once
+        (aggregate-expression deduplication), and `div` truncates toward
+        zero exactly like i128 division (-7 div 2 = -3)."""
+        if not re.search(r"\bmedian\s*\(", q, re.IGNORECASE):
+            return q
+        shield = _strip_strings(q)
+        if re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+            return q
+        froms = {m.lower() for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)}
+        if len(froms) != 1:
+            return q
+        tbl = next(iter(froms))
+        try:
+            schema = {f.name.lower(): f.dataType for f in self.spark.table(tbl).schema}
+        except Exception:
+            return q
+        from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
+
+        pos = 0
+        while True:
+            hit = _find_call(q, "median", pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            if re.match(r"\s*OVER\b", q[e + 1 :], re.IGNORECASE):
+                pos = e
+                continue
+            argstr = q[a:e].strip()
+            md = re.match(r"DISTINCT\s+(.+)$", argstr, re.IGNORECASE | re.DOTALL)
+            x = (md.group(1) if md else argstr).strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", x):
+                pos = e
+                continue
+            dtype = schema.get(x.lower())
+            collect = "collect_set" if md else "collect_list"
+            A = f"array_sort({collect}({x}))"
+            m1 = f"element_at({A}, CAST((size({A}) + 1) div 2 AS INT))"
+            m2 = f"element_at({A}, CAST(size({A}) div 2 + 1 AS INT))"
+            if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+                t = dtype.simpleString()
+                even = (
+                    f"CASE WHEN {m1} >= 0 THEN {m1} + (({m2} - {m1}) div 2) "
+                    f"WHEN {m2} <= 0 THEN {m2} - (({m2} - {m1}) div 2) "
+                    f"ELSE ({m1} + {m2}) div 2 END"
+                )
+            elif isinstance(dtype, DecimalType):
+                p_, s_ = dtype.precision, dtype.scale
+                t = f"decimal({p_},{s_})"
+                scale_f = 10**s_
+                u = (
+                    f"(CAST(CAST({m1} AS DECIMAL(38,{s_})) * {scale_f} AS DECIMAL(38,0)) "
+                    f"+ CAST(CAST({m2} AS DECIMAL(38,{s_})) * {scale_f} AS DECIMAL(38,0)))"
+                )
+                even = f"CAST(CAST(({u} div 2) AS DECIMAL(38,{s_})) / {scale_f} AS {t})"
+            else:
+                pos = e
+                continue
+            repl = (
+                f"(CASE WHEN size({A}) = 0 THEN CAST(NULL AS {t}) "
+                f"WHEN size({A}) % 2 = 1 THEN CAST({m2} AS {t}) "
+                f"ELSE CAST({even} AS {t}) END)"
+            )
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
+        return q
 
     def _sql_copy_to(self, query: str, args=None) -> DataFrame:
         """``COPY (query | table) TO 'path' [STORED AS fmt]`` →  df.write.

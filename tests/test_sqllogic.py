@@ -93,11 +93,6 @@ _KNOWN = {
     #   physical row order — unspecified by SQL.
     ("aggregate.slt", 510): "t-digest artifact (approx_median direct value)",
     ("aggregate.slt", 516): "t-digest artifact (approx_median direct value)",
-    ("aggregate.slt", 533): "median typing: int64 median exact in reference",
-    ("aggregate.slt", 640): "median typing: decimal median keeps scale",
-    ("aggregate.slt", 657): "median typing: decimal median keeps scale",
-    ("aggregate.slt", 693): "median typing: even-count int median truncates",
-    ("aggregate.slt", 705): "median typing: even-count int median truncates",
     ("aggregate.slt", 1051): "HLL sketch artifact (approx_distinct counts)",
     ("aggregate.slt", 1209): "t-digest artifact (bound anchored to t-digest output)",
     ("aggregate.slt", 1214): "t-digest artifact (bound anchored to t-digest output)",
@@ -284,7 +279,7 @@ _FILES = {
     "nvl.slt": 8,
     "limit.slt": 39,
     "window.slt": 230,
-    "aggregate.slt": 770,
+    "aggregate.slt": 776,
     "joins.slt": 256,
     "subquery.slt": 57,
     "map.slt": 9,
