@@ -84,6 +84,12 @@ def _registries() -> tuple[dict, dict]:
         #     the entries whose plans changed (values verified hash-equal
         #     vs the sf0.01 oracle before landing)
         "agg_stats", "h2o_corr_r2", "agg_ordered",
+        #     ctx.sql surface grew reference-exact regexp_replace routing,
+        #     date_bin (2-arg / string-stride / month bins), epoch extract,
+        #     TIMESTAMPTZ literals, and median type preservation — the
+        #     ctx.sql-routed entries below were oracle-verified hash-equal
+        #     at sf0.01 before landing; re-queue for the driver's own pass
+        "sql_macros", "pipeline_redact", "sql_tilde_regex", "h2o_mean_median",
         # (j) round-7 changes, validate first:
         #     q3 rebuilt (un-hinted left-semi on projected BUILDING customer
         #     keys; compute-over-floor 0.065s -> ~0) and q10 rebuilt

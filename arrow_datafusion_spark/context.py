@@ -978,6 +978,18 @@ def _add_null_ordering(q: str) -> str:
         pos = start + len(seg)
 
 
+def _epoch_expr(x: str) -> str:
+    """EXTRACT(EPOCH FROM x) / date_part('epoch', x) — Float64 seconds since
+    1970 (date_part.rs): fractional for timestamps, whole days × 86400 for
+    dates. Branch on the runtime type so one rewrite serves both (every
+    branch analyzes for any input type; only the matching one evaluates)."""
+    return (
+        f"(CASE WHEN typeof({x}) = 'date' "
+        f"THEN CAST(unix_date(CAST({x} AS DATE)) AS DOUBLE) * 86400 "
+        f"ELSE unix_micros(CAST({x} AS TIMESTAMP)) / 1E6 END)"
+    )
+
+
 def _find_call(q: str, name: str, start: int = 0) -> tuple[int, int, int] | None:
     """Locate ``name ( ... )`` at word boundary from ``start``; returns
     (name_start, args_start, close_paren_index) with balanced parens/brackets
@@ -1267,6 +1279,8 @@ def _rewrite_sql(q: str) -> str:
         "sha256": "unhex(sha2({0}, 256))",
         "sha384": "unhex(sha2({0}, 384))",
         "sha512": "unhex(sha2({0}, 512))",
+        "blake2b": "df_blake2({0}, 'blake2b')",
+        "blake2s": "df_blake2({0}, 'blake2s')",
     }
     pos = 0
     while True:
@@ -1448,6 +1462,18 @@ def _rewrite_sql(q: str) -> str:
             q = q[:s] + expr + q[e + 1:]
             pos = s + len(expr)
             continue
+        mep = re.match(
+            r"\s*[`\"]?epoch[`\"]?\s+from\s+(.*)$", inner, re.IGNORECASE | re.DOTALL
+        )
+        if mep:
+            # epoch (date_part.rs): Float64 seconds since 1970, fractional;
+            # dates count whole days (both branches analyze for any input —
+            # only the matching one evaluates)
+            x = mep.group(1).strip()
+            repl = _epoch_expr(x)
+            q = q[:s] + repl + q[e + 1:]
+            pos = s + len(repl)
+            continue
         m = re.match(
             r"\s*[`\"]?dow[`\"]?\s+from\s+(.*)$", inner, re.IGNORECASE | re.DOTALL
         )
@@ -1545,16 +1571,129 @@ def _rewrite_sql(q: str) -> str:
         unit = (lits[int(m.group(1))].strip("'").lower() if m else "")
         sub = {"millisecond": "1000", "microsecond": "1000000",
                "nanosecond": "1000000000"}
-        if len(parts) != 2 or unit not in ("dow", *sub):
+        if len(parts) != 2 or unit not in ("dow", "epoch", *sub):
             pos = e
             continue
         arg = parts[1].strip()
         if unit == "dow":
             repl = f"(extract(dayofweek FROM {arg}) - 1)"
+        elif unit == "epoch":
+            repl = _epoch_expr(arg)
         else:
             repl = f"(extract(second FROM {arg}) * {sub[unit]})"
             if unit == "nanosecond":
                 repl = f"CAST({repl} AS BIGINT)"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    # TIMESTAMPTZ literals: Spark has no TIMESTAMPTZ typed-literal syntax —
+    # the session is pinned UTC, so a plain TIMESTAMP cast preserves the
+    # instant (offsets in the text are applied by the cast)
+    q = re.sub(
+        r"\bTIMESTAMPTZ\s+(\x00\d+\x00)", r"CAST(\1 AS TIMESTAMP)", q,
+        flags=re.IGNORECASE,
+    )
+    # date_bin (datetime/date_bin.rs): widen the SQL surface beyond the
+    # fixed-width 3-arg macro — 2-arg form defaults origin to the epoch,
+    # bare string strides coerce to INTERVAL, and month/year strides bin
+    # with the reference's calendar algorithm (date_bin_months_interval:
+    # floor the calendar-month distance to the stride, add to origin with
+    # end-of-month clamping, step back one stride if the bin overshoots).
+    _MONTH_UNITS = {"mon": 1, "month": 1, "months": 1, "year": 12, "years": 12}
+    pos = 0
+    while True:
+        hit = _find_call(q, "date_bin", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) == 2:
+            parts.append("TIMESTAMP '1970-01-01 00:00:00'")
+        if len(parts) != 3:
+            pos = e
+            continue
+        stride, t_arg, o_arg = parts
+        mlit = re.fullmatch(r"(?:INTERVAL\s+)?\x00(\d+)\x00", stride, re.IGNORECASE)
+        months = None
+        if mlit:
+            raw = lits[int(mlit.group(1))].strip("'").strip()
+            toks = raw.split()
+            total, i, ok = 0, 0, bool(toks)
+            while ok and i < len(toks):
+                if i + 1 < len(toks) and re.fullmatch(r"\d+", toks[i]) and \
+                        toks[i + 1].lower() in _MONTH_UNITS:
+                    total += int(toks[i]) * _MONTH_UNITS[toks[i + 1].lower()]
+                    i += 2
+                else:
+                    ok = False
+            if ok:
+                months = total
+            elif not stride.upper().startswith("INTERVAL"):
+                stride = f"INTERVAL \x00{mlit.group(1)}\x00"
+        if months:
+            t_c = f"CAST({t_arg} AS TIMESTAMP)"
+            o_c = f"CAST({o_arg} AS TIMESTAMP)"
+            md = f"((year({t_c}) - year({o_c})) * 12 + month({t_c}) - month({o_c}))"
+            d = f"({md} - pmod({md}, {months}))"
+            b = f"({o_c} + make_ym_interval(0, CAST({d} AS INT)))"
+            repl = (
+                f"(CASE WHEN {b} > {t_c} "
+                f"THEN {o_c} + make_ym_interval(0, CAST({d} - {months} AS INT)) "
+                f"ELSE {b} END)"
+            )
+        else:
+            repl = f"date_bin({stride}, CAST({t_arg} AS TIMESTAMP), CAST({o_arg} AS TIMESTAMP))"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    # regexp_replace: the reference replaces the FIRST match unless 'g'
+    # (Postgres), with \1-style backrefs. Keep the replace-all no-backref
+    # form ('g' flag, no backslash in the replacement literal) on Spark's
+    # JVM kernel — that's the hot path (pipeline redaction etc.) — and
+    # route everything else through the session UDF.
+    pos = 0
+    while True:
+        hit = _find_call(q, "regexp_replace", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) == 3:
+            parts.append("''")
+        if len(parts) != 4:
+            pos = e
+            continue
+        mfl = re.fullmatch(r"\x00(\d+)\x00", parts[3])
+        mrep = re.fullmatch(r"\x00(\d+)\x00", parts[2])
+        if (
+            mfl
+            and lits[int(mfl.group(1))].strip("'") == "g"
+            and mrep
+            and "\\" not in lits[int(mrep.group(1))]
+            and "$" not in lits[int(mrep.group(1))]
+        ):
+            repl = f"\x02regexp_replace\x02({parts[0]}, {parts[1]}, {parts[2]})"
+        else:
+            repl = (
+                f"df_regexp_replace({parts[0]}, {parts[1]}, {parts[2]}, {parts[3]})"
+            )
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    q = q.replace("\x02regexp_replace\x02(", "regexp_replace(")
+    # regexp_match → the session UDF (registered by _ensure_macros); the
+    # 2-arg form means "no flags" — pass '' (a NULL flags COLUMN stays
+    # NULL-strict like Postgres)
+    pos = 0
+    while True:
+        hit = _find_call(q, "regexp_match", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) == 2:
+            parts.append("''")
+        if len(parts) != 3:
+            pos = e
+            continue
+        repl = f"df_regexp_match({parts[0]}, {parts[1]}, {parts[2]})"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
     # left/right with NEGATIVE n drop |n| chars from the other end in the
@@ -2410,6 +2549,105 @@ class SessionContext:
         if self.spark not in SessionContext._MACROS_DONE:
             for ddl in _SQL_MACROS:
                 self.spark.sql(ddl)
+            # blake2 digests (crypto/digest.rs Blake2s/Blake2b): no Spark
+            # primitive — Arrow-batched hashlib UDF (cold path; never in a
+            # scan/join pipeline). hashlib's defaults match the reference
+            # (blake2s 32 B, blake2b 64 B); blake3 has no stdlib impl and
+            # stays an honest unsupported skip.
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            def _blake2_batch(s, algo):
+                import hashlib
+
+                def h(v, a):
+                    if v is None:
+                        return None
+                    b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    return getattr(hashlib, a)(b).digest()
+
+                return pd.Series([h(v, a) for v, a in zip(s, algo)])
+
+            _blake2_batch.__annotations__ = {
+                "s": pd.Series, "algo": pd.Series, "return": pd.Series
+            }
+            self.spark.udf.register("df_blake2", pandas_udf(_blake2_batch, "binary"))
+
+            # regexp_match (regex/regexpmatch.rs, Postgres semantics): the
+            # FIRST match's capture groups as List<Utf8> — whole match when
+            # the pattern has no groups, NULL when any argument is NULL or
+            # nothing matches. No Spark primitive returns the group LIST
+            # for runtime patterns, so Arrow-batched `re`.
+            def _regexp_match_batch(s, p, f):
+                try:  # `regex` supports \p{...} properties like Rust's crate
+                    import regex as _re
+                except ImportError:
+                    import re as _re
+
+                _FL = {"i": _re.I, "s": _re.S, "m": _re.M, "x": _re.X}
+
+                def one(v, pat, fl):
+                    if v is None or pat is None:
+                        return None
+                    flags = 0
+                    for ch in fl or "":  # NULL flags = no flags (regex.rs)
+                        if ch == "g":
+                            raise ValueError(
+                                "regexp_match() does not support the global flag"
+                            )
+                        flags |= _FL.get(ch, 0)
+                    m = _re.search(pat, v, flags)
+                    if m is None:
+                        return None
+                    return list(m.groups()) if m.re.groups else [m.group(0)]
+
+                return pd.Series([one(*args) for args in zip(s, p, f)])
+
+            _regexp_match_batch.__annotations__ = {
+                "s": pd.Series, "p": pd.Series, "f": pd.Series, "return": pd.Series
+            }
+            self.spark.udf.register(
+                "df_regexp_match", pandas_udf(_regexp_match_batch, "array<string>")
+            )
+
+            # regexp_replace (regex/regexpreplace.rs, Postgres semantics):
+            # replaces the FIRST match unless the 'g' flag is given, back-
+            # references are \1-style, and a NULL in ANY argument (flags
+            # included) yields NULL. The ctx.sql rewrite keeps the pure
+            # replace-all no-backref form on Spark's JVM kernel and routes
+            # only the divergent forms here.
+            def _regexp_replace_batch(s, p, r, f):
+                try:
+                    import regex as _re
+                except ImportError:
+                    import re as _re
+
+                _FL = {"i": _re.I, "s": _re.S, "m": _re.M, "x": _re.X}
+
+                def one(v, pat, rep, fl):
+                    if v is None or pat is None or rep is None or fl is None:
+                        return None
+                    flags, count = 0, 1
+                    for ch in fl:
+                        if ch == "g":
+                            count = 0
+                        else:
+                            flags |= _FL.get(ch, 0)
+                    # '\\1' (escaped backslash in the SQL text) and '\1'
+                    # both mean group 1 — collapse to the \1 form re.sub
+                    # interprets
+                    rep = rep.replace("\\\\", "\\")
+                    return _re.sub(pat, rep, v, count=count, flags=flags)
+
+                return pd.Series([one(*args) for args in zip(s, p, r, f)])
+
+            _regexp_replace_batch.__annotations__ = {
+                "s": pd.Series, "p": pd.Series, "r": pd.Series,
+                "f": pd.Series, "return": pd.Series,
+            }
+            self.spark.udf.register(
+                "df_regexp_replace", pandas_udf(_regexp_replace_batch, "string")
+            )
             SessionContext._MACROS_DONE.add(self.spark)
 
     def register_table(self, name: str, df: DataFrame) -> None:

@@ -105,7 +105,10 @@ UNICODE: dict[str, Callable[..., Column]] = {
 
 REGEX: dict[str, Callable[..., Column]] = {
     "regexp_like": lambda s, p, *flags: F.regexp_like(_c(s), _regex_flags(p, flags)),
-    # DataFusion regexp_match returns the first match's capture list; the
+    # DataFusion regexp_match returns the first match's capture LIST —
+    # served exactly by the df_regexp_match session UDF on the SQL surface
+    # (context._ensure_macros); this DataFrame-registry fallback keeps the
+    # scalar whole-match form for sessions without a SessionContext. The
     # common scalar use (match text) maps to extract of group 0.
     "regexp_match": lambda s, p, *flags: F.regexp_extract(_c(s), _pat(p, flags), 0),
     "regexp_replace": lambda s, p, r, *flags: F.regexp_replace(
@@ -370,6 +373,10 @@ def _digest(c, algo) -> Column:
         return F.sha1(_c(c))
     if a.startswith("sha"):
         return F.sha2(_c(c), int(a[3:]))
+    if a in ("blake2b", "blake2s"):
+        # hashlib-backed UDF registered by SessionContext._ensure_macros;
+        # resolves when a SessionContext is live in the session
+        return F.call_udf("df_blake2", _c(c), F.lit(a))
     raise ValueError(f"unsupported digest algorithm: {algo}")
 
 

@@ -271,19 +271,30 @@ def _parse_interval(s: str) -> float | None:
 
 
 _TS_CELL_RE = re.compile(
-    r"^(\d{4}-\d{2}-\d{2})T(\d{2}:\d{2}:\d{2})(?:\.(\d+))?Z?$"
+    r"^(\d{4}-\d{2}-\d{2})T(\d{2}:\d{2}:\d{2})(?:\.(\d+))?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
 )
 
 
 def _ts_key(s: str):
-    """Timestamp cell → unit-insensitive key: the reference prints the
-    storage unit's full width (.123 for ms, .123450 for µs, 9 digits for
-    ns); pad fractions to ns so equal instants compare equal, and drop
-    the UTC 'Z' suffix (we store session-UTC timestamps)."""
+    """Timestamp cell → unit-insensitive INSTANT key: the reference prints
+    the storage unit's full width (.123 for ms, .123450 for µs, 9 digits
+    for ns) and tz-aware values with their session-timezone offset
+    ("2022-01-01T00:00:00+07:00"); pad fractions to ns and normalize any
+    offset to UTC so equal instants compare equal regardless of the
+    display zone. Offset-less cells are session-UTC (both engines pin
+    UTC in this harness), so they normalize identically."""
     m = _TS_CELL_RE.match(s)
     if not m:
         return None
-    return (m.group(1), m.group(2), (m.group(3) or "").ljust(9, "0"))
+    date, time, off = m.group(1), m.group(2), m.group(4)
+    if off and off != "Z":
+        import datetime as _dt
+
+        base = _dt.datetime.fromisoformat(f"{date}T{time}{off}")
+        utc = base.astimezone(_dt.timezone.utc)
+        date, time = utc.date().isoformat(), utc.time().isoformat()[:8]
+    return (date, time, (m.group(3) or "").ljust(9, "0"))
 
 
 # Set per-file by run_slt_file: True only when the .slt file involves
@@ -965,6 +976,14 @@ def run_slt_file(
     for rec in records:
         rec.sql = _resolve_rel_paths(rec.sql, base)
     rep = SltReport(path)
+    # the reference does NOT process backslash escapes in '...' literals
+    # (Postgres standard_conforming_strings lexing) — Spark's conf for
+    # exactly that behavior keeps regex fixtures like '\b4(\d\d\d)' intact
+    # instead of turning \b into a backspace byte
+    try:
+        ctx.spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    except Exception:
+        pass
     # directory COPY targets APPEND files (reference semantics) — start
     # each file run from a clean per-file scratch dir (the reference
     # harness does the same for its test_files/scratch/<stem> convention)
@@ -1129,12 +1148,8 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             rep.skipped += 1
             rep.skips.append(f"{rec.line}: SHOW CREATE TABLE (engine-specific)")
             continue
-        if "\\" in rec.sql:
-            # lexical divergence: the reference does NOT process backslash
-            # escapes in '...' literals (Postgres rules); Spark does
-            rep.skipped += 1
-            rep.skips.append(f"{rec.line}: backslash-escape lexical divergence")
-            continue
+        # backslashes in literals are safe: escapedStringLiterals is set
+        # above, matching the reference's Postgres-style lexing
         try:
             rows = run_bounded(
                 lambda: [tuple(r) for r in ctx.sql(sql).collect()]

@@ -130,10 +130,12 @@ _KNOWN = {
     ("timestamps.slt", 452): "ns→µs truncation (time literal ns fraction)",
     ("timestamps.slt", 501): "ns→µs truncation (1ns below µs resolution)",
     ("timestamps.slt", 519): "ns→µs truncation (1ns below µs resolution)",
-    ("timestamps.slt", 1305): "named-tz column normalized to session UTC",
     ("timestamps.slt", 1332): "named-tz date_trunc in zone vs session UTC",
-    ("timestamps.slt", 1389): "named-tz column normalized to session UTC",
     ("timestamps.slt", 1416): "named-tz date_trunc in zone vs session UTC",
+    ("timestamps.slt", 1673): (
+        "mixed NTZ/TZ date_bin coercion: the reference reinterprets the NTZ "
+        "origin's wall time as UTC; Spark parses the literal in session tz"
+    ),
     ("timestamps.slt", 2713): "Date64 intra-day ms dropped by DateType policy",
     # array.slt: FixedSizeList NULL rows materialize null-filled fixed-
     # width lists in the reference; recursive flatten / nested
@@ -257,7 +259,6 @@ _KNOWN = {
     ("array.slt", 645): "reference f32 log artifact in array literal",
     ("expr.slt", 1051): "ns-precision fractional seconds",
     ("expr.slt", 1071): "ns-precision fractional seconds",
-    ("regexp.slt", 267): "regexp_replace first-match default (Spark: all)",
     ("functions.slt", 526): "struct() field naming from table columns",
     ("functions.slt", 892): "overlay NULL-argument propagation",
     ("functions.slt", 904): "overlay NULL-argument propagation",
@@ -269,11 +270,11 @@ _FILES = {
     "coalesce.slt": 42,
     "cast.slt": 6,
     "math.slt": 90,
-    "expr.slt": 320,
+    "expr.slt": 338,
     "union.slt": 26,
     "intersection.slt": 4,
     "dates.slt": 19,
-    "regexp.slt": 20,
+    "regexp.slt": 50,
     "strings.slt": 13,
     "functions.slt": 175,
     "nvl.slt": 8,
@@ -286,7 +287,7 @@ _FILES = {
     "unnest.slt": 35,
     "decimal.slt": 50,
     "interval.slt": 32,
-    "timestamps.slt": 216,
+    "timestamps.slt": 280,
     "array.slt": 683,
     "select.slt": 147,
     "scalar.slt": 233,
