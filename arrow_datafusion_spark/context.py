@@ -2360,6 +2360,9 @@ def _column_defs_to_ddl(cols: str) -> str:
             # quoted identifiers: '"date" DATE' → backticked Spark DDL
             if cname[:1] == '"' and cname[-1:] == '"':
                 cname = f"`{cname[1:-1]}`"
+            # DEFAULT clauses are recorded separately (_record_defaults)
+            # and applied at INSERT time — strip them from the DDL type
+            ctype = re.sub(r"\s+DEFAULT\s+.+$", "", ctype, flags=re.IGNORECASE | re.DOTALL)
             # constraint suffixes are advisory here (Spark DDL schema
             # strings carry no NOT NULL) — drop them
             ctype = re.sub(
@@ -2542,6 +2545,10 @@ class SessionContext:
         # Spark managed storage drops nullability, but the reference
         # REJECTS inserts that would null a non-nullable column
         self._not_null: dict[str, frozenset] = {}
+        # declared per-column DEFAULT expressions (statement.rs column
+        # defaults): evaluated AT INSERT TIME for columns a column-list
+        # INSERT omits
+        self._col_defaults: dict[str, dict[str, str]] = {}
 
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
@@ -3155,6 +3162,7 @@ class SessionContext:
                 [], _column_defs_to_ddl(m.group(3))
             ).write.mode("ignore" if m.group(1) else "errorifexists").saveAsTable(name)
             self._record_not_null(name, m.group(3))
+            self._record_defaults(name, m.group(3))
             return self.spark.createDataFrame([], "result string")
         m = re.match(
             r"\s*SELECT\s+(.*?)\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(FROM\s+.*)$",
@@ -3206,6 +3214,15 @@ class SessionContext:
                 before = self.spark.table(target).count()
             except Exception:
                 before = None
+            has_collist = bool(re.match(
+                r"\s*INSERT\s+INTO\s+[A-Za-z_]\w*\s*\(", query, re.IGNORECASE
+            ))
+            if has_collist and self._col_defaults.get(target.lower()):
+                # Spark's native path would fill omitted columns with NULL;
+                # the coerced path evaluates the recorded defaults
+                self._insert_coerced(target, query, args)
+                after = self.spark.table(target).count()
+                return self.spark.createDataFrame([(after - before,)], "count bigint")
             try:
                 self._spark_sql(query, args).collect()
             except Exception:
@@ -3333,12 +3350,16 @@ class SessionContext:
                         )
                     )
             else:
-                if f.name.lower() in not_null:
+                d = self._col_defaults.get(target.lower(), {}).get(f.name.lower())
+                if f.name.lower() in not_null and (
+                    d is None or d.strip().lower() == "null"
+                ):
                     raise ValueError(
                         f"Invalid batch column at '{f.name}' has null but "
                         "schema specifies non-nullable"
                     )
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                fill = F.expr(d) if d is not None else F.lit(None)
+                sel.append(fill.cast(f.dataType).alias(f.name))
         if checks:
             crow = src.agg(*checks).first()
             for k, v in crow.asDict().items():
@@ -3464,6 +3485,36 @@ class SessionContext:
         else:
             self._not_null.pop(name.lower(), None)
 
+    def _record_defaults(self, name: str, coldefs: str) -> None:
+        """Remember per-column DEFAULT expressions (statement.rs column
+        defaults). The reference evaluates them at INSERT time for columns
+        a column-list INSERT omits, and REJECTS defaults that reference
+        columns at plan time."""
+        out: dict[str, str] = {}
+        for d in _split_top_level(coldefs):
+            toks = d.strip().split()
+            md = re.search(r"\bDEFAULT\s+(.+)$", d, re.IGNORECASE | re.DOTALL)
+            if not toks or not md:
+                continue
+            expr = md.group(1).strip()
+            # constraints may FOLLOW the default expression
+            expr = re.sub(
+                r"\s+(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE)\s*$", "", expr,
+                flags=re.IGNORECASE,
+            )
+            try:  # plan the expression standalone — column refs must fail
+                self.spark.sql(f"SELECT {expr}")
+            except Exception as exc:
+                raise ValueError(
+                    "Column reference is not allowed in the DEFAULT "
+                    f"expression: {exc}"
+                ) from None
+            out[toks[0].strip('"`').lower()] = expr
+        if out:
+            self._col_defaults[name.lower()] = out
+        else:
+            self._col_defaults.pop(name.lower(), None)
+
     def _validate_insert(self, target: str, query: str, args) -> None:
         """The reference's Insert planning checks, which Spark's native
         INSERT lets through (insert.slt): duplicate names in the column
@@ -3496,7 +3547,11 @@ class SessionContext:
         nn = self._not_null.get(target.lower(), frozenset())
         if not nn:
             return
+        dflts = self._col_defaults.get(target.lower(), {})
         for col in nn - set(names):
+            d = dflts.get(col)
+            if d is not None and d.strip().lower() != "null":
+                continue  # a non-NULL default fills the column
             raise ValueError(
                 f"Invalid batch column at '{col}' has null but schema "
                 "specifies non-nullable"
@@ -3538,7 +3593,9 @@ class SessionContext:
                 i = names.index(f.name.lower())
                 sel.append(src[src.columns[i]].cast(f.dataType).alias(f.name))
             else:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                d = self._col_defaults.get(target.lower(), {}).get(f.name.lower())
+                fill = F.expr(d) if d is not None else F.lit(None)
+                sel.append(fill.cast(f.dataType).alias(f.name))
         src.select(*sel).coalesce(1).write.insertInto(target)
 
     def _sql_create_table_cols(
@@ -3570,6 +3627,8 @@ class SessionContext:
         src.select(*cols).write.mode(
             "ignore" if if_not_exists else "errorifexists"
         ).saveAsTable(name)
+        self._record_not_null(name, coldefs)
+        self._record_defaults(name, coldefs)
         return self.spark.createDataFrame([], "result string")
 
     # -- SET / SHOW statement layer (config.rs ConfigOptions; SET/SHOW
@@ -3866,6 +3925,12 @@ class SessionContext:
                 i += 1
             if i >= n:
                 break
+            if rest[i : i + 2] == "--":  # SQL line comment → skip to EOL
+                nl = rest.find("\n", i)
+                if nl == -1:
+                    break
+                i = nl + 1
+                continue
             tail = rest[i:]
             m = re.match(r"STORED\s+AS\s+(\w+)", tail, re.IGNORECASE)
             if m:
@@ -4172,6 +4237,9 @@ class SessionContext:
                 if cols
                 else set()
             )
+            # per-column DEFAULTs apply to external sinks too
+            # (insert_to_external.slt column-defaults section)
+            self._record_defaults(name, cols or "")
             self._external_sinks[name] = {
                 "fmt": "json" if fmt == "ndjson" else fmt,
                 "path": local,

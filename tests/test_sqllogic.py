@@ -301,7 +301,7 @@ _FILES = {
     "binary.slt": 25,
     "describe.slt": 8,
     "arrow_typeof.slt": 28,
-    "insert.slt": 42,
+    "insert.slt": 54,
     "identifiers.slt": 17,
     "nullif.slt": 8,
     "nvl2.slt": 8,
@@ -332,7 +332,7 @@ _FILES = {
     "schema_evolution.slt": 5,
     "arrow_files.slt": 9,
     "clickbench.slt": 36,
-    "insert_to_external.slt": 72,
+    "insert_to_external.slt": 76,
     # SET/SHOW + configuration registry (settings.py), information_schema
     # ANSI layouts, DROP FUNCTION, quoted/UNBOUNDED external tables
     "set_variable.slt": 53,
