@@ -1235,6 +1235,63 @@ def _rewrite_sql(q: str) -> str:
     q = re.sub(r"~\*", " RLIKE \x01(?i)\x01 || ", q)
     q = re.sub(r"(?<![<>!=\^])~(?!=)", " RLIKE ", q)
 
+    # (these two loops run BEFORE any internal lowering below —
+    # arrow_typeof/array_to_string emit Java-style regexp_replace text
+    # that must stay on Spark's kernel, not get re-routed)
+    # regexp_replace: the reference replaces the FIRST match unless 'g'
+    # (Postgres), with \1-style backrefs. Keep the replace-all no-backref
+    # form ('g' flag, no backslash in the replacement literal) on Spark's
+    # JVM kernel — that's the hot path (pipeline redaction etc.) — and
+    # route everything else through the session UDF.
+    pos = 0
+    while True:
+        hit = _find_call(q, "regexp_replace", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) == 3:
+            parts.append("''")
+        if len(parts) != 4:
+            pos = e
+            continue
+        mfl = re.fullmatch(r"\x00(\d+)\x00", parts[3])
+        mrep = re.fullmatch(r"\x00(\d+)\x00", parts[2])
+        if (
+            mfl
+            and lits[int(mfl.group(1))].strip("'") == "g"
+            and mrep
+            and "\\" not in lits[int(mrep.group(1))]
+            and "$" not in lits[int(mrep.group(1))]
+        ):
+            repl = f"\x02regexp_replace\x02({parts[0]}, {parts[1]}, {parts[2]})"
+        else:
+            repl = (
+                f"df_regexp_replace({parts[0]}, {parts[1]}, {parts[2]}, {parts[3]})"
+            )
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+    q = q.replace("\x02regexp_replace\x02(", "regexp_replace(")
+    # regexp_match → the session UDF (registered by _ensure_macros); the
+    # 2-arg form means "no flags" — pass '' (a NULL flags COLUMN stays
+    # NULL-strict like Postgres)
+    pos = 0
+    while True:
+        hit = _find_call(q, "regexp_match", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) == 2:
+            parts.append("''")
+        if len(parts) != 3:
+            pos = e
+            continue
+        repl = f"df_regexp_match({parts[0]}, {parts[1]}, {parts[2]})"
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
+
+
     # postgres type names — only in cast positions (``::type`` or
     # ``CAST(x AS type)``), since names like ``text`` are also valid columns
     # postgres array-type casts FIRST (the [] would otherwise read as a
@@ -1642,58 +1699,6 @@ def _rewrite_sql(q: str) -> str:
             )
         else:
             repl = f"date_bin({stride}, CAST({t_arg} AS TIMESTAMP), CAST({o_arg} AS TIMESTAMP))"
-        q = q[:s] + repl + q[e + 1:]
-        pos = s + len(repl)
-    # regexp_replace: the reference replaces the FIRST match unless 'g'
-    # (Postgres), with \1-style backrefs. Keep the replace-all no-backref
-    # form ('g' flag, no backslash in the replacement literal) on Spark's
-    # JVM kernel — that's the hot path (pipeline redaction etc.) — and
-    # route everything else through the session UDF.
-    pos = 0
-    while True:
-        hit = _find_call(q, "regexp_replace", pos)
-        if hit is None:
-            break
-        s, a, e = hit
-        parts = [p.strip() for p in _split_top_level(q[a:e])]
-        if len(parts) == 3:
-            parts.append("''")
-        if len(parts) != 4:
-            pos = e
-            continue
-        mfl = re.fullmatch(r"\x00(\d+)\x00", parts[3])
-        mrep = re.fullmatch(r"\x00(\d+)\x00", parts[2])
-        if (
-            mfl
-            and lits[int(mfl.group(1))].strip("'") == "g"
-            and mrep
-            and "\\" not in lits[int(mrep.group(1))]
-            and "$" not in lits[int(mrep.group(1))]
-        ):
-            repl = f"\x02regexp_replace\x02({parts[0]}, {parts[1]}, {parts[2]})"
-        else:
-            repl = (
-                f"df_regexp_replace({parts[0]}, {parts[1]}, {parts[2]}, {parts[3]})"
-            )
-        q = q[:s] + repl + q[e + 1:]
-        pos = s + len(repl)
-    q = q.replace("\x02regexp_replace\x02(", "regexp_replace(")
-    # regexp_match → the session UDF (registered by _ensure_macros); the
-    # 2-arg form means "no flags" — pass '' (a NULL flags COLUMN stays
-    # NULL-strict like Postgres)
-    pos = 0
-    while True:
-        hit = _find_call(q, "regexp_match", pos)
-        if hit is None:
-            break
-        s, a, e = hit
-        parts = [p.strip() for p in _split_top_level(q[a:e])]
-        if len(parts) == 2:
-            parts.append("''")
-        if len(parts) != 3:
-            pos = e
-            continue
-        repl = f"df_regexp_match({parts[0]}, {parts[1]}, {parts[2]})"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
     # left/right with NEGATIVE n drop |n| chars from the other end in the

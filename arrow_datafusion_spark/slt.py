@@ -519,6 +519,38 @@ def _has_top_level_order_by(sql: str) -> bool:
     return False
 
 
+def _double_literal_backslashes(sql: str) -> str:
+    """The reference lexes '...' literals with NO backslash-escape
+    processing (Postgres standard_conforming_strings); Spark's default
+    lexer processes them ('\\b' → backspace). Doubling each backslash
+    INSIDE single-quoted spans makes Spark reconstruct the reference's
+    exact bytes — an input-encoding shim at the slt boundary only, so the
+    engine's own generated SQL (written for Spark's lexer) is untouched.
+    '' quote-escapes are preserved."""
+    if "\\" not in sql:
+        return sql
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        out.append(ch)
+        i += 1
+        if ch != "'":
+            continue
+        while i < n:  # inside a literal
+            c = sql[i]
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                out.append("'")
+                i += 1
+                break
+            out.append("\\\\" if c == "\\" else c)
+            i += 1
+    return "".join(out)
+
+
 def _norm_interval_arrays(line: str) -> str | None:
     """Replace every ``[elem, elem, …]`` span whose elements ALL parse as
     intervals with a canonical seconds form; None when the line has no
@@ -976,14 +1008,6 @@ def run_slt_file(
     for rec in records:
         rec.sql = _resolve_rel_paths(rec.sql, base)
     rep = SltReport(path)
-    # the reference does NOT process backslash escapes in '...' literals
-    # (Postgres standard_conforming_strings lexing) — Spark's conf for
-    # exactly that behavior keeps regex fixtures like '\b4(\d\d\d)' intact
-    # instead of turning \b into a backspace byte
-    try:
-        ctx.spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
-    except Exception:
-        pass
     # directory COPY targets APPEND files (reference semantics) — start
     # each file run from a clean per-file scratch dir (the reference
     # harness does the same for its test_files/scratch/<stem> convention)
@@ -1114,7 +1138,7 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
         return _float_literals_to_double(_fold_between_literal_arith(sql))
 
     for rec in records:
-        sql = _effective_sql(rec.sql)
+        sql = _effective_sql(_double_literal_backslashes(rec.sql))
         if rec.kind == "statement_error":
             try:
                 run_bounded(lambda: ctx.sql(sql).collect())

@@ -143,6 +143,7 @@ _KNOWN = {
     # type-check — documented partial (§2.9 note).
     ("array.slt", 2230): "FixedSizeList NULL row materializes null-filled",
     ("array.slt", 2284): "FixedSizeList NULL row materializes null-filled",
+    ("array.slt", 3761): "nested array_to_string joins leaves (partial)",
     ("array.slt", 4022): "nested/float array_to_string leaf join (partial)",
     ("array.slt", 4105): "nested array_to_string joins leaves (partial)",
     ("array.slt", 4117): "nested array_to_string joins leaves (partial)",
