@@ -1676,12 +1676,17 @@ def _rewrite_sql(q: str) -> str:
             toks = raw.split()
             total, i, ok = 0, 0, bool(toks)
             while ok and i < len(toks):
-                if i + 1 < len(toks) and re.fullmatch(r"\d+", toks[i]) and \
+                if i + 1 < len(toks) and re.fullmatch(r"-?\d+", toks[i]) and \
                         toks[i + 1].lower() in _MONTH_UNITS:
                     total += int(toks[i]) * _MONTH_UNITS[toks[i + 1].lower()]
                     i += 2
                 else:
                     ok = False
+            if ok and total == 0:
+                # date_bin.rs:330 — a zero stride is rejected before any
+                # binning; falling through would surface Spark's own (and
+                # differently-worded) error from date_bin(INTERVAL '0 mon')
+                raise ValueError("Execution error: DATE_BIN stride must be non-zero")
             if ok:
                 months = total
             elif not stride.upper().startswith("INTERVAL"):
@@ -1690,7 +1695,14 @@ def _rewrite_sql(q: str) -> str:
             t_c = f"CAST({t_arg} AS TIMESTAMP)"
             o_c = f"CAST({o_arg} AS TIMESTAMP)"
             md = f"((year({t_c}) - year({o_c})) * 12 + month({t_c}) - month({o_c}))"
-            d = f"({md} - pmod({md}, {months}))"
+            if months > 0:
+                # compute_distance floors toward -inf for positive strides
+                d = f"({md} - pmod({md}, {months}))"
+            else:
+                # negative stride: the reference skips the round-down branch
+                # (stride > 1 is false) → truncating remainder, which is
+                # Spark's native % semantics
+                d = f"({md} - ({md} % {months}))"
             b = f"({o_c} + make_ym_interval(0, CAST({d} AS INT)))"
             repl = (
                 f"(CASE WHEN {b} > {t_c} "
@@ -2822,6 +2834,10 @@ class SessionContext:
         self._tables.pop(name, None)
         self._view_defs.pop(name, None)
         self._path_tables.pop(name, None)
+        # per-table DDL state must die with the table, or a later
+        # CREATE TABLE of the same name inherits stale DEFAULT/NOT NULL
+        self._col_defaults.pop(name.lower(), None)
+        self._not_null.pop(name.lower(), None)
         # keep session.load_tables' registered-view memo honest
         from arrow_datafusion_spark import session as _session
 
@@ -3027,6 +3043,11 @@ class SessionContext:
             # drop_table_cant_drop_view (ddl.slt): the name is a session
             # VIEW — DROP TABLE must not remove it
             raise ValueError(f"Table {m.group(1)!r} doesn't exist.")
+        if m:
+            # managed-table DROP falls through to Spark below; either way
+            # the per-table DEFAULT/NOT NULL records must not survive
+            self._col_defaults.pop(m.group(1).lower(), None)
+            self._not_null.pop(m.group(1).lower(), None)
         if m and any(
             t.name == m.group(1) and t.tableType == "TEMPORARY"
             for t in self.spark.catalog.listTables()
@@ -3078,7 +3099,11 @@ class SessionContext:
             shielded_q,
             re.IGNORECASE | re.DOTALL,
         ) or re.search(
-            r"-\s*\d+\s+(PRECEDING|FOLLOWING)", shielded_q, re.IGNORECASE
+            # non-BETWEEN shorthand ("ROWS -1 PRECEDING") — anchored to the
+            # frame keyword so "SELECT a - 5 preceding" (alias) can't match
+            r"\b(ROWS|RANGE|GROUPS)\s+-\s*\d+\s+(PRECEDING|FOLLOWING)",
+            shielded_q,
+            re.IGNORECASE,
         ):
             # window frame offsets must be non-negative integers (the
             # reference's WindowFrame validation) — Spark parses NULL /
@@ -3130,6 +3155,12 @@ class SessionContext:
                 res = self.sql(tmp_query, args)  # raises → old table intact
                 self.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 self.deregister_table(name)
+                # the replacement's DEFAULT/NOT NULL records were captured
+                # under the temp name — follow the rename
+                if tmp.lower() in self._col_defaults:
+                    self._col_defaults[name.lower()] = self._col_defaults.pop(tmp.lower())
+                if tmp.lower() in self._not_null:
+                    self._not_null[name.lower()] = self._not_null.pop(tmp.lower())
                 if any(
                     t.name == tmp and t.tableType != "TEMPORARY"
                     for t in self._catalog_tables()
@@ -3198,7 +3229,18 @@ class SessionContext:
             self._spark_sql(body.strip().rstrip(";"), args).coalesce(1).write.mode(
                 "ignore" if if_not_exists else "errorifexists"
             ).saveAsTable(name)
+            self._record_defaults(name, "")
+            self._record_not_null(name, "")
             return self.spark.createDataFrame([], "result string")
+        if m:
+            # CTAS without a column list: run natively, then clear any
+            # DEFAULT/NOT NULL records a prior same-named table left behind
+            # (clear only after success — a failed CTAS leaves the old
+            # table, and its records, intact)
+            res = self._spark_sql(query, args)
+            self._record_defaults(m.group(2), "")
+            self._record_not_null(m.group(2), "")
+            return res
         m = re.match(
             r"\s*DESCRIBE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
             query,

@@ -658,7 +658,9 @@ def _order_by_output_positions(sql: str, ncols: int) -> list[int] | None:
                 positions.append(i)
                 break
         # unmatched: orders on a non-output expression — ignore
-    return positions
+    # no ORDER BY item maps to an output column → nothing is verifiable
+    # cell-for-cell; callers must NOT treat that as "everything ties"
+    return positions if positions else None
 
 
 def _tie_order_equivalent(rec: Record, rows) -> bool:
@@ -668,12 +670,13 @@ def _tie_order_equivalent(rec: Record, rows) -> bool:
     which the reference's golden cannot pin for another engine."""
     ncols = len(rec.type_codes)
     positions = _order_by_output_positions(rec.sql, ncols)
-    if positions is None:
+    if not positions:
         return False
     actual = _rows_to_lines(rows, rec.type_codes)
     expected = list(rec.expected)
     if len(actual) != len(expected):
         return False
+    esplit, asplit = [], []
     for eline, aline in zip(expected, actual):
         evs, avs = eline.split(), aline.split()
         if len(evs) != ncols or len(avs) != ncols:
@@ -682,6 +685,27 @@ def _tie_order_equivalent(rec: Record, rows) -> bool:
             code = rec.type_codes[p] if p < len(rec.type_codes) else "?"
             if not _values_equal(evs[p], avs[p], code):
                 return False
+        esplit.append(evs)
+        asplit.append(avs)
+    # Unconstrained columns may only differ through row SELECTION at the
+    # LIMIT cut, and only the final tie group straddles that cut — every
+    # interior tie group is fully present in both results, so its full-row
+    # multiset must agree or the divergence is real value corruption.
+    groups: list[tuple[int, int]] = []
+    start = 0
+    for i in range(1, len(esplit)):
+        if [esplit[i][p] for p in positions] != [esplit[start][p] for p in positions]:
+            groups.append((start, i))
+            start = i
+    groups.append((start, len(esplit)))
+    for lo, hi in groups[:-1]:
+        for evs, avs in zip(
+            sorted(esplit[lo:hi]), sorted(asplit[lo:hi])
+        ):
+            for ci in range(ncols):
+                code = rec.type_codes[ci] if ci < len(rec.type_codes) else "?"
+                if not _values_equal(evs[ci], avs[ci], code):
+                    return False
     return True
 
 
@@ -1172,8 +1196,9 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
             rep.skipped += 1
             rep.skips.append(f"{rec.line}: SHOW CREATE TABLE (engine-specific)")
             continue
-        # backslashes in literals are safe: escapedStringLiterals is set
-        # above, matching the reference's Postgres-style lexing
+        # backslashes in literals are safe: _double_literal_backslashes
+        # rewrites them at this boundary, matching the reference's
+        # Postgres-style (non-escaping) lexing without a session-wide conf
         try:
             rows = run_bounded(
                 lambda: [tuple(r) for r in ctx.sql(sql).collect()]

@@ -501,3 +501,50 @@ def test_json_plan_interchange(spark, sf_dir):
     from arrow_datafusion_spark.plans.serde import run_json_plan as rp
 
     assert rp(ctx, {"op": "aggregate", "aggs": ["count(1) AS n"], "input": v}).first().n == 3
+
+
+def test_drop_table_clears_column_defaults(spark):
+    # round-7 advice: DROP TABLE must discard recorded DEFAULT/NOT NULL
+    # state, or a later same-named CTAS inherits the old table's defaults
+    ctx = SessionContext(spark)
+    ctx.sql("DROP TABLE IF EXISTS defaults_scope_t")
+    ctx.sql("CREATE TABLE defaults_scope_t (a INT, b INT DEFAULT 7)")
+    ctx.sql("INSERT INTO defaults_scope_t (a) VALUES (1)")
+    assert ctx.sql("SELECT b FROM defaults_scope_t").collect()[0][0] == 7
+    ctx.sql("DROP TABLE defaults_scope_t")
+    ctx.sql("CREATE TABLE defaults_scope_t AS SELECT 1 AS a, 2 AS b")
+    ctx.sql("INSERT INTO defaults_scope_t (a) VALUES (3)")
+    rows = {tuple(r) for r in ctx.sql("SELECT a, b FROM defaults_scope_t").collect()}
+    assert (3, None) in rows, rows  # NULL fill, not the dropped table's 7
+    ctx.sql("DROP TABLE defaults_scope_t")
+
+
+def test_date_bin_zero_month_stride_rejected(spark):
+    # date_bin.rs:330 — zero stride errors with the reference's message
+    ctx = SessionContext(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="stride must be non-zero"):
+        ctx.sql(
+            "SELECT date_bin(INTERVAL '0 month', TIMESTAMP '2024-01-15 00:00:00',"
+            " TIMESTAMP '1970-01-01 00:00:00')"
+        ).collect()
+
+
+def test_negative_month_date_bin_truncating(spark):
+    # negative month strides skip compute_distance's round-down branch
+    # (date_bin.rs:204, stride > 1 is false) → truncating remainder
+    ctx = SessionContext(spark)
+    out = ctx.sql(
+        "SELECT date_bin(INTERVAL '-2 month', TIMESTAMP '2024-05-15 00:00:00',"
+        " TIMESTAMP '2024-01-01 00:00:00') AS b"
+    ).collect()[0][0]
+    assert str(out).startswith("2024-05-01")
+
+
+def test_identifier_alias_named_preceding_is_not_a_frame(spark):
+    # round-7 advice: "SELECT a - 5 preceding" is arithmetic with an
+    # implicit alias, not a negative window-frame offset
+    ctx = SessionContext(spark)
+    rows = ctx.sql("SELECT 7 - 5 preceding").collect()
+    assert rows[0][0] == 2

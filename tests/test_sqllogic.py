@@ -464,3 +464,56 @@ def test_reference_sqllogictest_file(spark, fname):
     ]
     assert not unexplained, "\n\n".join(unexplained)
     assert rep.passed >= _FILES[fname], rep.summary()
+
+
+# ---------------------------------------------------------------------------
+# unit tests for the tie-order classifier (no Spark needed)
+
+
+def _tie_rec(sql, type_codes, expected):
+    from arrow_datafusion_spark.slt import Record
+
+    return Record(kind="query", sql=sql, line=1, type_codes=type_codes,
+                  expected=expected)
+
+
+def test_tie_order_requires_an_output_mapped_order_column():
+    # ORDER BY names only a NON-output expression → nothing is verifiable
+    # cell-for-cell; completely wrong values must NOT be downgraded to an
+    # 'ORDER BY tie' divergence (round-7 advice)
+    from arrow_datafusion_spark.slt import _tie_order_equivalent
+
+    rec = _tie_rec(
+        "SELECT a, b FROM t ORDER BY c LIMIT 2",
+        "II",
+        ["1 10", "2 20"],
+    )
+    assert not _tie_order_equivalent(rec, [(99, 98), (97, 96)])
+
+
+def test_tie_order_interior_groups_must_match_as_multisets():
+    from arrow_datafusion_spark.slt import _tie_order_equivalent
+
+    # key column (position 0) fully matches; group key=1 is interior so its
+    # unconstrained column must match as a multiset; group key=2 straddles
+    # the LIMIT cut so its unconstrained cells are free
+    rec = _tie_rec(
+        "SELECT k, v FROM t ORDER BY k LIMIT 4",
+        "II",
+        ["1 10", "1 11", "2 20", "2 21"],
+    )
+    # legit: interior group {10,11} permuted, boundary group picks other ties
+    assert _tie_order_equivalent(rec, [(1, 11), (1, 10), (2, 99), (2, 98)])
+    # corruption: interior group's unconstrained value wrong
+    assert not _tie_order_equivalent(rec, [(1, 11), (1, 77), (2, 20), (2, 21)])
+
+
+def test_tie_order_constrained_cells_checked_in_order():
+    from arrow_datafusion_spark.slt import _tie_order_equivalent
+
+    rec = _tie_rec(
+        "SELECT k, v FROM t ORDER BY k LIMIT 2",
+        "II",
+        ["1 10", "2 20"],
+    )
+    assert not _tie_order_equivalent(rec, [(2, 20), (1, 10)])
