@@ -77,6 +77,22 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (l) round-8 changes, validate first:
+        #     q3 gained a SHUFFLE_HASH build on the semi-filtered orders
+        #     side; q15 rebuilt (e4-long accumulator + coalesce(1) before
+        #     the global-max window); q5/q10's filtered-fact broadcasts are
+        #     now byte-gated (plan-only under the gate at sf0.01, but
+        #     re-validate) — all hash-verified vs the sf0.01 oracle before
+        #     landing (tools/driver_check.py)
+        "tpch_q3", "tpch_q15", "tpch_q5", "tpch_q10",
+        #     digest() gained blake3 (pure-Python spec impl) on both SQL
+        #     and DataFrame surfaces; fn_crypto's plan is otherwise
+        #     untouched but shares the digest routing
+        "fn_crypto",
+        #     ctx.sql front-end: date_bin zero/negative month strides,
+        #     window-frame guard scoping, DROP TABLE defaults cleanup —
+        #     re-validate the ctx.sql-routed entries + datetime family
+        "sql_macros", "fn_datetime", "sql_ddl_insert", "sql_basic",
         # (k) round-7 slt-divergence audit: corr gained the reference's
         #     population-stats zero-variance -> 0.0 semantics on BOTH
         #     surfaces (registry _corr, ctx.sql CASE rewrite) and array_agg

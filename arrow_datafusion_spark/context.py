@@ -1327,8 +1327,8 @@ def _rewrite_sql(q: str) -> str:
     # digest(x, 'algo') / shaN(x) (functions/src/crypto): binary digests.
     # Spark's md5/sha1/sha2 return HEX STRINGS — unhex() recovers the
     # reference's binary return type (slt displays binary as lower-hex,
-    # so round-tripping through hex is exact). blake2/blake3 stay
-    # unrewritten (no Spark primitive) and surface as unsupported.
+    # so round-tripping through hex is exact). blake2 → hashlib UDF;
+    # blake3 → the pure-Python spec implementation (functions/blake3.py).
     _DIGEST_FORMS = {
         "md5": "unhex(md5({0}))",
         "sha1": "unhex(sha1({0}))",
@@ -1338,6 +1338,7 @@ def _rewrite_sql(q: str) -> str:
         "sha512": "unhex(sha2({0}, 512))",
         "blake2b": "df_blake2({0}, 'blake2b')",
         "blake2s": "df_blake2({0}, 'blake2s')",
+        "blake3": "df_blake3({0})",
     }
     pos = 0
     while True:
@@ -2576,8 +2577,7 @@ class SessionContext:
             # blake2 digests (crypto/digest.rs Blake2s/Blake2b): no Spark
             # primitive — Arrow-batched hashlib UDF (cold path; never in a
             # scan/join pipeline). hashlib's defaults match the reference
-            # (blake2s 32 B, blake2b 64 B); blake3 has no stdlib impl and
-            # stays an honest unsupported skip.
+            # (blake2s 32 B, blake2b 64 B).
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
@@ -2596,6 +2596,24 @@ class SessionContext:
                 "s": pd.Series, "algo": pd.Series, "return": pd.Series
             }
             self.spark.udf.register("df_blake2", pandas_udf(_blake2_batch, "binary"))
+
+            # blake3 (crypto/digest.rs Blake3 arm): no Spark, hashlib, or
+            # DuckDB primitive — pure-Python spec implementation, validated
+            # against the reference implementation's published test vectors
+            # (functions/blake3.py; tests/test_api.py blake3 vectors)
+            def _blake3_batch(s):
+                from arrow_datafusion_spark.functions.blake3 import blake3 as _b3
+
+                def h(v):
+                    if v is None:
+                        return None
+                    b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    return _b3(bytes(b))
+
+                return pd.Series([h(v) for v in s])
+
+            _blake3_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+            self.spark.udf.register("df_blake3", pandas_udf(_blake3_batch, "binary"))
 
             # regexp_match (regex/regexpmatch.rs, Postgres semantics): the
             # FIRST match's capture groups as List<Utf8> — whole match when

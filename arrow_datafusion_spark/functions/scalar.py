@@ -377,6 +377,10 @@ def _digest(c, algo) -> Column:
         # hashlib-backed UDF registered by SessionContext._ensure_macros;
         # resolves when a SessionContext is live in the session
         return F.call_udf("df_blake2", _c(c), F.lit(a))
+    if a == "blake3":
+        # pure-Python spec implementation (functions/blake3.py), registered
+        # alongside df_blake2 by SessionContext._ensure_macros
+        return F.call_udf("df_blake3", _c(c))
     raise ValueError(f"unsupported digest algorithm: {algo}")
 
 

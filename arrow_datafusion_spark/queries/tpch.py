@@ -268,14 +268,20 @@ LIMIT 100
 # absent → dropped from output; shape unchanged.
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shape: date-filtered orders LEFT-SEMI the projected BUILDING customer
-    # keys, then shuffle-join the shipdate-filtered lineitem. The semi-join
-    # ships one int column instead of the full customer row, and it is
-    # deliberately UN-hinted: at bench scale the projected key set sits
-    # under the auto-broadcast threshold (Catalyst picks BHJ on its own —
-    # r7 A/B, min-of-5: 0.342s -> 0.218s wall, compute-over-floor
-    # 0.065s -> ~0), while at cluster scale 20% of customer outgrows any
-    # broadcast budget and the same plan degrades to a shuffled semi-join
-    # — a hint would pin the wrong strategy at 1000×.
+    # keys, then join the shipdate-filtered lineitem. The semi-join ships
+    # one int column instead of the full customer row and is deliberately
+    # UN-hinted: at bench scale the projected key set sits under the
+    # auto-broadcast threshold (Catalyst picks BHJ on its own — r7 A/B,
+    # min-of-5: 0.342s -> 0.218s wall), while at cluster scale 20% of
+    # customer outgrows any broadcast budget and the same plan degrades to
+    # a shuffled semi-join.
+    # The o⋈l join is SHUFFLE_HASH on the orders build side (the q12
+    # template): Spark's default plans sort-merge for this large⋈large
+    # join where the reference always partitioned-hash-joins; the hint
+    # drops both sort passes and spills per-partition if needed (Spark
+    # 3.2+). r8 SF1 A/B, min-of-5: 0.748s -> 0.523s wall, compute
+    # 0.395 -> 0.237s (2.8x -> 2.1x of the reference row; hinting the
+    # lineitem side instead measured equal within noise).
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp")
     return (
@@ -285,6 +291,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") == F.col("o_custkey"),
             "left_semi",
         )
+        .hint("SHUFFLE_HASH")
         .join(
             lineitem.filter(F.col("l_shipdate") > cutoff),
             F.col("o_orderkey") == F.col("l_orderkey"),
@@ -869,28 +876,37 @@ WHERE l_partkey = p_partkey
 # q15 — top supplier (view + scalar MAX subquery).
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    # Revenue accumulates as the exact e4-scaled long (the _esum grid
+    # argument — price×(1−disc) sits on the 1e-4 grid, exact past SF1000):
+    # r8 idle-box SF1 A/B measured the long accumulator consistently under
+    # the Decimal128 form (0.38-0.45s vs 0.43-0.52s wall). Max-tie equality
+    # compares the exact longs, so tie correctness is unchanged.
     revenue0 = (
         lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev().cast(_DEC)).alias("total_revenue_raw"))
+        .agg(F.sum(F.round(_rev() * 10000).cast("long")).alias("rev_e4"))
+        .coalesce(1)
     )
-    # Global-max scalar subquery via an empty-partition window: revenue0 (one
-    # row per supplier — small even at SF100k) is computed ONCE; the broadcast
-    # self-join form re-ran the whole lineitem scan + agg twice. The equality
-    # compares exact decimals, so partition order can't drop the top supplier.
+    # Global-max scalar subquery via an empty-partition window: revenue0
+    # (one row per supplier — small even at SF100k) is computed ONCE; the
+    # broadcast self-join and driver-scalar forms measured worse (r8 A/B:
+    # 0.59-1.04s — they re-run or re-materialize the agg). The coalesce(1)
+    # collapses the agg output BEFORE the window so the window's
+    # single-partition requirement is already satisfied — one exchange
+    # instead of two (floor 0.24-0.38s -> 0.14-0.18s across r8 runs); the
+    # single partition holds ≤|suppliers| 16-byte rows, which is exactly
+    # what the window exchange would have moved anyway.
     return (
-        revenue0.withColumn(
-            "max_revenue", F.max("total_revenue_raw").over(Window.partitionBy())
-        )
-        .filter(F.col("total_revenue_raw") == F.col("max_revenue"))
+        revenue0.withColumn("max_rev", F.max("rev_e4").over(Window.partitionBy()))
+        .filter(F.col("rev_e4") == F.col("max_rev"))
         .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue_raw", 2).cast("double").alias("total_revenue"),
+            (F.round(F.col("rev_e4") / 100.0) / 100.0).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )

@@ -548,3 +548,45 @@ def test_identifier_alias_named_preceding_is_not_a_frame(spark):
     ctx = SessionContext(spark)
     rows = ctx.sql("SELECT 7 - 5 preceding").collect()
     assert rows[0][0] == 2
+
+
+def test_blake3_known_vectors():
+    # published vectors from the BLAKE3 reference implementation's
+    # test_vectors.json (inputs are bytes i % 251; lengths cross the
+    # block (64 B) and chunk (1024 B) boundaries + the multi-chunk tree)
+    from arrow_datafusion_spark.functions.blake3 import blake3
+
+    def inp(n):
+        return bytes(i % 251 for i in range(n))
+
+    vectors = {
+        0: "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262",
+        1: "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213",
+        1023: "10108970eeda3eb932baac1428c7a2163b0e924c9a9e25b35bba72b28f70bd11",
+        1024: "42214739f095a406f3fc83deb889744ac00df831c10daa55189b5d121c855af7",
+        1025: "d00278ae47eb27b34faecf67b4fe263f82d5412916c1ffd97c8cb7fb814b8444",
+        2048: "e776b6028c7cd22a4d0ba182a8bf62205d2ef576467e838ed6f2529b85fba24a",
+    }
+    for n, want in vectors.items():
+        assert blake3(inp(n)).hex() == want, n
+    assert blake3(b"abc").hex() == (
+        "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85"
+    )
+
+
+def test_digest_blake3_sql_surface(spark):
+    # digest.rs Blake3 arm — the reference's own expr.slt golden:
+    # digest('','blake3') displays as the 32-byte lower-hex digest
+    ctx = SessionContext(spark)
+    row = ctx.sql("SELECT digest('','blake3') AS d, digest(NULL,'blake3') AS n").collect()[0]
+    assert row[0].hex() == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    assert row[1] is None
+    # DataFrame-surface parity (functions/scalar.py digest)
+    from arrow_datafusion_spark.functions.scalar import SCALAR as S2
+
+    out = spark.range(1).select(S2["digest"](F.lit("abc"), "blake3").alias("d")).collect()
+    assert out[0][0].hex() == (
+        "6437b3ac38465133ffb63b75273a8db548c558465d79db03fd359c6cd5bd9d85"
+    )
