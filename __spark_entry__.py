@@ -40,6 +40,7 @@ def _registries() -> tuple[dict, dict]:
         relational,
         sources,
         sqlsuite,
+        substrait_suite,
         tpch,
         udfs,
         windows,
@@ -57,6 +58,7 @@ def _registries() -> tuple[dict, dict]:
         pipeline,
         eventsuite,
         recursion,
+        substrait_suite,
         h2o,
         functions_suite,
         sqlsuite,
@@ -85,6 +87,10 @@ def _registries() -> tuple[dict, dict]:
         #     re-validate) — all hash-verified vs the sf0.01 oracle before
         #     landing (tools/driver_check.py)
         "tpch_q3", "tpch_q15", "tpch_q5", "tpch_q10",
+        #     NEW in round 8: Substrait consumer (plans/substrait.py) —
+        #     substrait_tpch_q1 executes the reference's third-party Isthmus
+        #     artifact; substrait_named_join exercises the NamedTable path
+        "substrait_tpch_q1", "substrait_named_join",
         #     digest() gained blake3 (pure-Python spec impl) on both SQL
         #     and DataFrame surfaces; fn_crypto's plan is otherwise
         #     untouched but shares the digest routing

@@ -4382,7 +4382,18 @@ class SessionContext:
         keep the interpolating median as the documented divergence.
         Spark computes the repeated collect_list aggregate once
         (aggregate-expression deduplication), and `div` truncates toward
-        zero exactly like i128 division (-7 div 2 = -3)."""
+        zero exactly like i128 division (-7 div 2 = -3).
+
+        SCALE CEILING: the lowering materializes a whole group's values in
+        ONE array row. That is behavior parity — median.rs also buffers
+        every group value in a Vec — but Spark's single-row limit is 2 GiB,
+        which arrives much earlier than process memory. The guard below
+        keeps Spark's native interpolating median when the source table's
+        plan-statistics size exceeds
+        ``spark.spark_graft.median.exact_max_bytes`` (default 1 GiB — the
+        upper bound on any group): value-identical for odd counts and for
+        floats; even integer/decimal counts then interpolate in double
+        instead of truncating — the documented trade at scale."""
         if not re.search(r"\bmedian\s*\(", q, re.IGNORECASE):
             return q
         shield = _strip_strings(q)
@@ -4395,6 +4406,26 @@ class SessionContext:
         try:
             schema = {f.name.lower(): f.dataType for f in self.spark.table(tbl).schema}
         except Exception:
+            return q
+        try:
+            cap = int(
+                self.spark.conf.get(
+                    "spark.spark_graft.median.exact_max_bytes", str(1 << 30)
+                )
+            )
+            est = int(
+                self.spark.table(tbl)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            cap, est = 1, 0
+        # Long.MaxValue = Catalyst's "size unknown" sentinel (in-memory
+        # relations): unknown stays EXACT — the guard is for file-backed
+        # tables whose real byte size proves the lowering can't fit
+        if est > cap and est < (1 << 63) - 1:
             return q
         from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
 

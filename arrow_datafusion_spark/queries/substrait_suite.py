@@ -1,0 +1,190 @@
+"""Substrait-consumer oracle entries (SURVEY gap closed in round 8).
+
+Two entries, two provenance levels:
+
+- ``substrait_tpch_q1`` consumes the reference's own THIRD-PARTY Substrait
+  artifact — tests/testdata/tpch_substrait_plans/query_1.json, produced by
+  substrait-java's Isthmus (per its README, from the substrait-io
+  consumer-testing corpus) — over a dbgen SF0.01 lineitem fixture, and the
+  DuckDB oracle runs the semantically-equal SQL over the same parquet.
+  That is a real cross-engine differential: plan produced by Isthmus,
+  consumed by this engine, answers checked against DuckDB. (The reference
+  itself only asserts the PLAN TEXT for this artifact,
+  consumer_integration.rs:46 — executing it goes beyond the reference's
+  own bar. DuckDB's substrait extension would be a second producer but is
+  not installable in this offline sandbox.)
+
+- ``substrait_named_join`` consumes a spec-shaped plan authored here
+  (namedTable reads + join + filter + project + sort + fetch) over the
+  driver's nation/region fixtures at any scale factor — it exercises the
+  NamedTable path query_1.json does not touch.
+
+Output normalization: the plan's decimal sums/avgs are cast to DOUBLE
+after EXACT decimal accumulation on both engines (the repo-wide hash
+discipline — one well-defined decimal→double conversion per cell).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_FIXTURE = os.path.join(_REPO, "tests", "fixtures", "substrait", "lineitem.parquet")
+_Q1_PLAN = (
+    "/root/reference/datafusion/substrait/tests/testdata/"
+    "tpch_substrait_plans/query_1.json"
+)
+
+
+def _ensure_fixture() -> str:
+    """dbgen SF0.01 lineitem (full 16-column schema — the plan references
+    fields by POSITION, so the driver's reduced lineitem cannot serve).
+    duckdb's dbgen is deterministic: the fixture is identical on every
+    regeneration, which makes the cross-engine hash stable."""
+    if not os.path.exists(_FIXTURE):
+        import duckdb
+
+        os.makedirs(os.path.dirname(_FIXTURE), exist_ok=True)
+        con = duckdb.connect()
+        con.sql("CALL dbgen(sf=0.01)")
+        con.sql(f"COPY lineitem TO '{_FIXTURE}' (FORMAT parquet)")
+        con.close()
+    return _FIXTURE
+
+
+def substrait_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait import consume_plan_file
+
+    ctx = SessionContext(spark)
+    ctx.register_table(
+        "FILENAME_PLACEHOLDER_0", spark.read.parquet(_ensure_fixture())
+    )
+    out = consume_plan_file(ctx, _Q1_PLAN)
+    # decimal → double normalization (sums are exact decimals on both
+    # engines; Spark's AVG is already HALF_UP at scale 6)
+    return out.select(
+        F.col("L_RETURNFLAG").alias("l_returnflag"),
+        F.col("L_LINESTATUS").alias("l_linestatus"),
+        F.col("SUM_QTY").cast("double").alias("sum_qty"),
+        F.col("SUM_BASE_PRICE").cast("double").alias("sum_base_price"),
+        F.col("SUM_DISC_PRICE").cast("double").alias("sum_disc_price"),
+        F.col("SUM_CHARGE").cast("double").alias("sum_charge"),
+        F.col("AVG_QTY").cast("double").alias("avg_qty"),
+        F.col("AVG_PRICE").cast("double").alias("avg_price"),
+        F.col("AVG_DISC").cast("double").alias("avg_disc"),
+        F.col("COUNT_ORDER").alias("count_order"),
+    )
+
+
+# the Isthmus plan filters l_shipdate <= date '1998-12-01' - 120 days and
+# aggregates sum/avg/count grouped by returnflag/linestatus
+SUBSTRAIT_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(CAST(SUM(l_quantity) AS DECIMAL(38,10)) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(CAST(SUM(l_extendedprice) AS DECIMAL(38,10)) / COUNT(*), 6) AS DOUBLE) AS avg_price,
+       CAST(ROUND(CAST(SUM(l_discount) AS DECIMAL(38,10)) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM read_parquet('{_FIXTURE}')
+WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 120 DAY
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _sel(field: int) -> dict:
+    return {
+        "selection": {
+            "directReference": {"structField": {"field": field}},
+            "rootReference": {},
+        }
+    }
+
+
+def _fn(anchor: int, *args: dict, out: dict | None = None) -> dict:
+    return {
+        "scalarFunction": {
+            "functionReference": anchor,
+            "outputType": out or {"bool": {"nullability": "NULLABILITY_NULLABLE"}},
+            "arguments": [{"value": a} for a in args],
+        }
+    }
+
+
+# Spec-shaped plan: SELECT n_name, r_name, n_nationkey FROM nation JOIN
+# region ON n_regionkey = r_regionkey WHERE n_nationkey < 10 ORDER BY
+# n_nationkey LIMIT 5 — as substrait protojson with compound-signature
+# extension names, NamedTable reads, and a join over the concatenated
+# field space (nation fields 0-2, region fields 3-4).
+_NAMED_JOIN_PLAN = {
+    "extensionUris": [{"extensionUriAnchor": 1, "uri": "/functions_comparison.yaml"}],
+    "extensions": [
+        {"extensionFunction": {"extensionUriReference": 1, "functionAnchor": 0,
+                               "name": "equal:any_any"}},
+        {"extensionFunction": {"extensionUriReference": 1, "functionAnchor": 1,
+                               "name": "lt:any_any"}},
+    ],
+    "relations": [{
+        "root": {
+            "names": ["n_name", "r_name", "n_nationkey"],
+            "input": {"fetch": {
+                "count": "5",
+                "input": {"sort": {
+                    "sorts": [{"expr": _sel(2),
+                               "direction": "SORT_DIRECTION_ASC_NULLS_LAST"}],
+                    "input": {"project": {
+                        "expressions": [_sel(1), _sel(4), _sel(0)],
+                        "input": {"filter": {
+                            "condition": _fn(1, _sel(0), {"literal": {"i32": 10}}),
+                            "input": {"join": {
+                                "type": "JOIN_TYPE_INNER",
+                                "expression": _fn(0, _sel(2), _sel(3)),
+                                "left": {"read": {
+                                    "namedTable": {"names": ["nation"]}}},
+                                "right": {"read": {
+                                    "namedTable": {"names": ["region"]}}},
+                            }},
+                        }},
+                    }},
+                }},
+            }},
+        },
+    }],
+}
+
+
+def substrait_named_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait import consume_plan
+    from arrow_datafusion_spark.session import load_tables
+
+    ctx = SessionContext(spark)
+    tabs = load_tables(spark, sf_dir, names=("nation", "region"))
+    for name, df in tabs.items():
+        ctx.register_table(name, df)
+    return consume_plan(ctx, _NAMED_JOIN_PLAN)
+
+
+SUBSTRAIT_NAMED_JOIN_SQL = """
+SELECT n_name, r_name, n_nationkey
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_nationkey < 10
+ORDER BY n_nationkey
+LIMIT 5
+"""
+
+
+QUERIES = {
+    "substrait_tpch_q1": substrait_tpch_q1,
+    "substrait_named_join": substrait_named_join,
+}
+ORACLE = {
+    "substrait_tpch_q1": SUBSTRAIT_TPCH_Q1_SQL,
+    "substrait_named_join": SUBSTRAIT_NAMED_JOIN_SQL,
+}
