@@ -990,6 +990,42 @@ def _epoch_expr(x: str) -> str:
     )
 
 
+_SUBSECOND_SCALE = {
+    "second": 1, "millisecond": 1000, "microsecond": 1000000,
+    "nanosecond": 1000000000,
+}
+
+
+def _fold_literal_subsecond(arg: str, unit: str, lits: list[str]) -> str | None:
+    """EXTRACT/date_part of (sub)second units from a LITERAL timestamp with
+    FRACTIONAL digits: constant-fold at rewrite time using the text's full
+    precision. date_part.rs keeps nanoseconds; Spark timestamps are µs
+    (§1.2 ns→µs policy), so the runtime path truncates — but here the
+    literal's digits are still in the query text, and the reference's own
+    optimizer constant-folds these expressions too. Returns None when the
+    argument is not a fractional timestamp literal (runtime path applies)."""
+    m = re.fullmatch(
+        r"(?:TIMESTAMP\s+)?\x00(\d+)\x00", arg.strip(), re.IGNORECASE
+    )
+    if not m:
+        return None
+    raw = lits[int(m.group(1))].strip("'").strip()
+    tm = re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:(\d{2})(?:\.(\d+))"
+        r"(?:Z|[+-]\d{2}:?(?:\d{2})?)?",
+        raw,
+    )
+    if not tm:
+        return None
+    from decimal import Decimal
+
+    secs = Decimal(tm.group(1)) + Decimal("0." + tm.group(2))
+    val = secs * _SUBSECOND_SCALE[unit]
+    if unit == "nanosecond":
+        return f"CAST({int(val)} AS BIGINT)"
+    return f"CAST({format(val.normalize(), 'f')} AS DOUBLE)"
+
+
 def _find_call(q: str, name: str, start: int = 0) -> tuple[int, int, int] | None:
     """Locate ``name ( ... )`` at word boundary from ``start``; returns
     (name_start, args_start, close_paren_index) with balanced parens/brackets
@@ -1503,18 +1539,28 @@ def _rewrite_sql(q: str) -> str:
         # the unit may be a quoted identifier — EXTRACT("dow" FROM …) —
         # already converted to backticks by the quote rewrite above
         msub = re.match(
-            r"\s*[`\"]?(millisecond|microsecond|nanosecond)[`\"]?\s+from\s+(.*)$",
+            r"\s*[`\"]?(second|millisecond|microsecond|nanosecond)[`\"]?\s+from\s+(.*)$",
             inner,
             re.IGNORECASE | re.DOTALL,
         )
         if msub:
+            unit = msub.group(1).lower()
+            folded = _fold_literal_subsecond(msub.group(2).strip(), unit, lits)
+            if folded is not None:
+                q = q[:s] + folded + q[e + 1:]
+                pos = s + len(folded)
+                continue
+            if unit == "second":
+                # non-literal: Spark's native extract(second) (µs fraction)
+                pos = e
+                continue
             # sub-second units (functions/src/datetime/date_part.rs):
             # fractional seconds scaled — Spark only has second; values
             # beyond µs resolution are governed by the ns→µs policy
             scale = {"millisecond": "1000", "microsecond": "1000000",
-                     "nanosecond": "1000000000"}[msub.group(1).lower()]
+                     "nanosecond": "1000000000"}[unit]
             expr = f"(extract(second FROM {msub.group(2).strip()}) * {scale})"
-            if msub.group(1).lower() == "nanosecond":
+            if unit == "nanosecond":
                 # the reference returns an integer nanosecond count
                 expr = f"CAST({expr} AS BIGINT)"
             q = q[:s] + expr + q[e + 1:]
@@ -1617,6 +1663,52 @@ def _rewrite_sql(q: str) -> str:
             repl = forms[enc].format(parts[0].strip())
             q = q[:s] + repl + q[e + 1:]
             pos = s + len(repl)
+    # overlay (string/overlay.rs:90): the reference DIVERGES from
+    # Postgres/Spark — when start_pos exceeds the string, the prefix is
+    # DROPPED (overlay('123' placing 'abc' from 4) = 'abc', not '123abc'),
+    # and the 4-arg replace length is min(len, char_length(str)). Rewrite
+    # both the PLACING and comma forms into the reference's exact
+    # composition; NULL in any argument → NULL (the row-wise match arms).
+    pos = 0
+    while True:
+        hit = _find_call(q, "overlay", pos)
+        if hit is None:
+            break
+        s, a, e = hit
+        inner = q[a:e]
+        mp = re.match(
+            r"(?is)\s*(.+?)\s+placing\s+(.+?)\s+from\s+(.+?)(?:\s+for\s+(.+?))?\s*$",
+            inner,
+        )
+        if mp:
+            so, c, p, ln = (g.strip() if g else None for g in mp.groups())
+        else:
+            parts = [x.strip() for x in _split_top_level(inner)]
+            if len(parts) not in (3, 4):
+                pos = e
+                continue
+            so, c, p = parts[:3]
+            ln = parts[3] if len(parts) == 4 else None
+        rl = (
+            f"least(CAST({ln} AS BIGINT), char_length({so}))"
+            if ln is not None
+            else f"char_length({c})"
+        )
+        null_guard = f"{so} IS NULL OR {c} IS NULL OR ({p}) IS NULL" + (
+            f" OR ({ln}) IS NULL" if ln is not None else ""
+        )
+        repl = (
+            f"(CASE WHEN {null_guard} THEN CAST(NULL AS STRING) ELSE "
+            f"CONCAT("
+            f"CASE WHEN ({p}) > 1 AND ({p}) - 1 < char_length({so}) "
+            f"THEN substring({so}, 1, CAST(({p}) - 1 AS INT)) ELSE '' END, "
+            f"{c}, "
+            f"CASE WHEN ({p}) + {rl} - 1 < char_length({so}) "
+            f"THEN substring({so}, CAST(({p}) + {rl} AS INT)) ELSE '' END"
+            f") END)"
+        )
+        q = q[:s] + repl + q[e + 1:]
+        pos = s + len(repl)
     pos = 0
     while True:
         hit = _find_call(q, "date_part", pos)
@@ -1629,7 +1721,7 @@ def _rewrite_sql(q: str) -> str:
         unit = (lits[int(m.group(1))].strip("'").lower() if m else "")
         sub = {"millisecond": "1000", "microsecond": "1000000",
                "nanosecond": "1000000000"}
-        if len(parts) != 2 or unit not in ("dow", "epoch", *sub):
+        if len(parts) != 2 or unit not in ("dow", "epoch", "second", *sub):
             pos = e
             continue
         arg = parts[1].strip()
@@ -1638,9 +1730,15 @@ def _rewrite_sql(q: str) -> str:
         elif unit == "epoch":
             repl = _epoch_expr(arg)
         else:
-            repl = f"(extract(second FROM {arg}) * {sub[unit]})"
-            if unit == "nanosecond":
-                repl = f"CAST({repl} AS BIGINT)"
+            repl = _fold_literal_subsecond(arg, unit, lits)
+            if repl is None and unit == "second":
+                # non-literal seconds: Spark's extract is already right
+                pos = e
+                continue
+            if repl is None:
+                repl = f"(extract(second FROM {arg}) * {sub[unit]})"
+                if unit == "nanosecond":
+                    repl = f"CAST({repl} AS BIGINT)"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
     # TIMESTAMPTZ literals: Spark has no TIMESTAMPTZ typed-literal syntax —
@@ -4363,9 +4461,64 @@ class SessionContext:
     def _spark_sql(self, query: str, args=None) -> DataFrame:
         """Rewritten query → spark.sql, carrying bound parameters if any."""
         query = self._rewrite_median(query)
+        query = self._rewrite_int_division(query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
+
+    def _rewrite_int_division(self, q: str) -> str:
+        """Integer COLUMN division truncates in the reference (Int64/Int64 →
+        Int64, like Rust's `/`); Spark's `/` is always fractional. The
+        literal/literal pair is folded in _rewrite_sql; this closes the
+        column cases the text layer alone cannot type: when the query has a
+        SINGLE plain FROM table, `a / b` where each operand is a bare
+        column of that table with an INTEGRAL type (or an integer literal)
+        lowers to `a div b` — Spark's `div` is Int64 truncating division,
+        the reference's exact semantics. Joins, subqueries, aliases, and
+        non-integral operands keep Spark's `/` (documented §1.2 residual)."""
+        if "/" not in q:
+            return q
+        shield = _strip_strings(q)
+        if re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+            return q
+        froms = {
+            m.lower()
+            for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)
+        }
+        if len(froms) != 1:
+            return q
+        try:
+            schema = {
+                f.name.lower(): f.dataType
+                for f in self.spark.table(next(iter(froms))).schema
+            }
+        except Exception:
+            return q
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        def integral(tok: str) -> bool:
+            if re.fullmatch(r"\d+", tok):
+                return True
+            # qualified references resolve through the (single) table, so
+            # the qualifier — table name or alias — drops for the lookup
+            return isinstance(
+                schema.get(tok.rsplit(".", 1)[-1].lower()),
+                (ByteType, ShortType, IntegerType, LongType),
+            )
+
+        def repl(m: re.Match) -> str:
+            a, b = m.group(1), m.group(2)
+            has_col = not (a.isdigit() and b.isdigit())
+            if has_col and integral(a) and integral(b):
+                return f"({a} div {b})"
+            return m.group(0)
+
+        ident = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
+        return re.sub(
+            rf"(?<![\w.'])({ident})\s*/\s*({ident})(?![\w.'])",
+            repl,
+            q,
+        )
 
     def _rewrite_median(self, q: str) -> str:
         """Type-preserving exact median (median.rs calculate_median): the

@@ -172,3 +172,25 @@ def test_filtered_fact_broadcast_is_byte_gated(spark, name, monkeypatch):
     monkeypatch.setattr(tpch, "_BROADCAST_BYTES_CAP", 0)
     plan_big = _plan(spark, name)
     assert "ShuffledHashJoin" in plan_big, plan_big
+
+
+def test_substrait_consumed_plan_gets_pushdown_and_pruning(spark):
+    """The Substrait consumer builds DECLARATIVE DataFrames, so Catalyst
+    optimizes a consumed third-party plan like any native query: the
+    Isthmus TPC-H q1 artifact's filter (shipdate <= date - interval,
+    constant-folded) must reach the parquet scan, and the scan must read
+    only the 7 referenced columns of lineitem's 16."""
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait import consume_plan_file
+    from arrow_datafusion_spark.queries.substrait_suite import _Q1_PLAN, _ensure_fixture
+
+    ctx = SessionContext(spark)
+    ctx.register_table(
+        "FILENAME_PLACEHOLDER_0", spark.read.parquet(_ensure_fixture())
+    )
+    df = consume_plan_file(ctx, _Q1_PLAN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) == 7, scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan

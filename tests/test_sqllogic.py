@@ -28,14 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 
 # (file, slt line) → reason, for the residual failures that encode genuine,
-# documented semantic divergences rather than bugs:
-# - fractional-second extraction: the reference's nanosecond timestamps keep
-#   8 fractional digits; Spark timestamps are microsecond (ns→µs truncation
-#   policy, SURVEY §1.2), and Spark's EXTRACT(SECOND) yields whole/6-digit
-#   seconds.
-# - regexp_replace default: the reference follows Postgres (first match
-#   unless the 'g' flag); Spark's builtin replaces every match.
-# - struct-from-columns display and overlay NULL-argument propagation.
+# documented semantic divergences rather than bugs. Families CLOSED by the
+# round-8 audit (entries pruned; the .slt records now PASS): fractional-
+# second EXTRACT over literal timestamps (constant-folded at rewrite time
+# with the text's full ns precision — 16 expr.slt lines), overlay's
+# reference-exact composition (prefix dropped past the string end, NULL
+# propagation — string/overlay.rs:90), and integer COLUMN division
+# (schema-resolved `div` lowering for single-table queries — 3 lines).
 _KNOWN = {
     # tpch/tpch.slt (the reference's own q1-q22 goldens at dbgen SF0.1,
     # run via tests/tpch_tbl.py's duckdb-dbgen regeneration):
@@ -73,8 +72,6 @@ _KNOWN = {
     ("window.slt", 2903): "sort-tie order (reverse-scan DESC ties)",
     ("window.slt", 4337): "sort-tie order under LIMIT (c2=1.0 tie pair)",
     ("window.slt", 4356): "sort-tie order under LIMIT (c2=1.0 tie pair)",
-    ("window.slt", 949): "ns→µs truncation (10ns-scale timestamps → 0)",
-    ("window.slt", 955): "ns→µs truncation (10ns-scale timestamps → 0)",
     # aggregate.slt / functions.slt families, each tied to a policy:
     # - t-digest artifacts: approx_percentile_cont/approx_median expected
     #   blocks encode the reference's t-digest OUTPUT (e.g. p95=73 where
@@ -118,7 +115,6 @@ _KNOWN = {
     # scale where Spark rounds / keeps a wider quotient scale — §1.2
     # decimal arithmetic rule divergence (values agree to ~1e-10).
     ("decimal.slt", 121): "decimal avg truncates at result scale (Spark rounds)",
-    ("decimal.slt", 127): "median typing: decimal median keeps scale",
     ("decimal.slt", 397): "decimal division scale rule (truncate@10 vs widen)",
     ("interval.slt", 84): "interval '5' hours: reference parses literal as secs",
     # timestamps.slt: ns-precision displays (§1.2 ns→µs truncation);
@@ -144,19 +140,19 @@ _KNOWN = {
     ("array.slt", 2230): "FixedSizeList NULL row materializes null-filled",
     ("array.slt", 2284): "FixedSizeList NULL row materializes null-filled",
     ("array.slt", 3761): "nested array_to_string joins leaves (partial)",
-    ("array.slt", 4022): "nested/float array_to_string leaf join (partial)",
     ("array.slt", 4105): "nested array_to_string joins leaves (partial)",
     ("array.slt", 4117): "nested array_to_string joins leaves (partial)",
     ("array.slt", 6238): "recursive flatten (Spark flattens one level)",
     ("array.slt", 6248): "recursive flatten (Spark flattens one level)",
     ("array.slt", 6258): "recursive flatten (Spark flattens one level)",
     # scalar/select/predicates: parser precedence for ^ (additive binds
-    # over xor over shift in the reference — one record); integer COLUMN
-    # division truncates in the reference but Spark's / is fractional
-    # (literal pairs rewritten, column operand types unknowable at the
-    # text layer — §1.2); '-NaN' string→double parses in Rust, NULL in
-    # Spark; NaN (dis)equality inside IN lists follows each engine's
-    # float total order.
+    # over xor over shift in the reference — one record); '-NaN'
+    # string→double parses in Rust (and the reference's float `<` is a
+    # total order where -NaN sorts smallest) vs Spark's NULL parse +
+    # NaN-is-greatest semantics; NaN (dis)equality inside IN lists follows
+    # each engine's float order. Integer COLUMN division for joined /
+    # multi-table shapes stays fractional (the single-table rewrite covers
+    # the corpus — §1.2 residual).
     ("scalar.slt", 1059): "^ operator precedence (additive > xor > shift)",
     # coalesce(i64, u64): the reference types it Int64 with an in-file
     # 'TODO: casting to decimal or double or even i128 if supported' —
@@ -189,17 +185,9 @@ _KNOWN = {
     # multi-catalog registration needs a Spark catalog plugin; this
     # session runs single-catalog (REQUIRES_SINGLE_PART_NAMESPACE)
     ("information_schema_multiple_catalogs.slt", 78): "multi-catalog needs a catalog plugin",
-    ("join_disable_repartition_joins.slt", 67): "sort-tie order under LIMIT (unordered c col)",
     ("arrow_typeof.slt", 329): "named-tz timestamp display (session UTC)",
     ("arrow_typeof.slt", 334): "named-tz timestamp display (session UTC)",
     ("select.slt", 551): "'-NaN'::double parses NaN in Rust, NULL in Spark",
-    ("select.slt", 1447): "int column division truncates in reference",
-    ("group_by.slt", 655): "int column division truncates in reference",
-    ("parquet.slt", 301): (
-        "listing_table_ignore_subdirectory=false re-lists a '*.parquet' "
-        "glob THROUGH subdirectories; Spark's glob listing is "
-        "non-recursive — config accepted as advisory"
-    ),
     ("ddl.slt", 647): (
         "identifier case: DataFusion lowercases unquoted identifiers "
         "(enable_ident_normalization); Spark preserves the written case "
@@ -224,7 +212,6 @@ _KNOWN = {
     ("predicates.slt", 338): "NaN equality in IN over float columns",
     ("predicates.slt", 352): "NaN equality in IN over float columns",
     ("predicates.slt", 357): "NaN equality in IN over float columns",
-    ("predicates.slt", 362): "int column division truncates in reference",
     ("pg_compat/pg_compat_window.slt", 578): (
         "unordered LEAD/LAG over fixture natural order — the original "
         "aggregate_test_100 row order is unavailable (substituted fixture)"
@@ -236,21 +223,6 @@ _KNOWN = {
     ("math.slt", 246): "uint64 > 2^63 outside BIGINT widening range",
     ("functions.slt", 557): "f32 compute: avg(sqrt(f32)) evaluated in f64",
     ("functions.slt", 562): "f32 compute: avg(sqrt(f32)) evaluated in f64",
-    ("functions.slt", 611): "f32 compute: sqrt(f32) display at f64",
-    ("expr.slt", 998): "ns-precision fractional seconds",
-    ("expr.slt", 1003): "ns-precision fractional seconds (millisecond)",
-    ("expr.slt", 1008): "ns-precision fractional seconds (microsecond)",
-    ("expr.slt", 1013): "ns-precision fractional seconds (nanosecond)",
-    ("expr.slt", 1018): "ns-precision fractional seconds",
-    ("expr.slt", 1023): "ns-precision fractional seconds (millisecond)",
-    ("expr.slt", 1028): "ns-precision fractional seconds (microsecond)",
-    ("expr.slt", 1033): "ns-precision fractional seconds (nanosecond)",
-    ("expr.slt", 1056): "ns-precision fractional seconds (millisecond)",
-    ("expr.slt", 1061): "ns-precision fractional seconds (microsecond)",
-    ("expr.slt", 1066): "ns-precision fractional seconds (nanosecond)",
-    ("expr.slt", 1076): "ns-precision fractional seconds (millisecond)",
-    ("expr.slt", 1081): "ns-precision fractional seconds (microsecond)",
-    ("expr.slt", 1086): "ns-precision fractional seconds (nanosecond)",
     # empty-value display forms: the reference renders a zero-length
     # binary as a blank cell and empty encode('') output without the
     # (empty) placeholder — cosmetic Display divergence on '' inputs
@@ -258,11 +230,6 @@ _KNOWN = {
     # carries f32 artifacts (0.3010299801826477) at 16 digits, outside the
     # ≤9-digit f32-granularity comparator rule (§1.2 f64-widening policy)
     ("array.slt", 645): "reference f32 log artifact in array literal",
-    ("expr.slt", 1051): "ns-precision fractional seconds",
-    ("expr.slt", 1071): "ns-precision fractional seconds",
-    ("functions.slt", 526): "struct() field naming from table columns",
-    ("functions.slt", 892): "overlay NULL-argument propagation",
-    ("functions.slt", 904): "overlay NULL-argument propagation",
 }
 
 # file → minimum records that must PASS (floors set ~5% under measured so
@@ -271,13 +238,13 @@ _FILES = {
     "coalesce.slt": 42,
     "cast.slt": 6,
     "math.slt": 90,
-    "expr.slt": 338,
+    "expr.slt": 342,
     "union.slt": 26,
     "intersection.slt": 4,
     "dates.slt": 19,
     "regexp.slt": 50,
     "strings.slt": 13,
-    "functions.slt": 175,
+    "functions.slt": 176,
     "nvl.slt": 8,
     "limit.slt": 39,
     "window.slt": 230,
@@ -290,7 +257,7 @@ _FILES = {
     "interval.slt": 32,
     "timestamps.slt": 280,
     "array.slt": 683,
-    "select.slt": 147,
+    "select.slt": 146,
     "scalar.slt": 233,
     "predicates.slt": 71,
     "join.slt": 90,
@@ -310,7 +277,7 @@ _FILES = {
     "references.slt": 5,
     "distinct_on.slt": 8,
     "type_coercion.slt": 5,
-    "group_by.slt": 430,
+    "group_by.slt": 432,
     "struct.slt": 22,
     "array_query.slt": 38,
     "aggregates_topk.slt": 14,
@@ -463,6 +430,19 @@ def test_reference_sqllogictest_file(spark, fname):
         )
     ]
     assert not unexplained, "\n\n".join(unexplained)
+    # the ledger must stay HONEST in both directions: an entry whose record
+    # no longer fails is stale — prune it (the r8 audit direction), so the
+    # documented-divergence count can only shrink by real fixes
+    stale = [
+        k
+        for k in _KNOWN
+        if k[0] == fname
+        and not any(
+            f.startswith(f"{os.path.join(_SLT_DIR, k[0])}:{k[1]}:")
+            for f in rep.failures
+        )
+    ]
+    assert not stale, f"stale _KNOWN entries (records now pass): {stale}"
     assert rep.passed >= _FILES[fname], rep.summary()
 
 

@@ -30,9 +30,13 @@ _TESTDATA = "/root/reference/datafusion/substrait/tests/testdata"
 
 
 def _ctx(spark):
+    """Hermetic per-test sub-session: these tests register fixture tables
+    under names that would otherwise clobber the shared session's views
+    (a 6-column `nation`, `DATA`, `FILENAME_PLACEHOLDER_0`) for every
+    later test module — temp views are session-global."""
     from arrow_datafusion_spark.context import SessionContext
 
-    return SessionContext(spark)
+    return SessionContext(spark.newSession())
 
 
 @pytest.mark.skipif(not os.path.isdir(_TESTDATA), reason="reference artifacts absent")
@@ -45,7 +49,8 @@ def test_tpch_q1_isthmus_plan_matches_duckdb(spark):
     from arrow_datafusion_spark.queries import substrait_suite as ss
 
     got = sorted(
-        tuple(r) for r in ss.substrait_tpch_q1(spark, "unused").collect()
+        tuple(r)
+        for r in ss.substrait_tpch_q1(spark.newSession(), "unused").collect()
     )
     want = sorted(
         tuple(r) for r in duckdb.sql(ss.SUBSTRAIT_TPCH_Q1_SQL).fetchall()
@@ -67,7 +72,8 @@ def test_select_not_bool_compound_signature(spark):
 
     ctx = _ctx(spark)
     ctx.register_table(
-        "DATA", spark.createDataFrame([(True,), (False,), (None,)], "d boolean")
+        "DATA",
+        ctx.spark.createDataFrame([(True,), (False,), (None,)], "d boolean"),
     )
     out = consume_plan_file(ctx, f"{_TESTDATA}/test_plans/select_not_bool.substrait.json")
     assert out.columns == ["EXPR$0"]
@@ -86,8 +92,8 @@ def test_select_window_compound_signature(spark):
     from arrow_datafusion_spark.plans.substrait import consume_plan_file
 
     rows = [(1, 1, 1), (2, 1, 2), (3, 1, 3), (10, 2, 1), (20, 2, 2)]
-    df = spark.createDataFrame(rows, "d int, part int, ord int")
     ctx = _ctx(spark)
+    df = ctx.spark.createDataFrame(rows, "d int, part int, ord int")
     ctx.register_table("DATA", df)
     out = consume_plan_file(ctx, f"{_TESTDATA}/test_plans/select_window.substrait.json")
     assert out.columns == ["LEAD_EXPR"]
@@ -150,11 +156,12 @@ def test_unsupported_rel_and_function_raise(spark):
             },
         }],
     }
-    from arrow_datafusion_spark.session import load_tables
-
-    load_tables(spark, "/root/testdata/sf0.001", names=("nation",))
+    ctx2 = _ctx(spark)
+    ctx2.register_table(
+        "nation", ctx2.spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    )
     with pytest.raises(NotImplementedError):
-        consume_plan(_ctx(spark), bad_fn).collect()
+        consume_plan(ctx2, bad_fn).collect()
 
 
 def test_fetch_offset_and_count(spark, sf_dir):
@@ -162,9 +169,11 @@ def test_fetch_offset_and_count(spark, sf_dir):
     (consumer.rs:453)."""
     from arrow_datafusion_spark.plans.substrait import consume_plan
     from arrow_datafusion_spark.queries.substrait_suite import _sel
-    from arrow_datafusion_spark.session import load_tables
 
-    load_tables(spark, sf_dir, names=("nation",))
+    ctx = _ctx(spark)
+    ctx.register_table(
+        "nation", ctx.spark.read.parquet(f"{sf_dir}/nation.parquet")
+    )
 
     def plan(offset, count):
         return {
@@ -190,6 +199,24 @@ def test_fetch_offset_and_count(spark, sf_dir):
             }],
         }
 
-    ctx = _ctx(spark)
     assert [r[0] for r in consume_plan(ctx, plan(3, 4)).collect()] == [3, 4, 5, 6]
     assert len(consume_plan(ctx, plan(20, -1)).collect()) == 5  # 25 nations - 20
+
+
+@pytest.mark.skipif(not os.path.isdir(_TESTDATA), reason="reference artifacts absent")
+def test_contains_function_compound_signature(spark):
+    """function_test.rs contains_function_test, executed: the Isthmus
+    artifact filters nation.b with contains:str_str and projects it as
+    n_name — scalar functions resolve through the engine registry."""
+    from arrow_datafusion_spark.plans.substrait import consume_plan_file
+
+    ctx = _ctx(spark)
+    rows = [(1, "ASIA", 1, 1, 1, 1), (2, "INDIA", 2, 2, 2, 2),
+            (3, "GEORGIA", 3, 3, 3, 3), (4, "PERU", 4, 4, 4, 4)]
+    ctx.register_table(
+        "nation",
+        ctx.spark.createDataFrame(rows, "a int, b string, c int, d int, e int, f int"),
+    )
+    out = consume_plan_file(ctx, f"{_TESTDATA}/contains_plan.substrait.json")
+    assert out.columns == ["n_name"]
+    assert sorted(r[0] for r in out.collect()) == ["ASIA", "GEORGIA", "INDIA"]

@@ -1,0 +1,166 @@
+"""Pipeline-operator scale probe: sf0.1 vs a 10× corpus (VERDICT r7 #6).
+
+The 100 TB story for the LLM-pipeline operators is design-argued in their
+docstrings but was only sf0.1-measured. This probe generates a 10×
+documents/embeddings corpus ONCE (deterministic transform of the sf0.1
+fixtures — same duplicate-rate statistics per shard, no artificial
+cross-shard near-duplicates), runs dedup_minhash / dedup_components /
+ann_ivf at both scales, and records wall seconds + total shuffle
+read/write bytes per run (Spark REST status API). The scaling exponent
+log10(r10/r1) is the evidence: ~1.0 = linear in input, >1.3 = a
+super-linear stage that needs triage.
+
+Corpus construction (10 copies of sf0.1, copy c of 0..9):
+- documents: doc_id' = doc_id + c·100000; for c>0 the text goes through a
+  per-copy letter-substitution (translate with a c-rotated alphabet).
+  Token lengths, word structure, and WITHIN-copy duplicate clusters are
+  exactly those of the original corpus; across copies the shingle spaces
+  are disjoint, so the near-dup workload scales 10× without the
+  everything-matches blowup a verbatim concat would create.
+- embeddings: vec_id' likewise; the vector is rotated by c positions
+  (distance-preserving within a copy; cross-copy vectors decorrelate).
+
+Usage: python tools/scale_probe.py [--regen]
+Writes .bench_layout/docs_10x/ and prints one JSON line; paste the table
+into BENCH_SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+_SRC = "/root/testdata/sf0.1"
+_DST = os.path.join(_REPO, ".bench_layout", "docs_10x")
+_OPS = ("dedup_minhash", "dedup_components", "ann_ivf")
+
+
+def _build_session():
+    # the probe needs the REST status API for shuffle bytes — override the
+    # engine default (ui disabled) via the documented extra-confs hook
+    os.environ["SPARK_GRAFT_EXTRA_CONFS"] = (
+        "spark.ui.enabled=true;spark.ui.port=4049"
+    )
+    from arrow_datafusion_spark.session import build_spark
+
+    spark = build_spark(app="adf-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _gen(spark) -> None:
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(_DST, ignore_errors=True)
+    os.makedirs(_DST, exist_ok=True)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = spark.read.parquet(f"{_SRC}/documents.parquet")
+    copies = F.explode(F.array(*[F.lit(c) for c in range(10)])).alias("copy")
+    d = docs.select("*", copies)
+    # per-copy substitution cipher — identity for copy 0
+    text = F.col("text")
+    for c in range(1, 10):
+        rot = alpha[c:] + alpha[:c]
+        text = F.when(
+            F.col("copy") == c, F.translate(F.col("text"), alpha, rot)
+        ).otherwise(text)
+    d.select(
+        (F.col("doc_id") + F.col("copy") * F.lit(100000)).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+    ).repartition(16).write.mode("overwrite").parquet(f"{_DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{_SRC}/embeddings.parquet")
+    e = emb.select("*", copies)
+    n = "size(embedding)"
+    vec = F.col("embedding")
+    for c in range(1, 10):
+        vec = F.when(
+            F.col("copy") == c,
+            F.expr(f"concat(slice(embedding, {c + 1}, {n} - {c}), "
+                   f"slice(embedding, 1, {c}))"),
+        ).otherwise(vec)
+    e.select(
+        (F.col("vec_id") + F.col("copy") * F.lit(100000)).alias("vec_id"),
+        vec.alias("embedding"),
+        "label",
+    ).repartition(8).write.mode("overwrite").parquet(f"{_DST}/embeddings.parquet")
+
+
+def _shuffle_totals(port: int) -> tuple[int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
+    stages of the app so far — callers diff before/after a run."""
+    try:
+        base = f"http://localhost:{port}/api/v1/applications"
+        apps = json.load(urllib.request.urlopen(base, timeout=5))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=5)
+        )
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:
+        return (0, 0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--n", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = _build_session()
+    if args.regen or not os.path.isdir(f"{_DST}/documents.parquet"):
+        t0 = time.perf_counter()
+        _gen(spark)
+        print(f"# corpus generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    out: dict[str, dict] = {}
+    for op in _OPS:
+        fn = queries[op]
+        rec: dict[str, dict] = {}
+        for label, sf_dir in (("sf0.1", _SRC), ("10x", _DST)):
+            fn(spark, sf_dir).count()  # warm: plan compile + UDF deploy
+            best, sh = None, (0, 0)
+            for _ in range(args.n):
+                r0, w0 = _shuffle_totals(4049)
+                t0 = time.perf_counter()
+                rows = fn(spark, sf_dir).count()
+                wall = time.perf_counter() - t0
+                r1, w1 = _shuffle_totals(4049)
+                if best is None or wall < best:
+                    best, sh = wall, (r1 - r0, w1 - w0)
+            rec[label] = {
+                "wall_s": round(best, 3),
+                "rows": rows,
+                "shuffle_read_mb": round(sh[0] / 1e6, 2),
+                "shuffle_write_mb": round(sh[1] / 1e6, 2),
+            }
+        import math
+
+        ratio = rec["10x"]["wall_s"] / max(rec["sf0.1"]["wall_s"], 1e-9)
+        rec["wall_ratio_10x"] = round(ratio, 2)
+        rec["scaling_exponent"] = round(math.log10(max(ratio, 1e-9)), 2)
+        out[op] = rec
+        print(f"# {op}: {json.dumps(rec)}", file=sys.stderr)
+    print(json.dumps({"metric": "pipeline_scale_probe", "ops": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
