@@ -4514,10 +4514,11 @@ class SessionContext:
             return m.group(0)
 
         ident = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
-        return re.sub(
-            rf"(?<![\w.'])({ident})\s*/\s*({ident})(?![\w.'])",
-            repl,
-            q,
+        pat = re.compile(rf"(?<![\w.])({ident})\s*/\s*({ident})(?![\w.])")
+        # rewrite only OUTSIDE string literals — '1/2' in a literal is text
+        segs = re.split(r"('(?:[^']|'')*')", q)
+        return "".join(
+            seg if i % 2 else pat.sub(repl, seg) for i, seg in enumerate(segs)
         )
 
     def _rewrite_median(self, q: str) -> str:

@@ -618,3 +618,19 @@ def test_median_exact_lowering_has_a_scale_guard(spark, sf_dir):
     finally:
         spark.conf.unset("spark.spark_graft.median.exact_max_bytes")
         spark.catalog.dropTempView("med_guard_t")
+
+
+def test_int_division_rewrite_skips_string_literals(spark):
+    # '3/4' inside a literal is text, not arithmetic — the single-table
+    # integer-division lowering must leave it alone while still
+    # truncating the real column division in the same query
+    ctx = SessionContext(spark)
+    spark.createDataFrame([(7,)], "x int").createOrReplaceTempView("intdiv_lit_t")
+    try:
+        row = ctx.sql(
+            "SELECT 'a 3/4 b' AS s, x / 2 AS h FROM intdiv_lit_t"
+        ).collect()[0]
+        assert row[0] == "a 3/4 b"
+        assert row[1] == 3
+    finally:
+        spark.catalog.dropTempView("intdiv_lit_t")
