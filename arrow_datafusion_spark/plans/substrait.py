@@ -300,8 +300,51 @@ class _Consumer:
 
     def _rel_filter(self, node: dict) -> DataFrame:
         df = self.rel(_get(node, "input"))
-        cond = self.rex(_get(node, "condition"), df)
-        return self._norm(df.filter(cond))
+        cond = _get(node, "condition")
+        sub = self._as_in_predicate(cond)
+        if sub is not None:
+            # Expression.Subquery InPredicate (consumer.rs:1235 → DataFusion
+            # InSubquery, which its optimizer decorrelates to a semi join —
+            # RewritePredicateSubquery). Spark has no IN-subquery Column
+            # form, so lower directly to the semi/anti join Catalyst would
+            # produce anyway.
+            needle, haystack, negated = sub
+            hay = self.rel(haystack)
+            needle_col = self.rex(needle, df)
+            how = "left_anti" if negated else "left_semi"
+            return self._norm(df.join(hay, needle_col == hay[hay.columns[0]], how))
+        return self._norm(df.filter(self.rex(cond, df)))
+
+    @staticmethod
+    def _as_in_predicate(e: dict):
+        """(needle_expr, haystack_rel, negated) for a [NOT] IN-subquery
+        filter condition, else None."""
+        negated = False
+        for key in e or {}:
+            if _snake(key) == "scalar_function":
+                # not(<subquery>) — resolved by shape, not anchor: the NOT
+                # builtin is the only single-arg wrapper producers emit here
+                args = _get(e[key], "arguments", [])
+                if len(args) == 1:
+                    inner = _get(args[0], "value") or {}
+                    if any(_snake(k) == "subquery" for k in inner):
+                        negated, e = True, inner
+                break
+        for key in e or {}:
+            if _snake(key) != "subquery":
+                continue
+            ip = _get(e[key], "in_predicate")
+            if ip is None:
+                raise NotImplementedError(
+                    f"Subquery type not implemented: {list(e[key])}"
+                )
+            needles = _get(ip, "needles", [])
+            if len(needles) != 1:
+                raise ValueError(
+                    "InPredicate Subquery type must have exactly one Needle expression"
+                )
+            return needles[0], _get(ip, "haystack"), negated
+        return None
 
     def _rel_project(self, node: dict) -> DataFrame:
         # v39 parity: output = the expression list ONLY (consumer.rs:401)

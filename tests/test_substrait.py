@@ -220,3 +220,69 @@ def test_contains_function_compound_signature(spark):
     out = consume_plan_file(ctx, f"{_TESTDATA}/contains_plan.substrait.json")
     assert out.columns == ["n_name"]
     assert sorted(r[0] for r in out.collect()) == ["ASIA", "GEORGIA", "INDIA"]
+
+
+def test_in_predicate_subquery_filters_as_semi_join(spark, sf_dir):
+    """Expression.Subquery InPredicate (consumer.rs:1235): a [NOT] IN
+    subquery filter lowers to the semi/anti join DataFusion's own
+    optimizer would decorrelate it to."""
+    from arrow_datafusion_spark.plans.substrait import consume_plan
+    from arrow_datafusion_spark.queries.substrait_suite import _fn, _sel
+
+    ctx = _ctx(spark)
+    for t in ("nation", "region"):
+        ctx.register_table(t, ctx.spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+
+    def plan(negated):
+        haystack = {
+            "project": {
+                "expressions": [_sel(0)],  # r_regionkey
+                "input": {"filter": {
+                    "condition": _fn(0, _sel(1), {"literal": {"string": "ASIA"}}),
+                    "input": {"read": {"namedTable": {"names": ["region"]}}},
+                }},
+            },
+        }
+        in_pred = {"subquery": {"inPredicate": {
+            "needles": [_sel(2)],  # n_regionkey
+            "haystack": haystack,
+        }}}
+        cond = in_pred if not negated else {
+            "scalarFunction": {
+                "functionReference": 1,
+                "arguments": [{"value": in_pred}],
+            }
+        }
+        return {
+            "extensions": [
+                {"extensionFunction": {"functionAnchor": 0, "name": "equal:any_any"}},
+                {"extensionFunction": {"functionAnchor": 1, "name": "not:bool"}},
+            ],
+            "relations": [{
+                "root": {
+                    "names": ["n_name"],
+                    "input": {"project": {
+                        "expressions": [_sel(1)],
+                        "input": {"filter": {
+                            "condition": cond,
+                            "input": {"read": {
+                                "namedTable": {"names": ["nation"]}}},
+                        }},
+                    }},
+                },
+            }],
+        }
+
+    sql = (
+        "SELECT n_name FROM {t}nation WHERE n_regionkey {op} "
+        "(SELECT r_regionkey FROM {t}region WHERE r_name = 'ASIA')"
+    )
+    for negated, op in ((False, "IN"), (True, "NOT IN")):
+        got = sorted(r[0] for r in consume_plan(ctx, plan(negated)).collect())
+        want = sorted(
+            r[0]
+            for r in ctx.spark.sql(
+                sql.format(t="", op=op)
+            ).collect()
+        )
+        assert got == want and got, (negated, got)
