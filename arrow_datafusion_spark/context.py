@@ -2665,6 +2665,13 @@ class SessionContext:
         # defaults): evaluated AT INSERT TIME for columns a column-list
         # INSERT omits
         self._col_defaults: dict[str, dict[str, str]] = {}
+        # CTAS keeps the SELECT's nullability in the reference's catalog
+        # (information_schema.slt: `i Int32 NO` after CREATE TABLE t AS
+        # SELECT 1::int); Spark's managed parquet reads back all-nullable,
+        # so the non-null field set is captured at create time. DISPLAY
+        # ONLY (DESCRIBE / information_schema / SHOW COLUMNS) — INSERT
+        # validation keeps using the DECLARED NOT NULL set (_not_null).
+        self._ctas_non_null: dict[str, frozenset] = {}
 
     # -- registration (ListingTable role, datasource/listing/table.rs:617) ---
 
@@ -2954,6 +2961,7 @@ class SessionContext:
         # CREATE TABLE of the same name inherits stale DEFAULT/NOT NULL
         self._col_defaults.pop(name.lower(), None)
         self._not_null.pop(name.lower(), None)
+        self._ctas_non_null.pop(name.lower(), None)
         # keep session.load_tables' registered-view memo honest
         from arrow_datafusion_spark import session as _session
 
@@ -3164,6 +3172,7 @@ class SessionContext:
             # the per-table DEFAULT/NOT NULL records must not survive
             self._col_defaults.pop(m.group(1).lower(), None)
             self._not_null.pop(m.group(1).lower(), None)
+            self._ctas_non_null.pop(m.group(1).lower(), None)
         if m and any(
             t.name == m.group(1) and t.tableType == "TEMPORARY"
             for t in self.spark.catalog.listTables()
@@ -3277,6 +3286,10 @@ class SessionContext:
                     self._col_defaults[name.lower()] = self._col_defaults.pop(tmp.lower())
                 if tmp.lower() in self._not_null:
                     self._not_null[name.lower()] = self._not_null.pop(tmp.lower())
+                if tmp.lower() in self._ctas_non_null:
+                    self._ctas_non_null[name.lower()] = self._ctas_non_null.pop(
+                        tmp.lower()
+                    )
                 if any(
                     t.name == tmp and t.tableType != "TEMPORARY"
                     for t in self._catalog_tables()
@@ -3347,6 +3360,10 @@ class SessionContext:
             ).saveAsTable(name)
             self._record_defaults(name, "")
             self._record_not_null(name, "")
+            # VALUES rows stay NULLABLE in the reference (Values relation
+            # typing — information_schema.slt DESCRIBE some_table: Int64
+            # YES), unlike SELECT-CTAS; no nullability capture here
+            self._ctas_non_null.pop(name.lower(), None)
             return self.spark.createDataFrame([], "result string")
         if m:
             # CTAS without a column list: run natively, then clear any
@@ -3356,6 +3373,7 @@ class SessionContext:
             res = self._spark_sql(query, args)
             self._record_defaults(m.group(2), "")
             self._record_not_null(m.group(2), "")
+            self._record_ctas_nullability(m.group(2), m.group(3), args)
             return res
         m = re.match(
             r"\s*DESCRIBE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
@@ -3628,11 +3646,35 @@ class SessionContext:
         """DataFusion's DESCRIBE: (column_name, data_type, is_nullable)
         with Arrow Debug type display and YES/NO nullability."""
         rows = [
-            (f.name, _arrow_type_display(f.dataType), "YES" if f.nullable else "NO")
+            (
+                f.name,
+                _arrow_type_display(f.dataType),
+                "YES" if self._is_nullable(name, f) else "NO",
+            )
             for f in self.spark.table(name).schema.fields
         ]
         return self.spark.createDataFrame(
             rows, "column_name string, data_type string, is_nullable string"
+        )
+
+    def _record_ctas_nullability(self, name: str, body: str, args=None) -> None:
+        """Capture the CTAS SELECT's non-nullable output fields for the
+        introspection surfaces (see _ctas_non_null). Lazy schema analysis
+        only — the body is planned, never executed here."""
+        try:
+            schema = self._spark_sql(body.strip().rstrip(";"), args).schema
+        except Exception:
+            self._ctas_non_null.pop(name.lower(), None)
+            return
+        nn = frozenset(f.name.lower() for f in schema.fields if not f.nullable)
+        if nn:
+            self._ctas_non_null[name.lower()] = nn
+        else:
+            self._ctas_non_null.pop(name.lower(), None)
+
+    def _is_nullable(self, tname: str, field) -> bool:
+        return field.nullable and field.name.lower() not in self._ctas_non_null.get(
+            tname.lower(), ()
         )
 
     def _record_not_null(self, name: str, coldefs: str) -> None:
@@ -3941,7 +3983,7 @@ class SessionContext:
                         scale = int(m_dec.group(2))
                 rows.append(
                     (cat, sch, tname, f.name, i, None,
-                     "YES" if f.nullable else "NO", arrow,
+                     "YES" if self._is_nullable(tname, f) else "NO", arrow,
                      None, char_octet, prec, radix, scale, None, None)
                 )
         return rows

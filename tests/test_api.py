@@ -634,3 +634,33 @@ def test_int_division_rewrite_skips_string_literals(spark):
         assert row[1] == 3
     finally:
         spark.catalog.dropTempView("intdiv_lit_t")
+
+
+def test_ctas_keeps_select_nullability_for_introspection(spark):
+    # CTAS keeps the SELECT's non-null fields in the reference's catalog
+    # (information_schema.slt: `i Int32 NO` after CREATE TABLE t AS
+    # SELECT 1::int) — Spark's managed parquet reads back all-nullable, so
+    # the non-null set is captured at create time. VALUES rows stay
+    # nullable (DESCRIBE some_table: Int64 YES).
+    ctx = SessionContext(spark)
+    ctx.sql("DROP TABLE IF EXISTS ctas_nn_t")
+    ctx.sql("CREATE TABLE ctas_nn_t AS SELECT 1 AS i, CAST(NULL AS INT) AS j")
+    try:
+        desc = {r[0]: r[2] for r in ctx.sql("DESCRIBE ctas_nn_t").collect()}
+        assert desc["i"] == "NO" and desc["j"] == "YES", desc
+        cols = {
+            r["column_name"]: r["is_nullable"]
+            for r in ctx.sql(
+                "SELECT column_name, is_nullable FROM information_schema.columns "
+                "WHERE table_name = 'ctas_nn_t'"
+            ).collect()
+        }
+        assert cols == {"i": "NO", "j": "YES"}, cols
+    finally:
+        ctx.sql("DROP TABLE ctas_nn_t")
+    ctx.sql("CREATE TABLE ctas_nn_t AS VALUES (1, 2)")
+    try:
+        desc = {r[0]: r[2] for r in ctx.sql("DESCRIBE ctas_nn_t").collect()}
+        assert set(desc.values()) == {"YES"}, desc  # VALUES stay nullable
+    finally:
+        ctx.sql("DROP TABLE ctas_nn_t")

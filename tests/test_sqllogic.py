@@ -167,17 +167,12 @@ _KNOWN = {
     ("options.slt", 106): "u64-range literal typing: Decimal per §1.2 unsigned policy",
     ("options.slt", 134): "u64-range literal typing: Decimal per §1.2 unsigned policy",
     # information_schema.slt: VERBOSE descriptions are each engine's own
-    # documentation text; CTAS nullability — the reference keeps the
-    # SELECT's non-null literal nullability through CTAS, Spark's managed
-    # parquet storage declares every column nullable on read-back.
+    # documentation text. (CTAS nullability closed r8: the SELECT's
+    # non-null fields are captured at create time, _ctas_non_null.)
     ("information_schema.slt", 245): "SHOW ALL VERBOSE: engine's own doc text",
     ("information_schema.slt", 335): "SHOW VERBOSE: engine's own doc text",
     ("information_schema.slt", 357): "SHOW VERBOSE: engine's own doc text",
     ("information_schema.slt", 364): "SHOW VERBOSE: engine's own doc text",
-    ("information_schema.slt", 457): "CTAS nullability (managed storage nullable)",
-    ("information_schema.slt", 467): "CTAS nullability (managed storage nullable)",
-    ("information_schema.slt", 491): "CTAS nullability (managed storage nullable)",
-    ("information_schema.slt", 496): "CTAS nullability (managed storage nullable)",
     # Rust-harness-created fixtures (t2 with Large*/ns columns; the 'temp'
     # LOCAL TEMPORARY table) that no SQL statement in the file creates
     ("information_schema_columns.slt", 36): "t2 is a Rust-harness fixture (Large*/ns types)",
