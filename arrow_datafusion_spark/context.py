@@ -3673,8 +3673,14 @@ class SessionContext:
             self._ctas_non_null.pop(name.lower(), None)
 
     def _is_nullable(self, tname: str, field) -> bool:
-        return field.nullable and field.name.lower() not in self._ctas_non_null.get(
-            tname.lower(), ()
+        """Spark's managed parquet reads back all-nullable — overlay the
+        session records: CTAS-captured non-null fields and DECLARED NOT
+        NULL columns (both lost by the storage round-trip)."""
+        key = field.name.lower()
+        return (
+            field.nullable
+            and key not in self._ctas_non_null.get(tname.lower(), ())
+            and key not in self._not_null.get(tname.lower(), ())
         )
 
     def _record_not_null(self, name: str, coldefs: str) -> None:

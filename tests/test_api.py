@@ -664,3 +664,10 @@ def test_ctas_keeps_select_nullability_for_introspection(spark):
         assert set(desc.values()) == {"YES"}, desc  # VALUES stay nullable
     finally:
         ctx.sql("DROP TABLE ctas_nn_t")
+    # DECLARED NOT NULL must display NO too (managed storage loses it)
+    ctx.sql("CREATE TABLE ctas_nn_t (a INT NOT NULL, b INT)")
+    try:
+        desc = {r[0]: r[2] for r in ctx.sql("DESCRIBE ctas_nn_t").collect()}
+        assert desc == {"a": "NO", "b": "YES"}, desc
+    finally:
+        ctx.sql("DROP TABLE ctas_nn_t")
