@@ -40,7 +40,10 @@ sys.path.insert(0, _REPO)
 
 _SRC = "/root/testdata/sf0.1"
 _DST = os.path.join(_REPO, ".bench_layout", "docs_10x")
-_OPS = ("dedup_minhash", "dedup_components", "ann_ivf")
+_OPS = (
+    "dedup_minhash", "dedup_components", "ann_ivf",
+    "dedup_ngram", "ann_lsh", "pipeline_decontaminate",
+)
 
 
 def _build_session():
