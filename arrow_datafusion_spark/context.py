@@ -4477,8 +4477,10 @@ class SessionContext:
                         "CREATE EXTERNAL TABLE over an empty location "
                         f"requires a column list: {path!r}"
                     )
-                if not single_file:
-                    _os.makedirs(local, exist_ok=True)
+                # the location is created lazily on first INSERT (the
+                # reference's ListingTable never touches disk at CREATE
+                # time either — a LOCATION like 'file://path/to/table'
+                # must not leave a stray directory behind)
                 self.register_table(name, self.spark.createDataFrame([], schema))
                 self._track_path(
                     name, local, lambda: self._reregister_external(name)
