@@ -888,21 +888,38 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.round(_rev() * 10000).cast("long")).alias("rev_e4"))
-        .coalesce(1)
     )
-    # Global-max scalar subquery via an empty-partition window: revenue0
-    # (one row per supplier — small even at SF100k) is computed ONCE; the
-    # broadcast self-join and driver-scalar forms measured worse (r8 A/B:
-    # 0.59-1.04s — they re-run or re-materialize the agg). The coalesce(1)
-    # collapses the agg output BEFORE the window so the window's
-    # single-partition requirement is already satisfied — one exchange
-    # instead of two (floor 0.24-0.38s -> 0.14-0.18s across r8 runs); the
-    # single partition holds ≤|suppliers| 16-byte rows, which is exactly
-    # what the window exchange would have moved anyway.
+    # Global-max scalar subquery. revenue0 holds one 16-byte row per
+    # supplier, so its size is bounded by |supplier| — a FUNCTION OF SF,
+    # not an absolute constant, so the single-partition collapse is
+    # byte-gated exactly like the broadcast hints (_gated_broadcast;
+    # round-8 verdict, What's wrong #1). On-disk supplier parquet bytes
+    # upper-bound the agg output (compressed supplier rows are wider than
+    # the 16-byte agg rows):
+    #  - under the budget: coalesce(1) BEFORE the empty-partition window
+    #    so its single-partition requirement is already satisfied — one
+    #    exchange instead of two (r8 A/B: floor 0.24-0.38s -> 0.14-0.18s;
+    #    broadcast self-join and driver-scalar forms measured worse,
+    #    0.59-1.04s — they re-run or re-materialize the agg).
+    #  - past it: cache revenue0 and join a broadcast 1-row MAX computed
+    #    by a partial aggregate (map-side max, one row per partition moves)
+    #    — no stage ever holds the full agg output on one task.
+    if _source_bytes(sf_dir, "supplier") <= _BROADCAST_BYTES_CAP:
+        best = (
+            revenue0.coalesce(1)
+            .withColumn("max_rev", F.max("rev_e4").over(Window.partitionBy()))
+            .filter(F.col("rev_e4") == F.col("max_rev"))
+        )
+    else:
+        from pyspark import StorageLevel
+
+        rev = revenue0.persist(StorageLevel.MEMORY_AND_DISK)
+        max_rev = rev.agg(F.max("rev_e4").alias("max_rev"))
+        best = rev.join(
+            F.broadcast(max_rev), F.col("rev_e4") == F.col("max_rev")
+        )
     return (
-        revenue0.withColumn("max_rev", F.max("rev_e4").over(Window.partitionBy()))
-        .filter(F.col("rev_e4") == F.col("max_rev"))
-        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        best.join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
