@@ -79,6 +79,19 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (m) round-9 changes, validate first:
+        #     NEW: Substrait PRODUCER + binary wire — the entry produces a
+        #     plan from the engine's logical-plan interchange tree, encodes
+        #     it to protobuf wire bytes, decodes, consumes, executes
+        #     (plans/substrait_producer.py, plans/substrait_wire.py)
+        "substrait_producer_roundtrip",
+        #     q15's single-partition collapse is now byte-gated with a
+        #     cached partial-max fallback (coalesce path plan-unchanged at
+        #     sf0.01, but re-validate the touched entry)
+        "tpch_q15",
+        #     CREATE EXTERNAL TABLE no longer eagerly mkdirs empty
+        #     locations — re-validate the DDL-routed entry
+        "sql_ddl_insert",
         # (l) round-8 changes, validate first:
         #     q3 gained a SHUFFLE_HASH build on the semi-filtered orders
         #     side; q15 rebuilt (e4-long accumulator + coalesce(1) before

@@ -1,0 +1,644 @@
+"""Substrait binary wire format — schema-driven protobuf codec for the
+``Plan`` message subset this engine produces and consumes.
+
+The reference ships this as serializer.rs (prost encode/decode of
+``substrait.proto.Plan`` bytes) on top of the generated substrait crate.
+This sandbox has no protobuf runtime, so the codec below implements the
+protobuf wire format directly (varint tags, length-delimited submessages
+— the public encoding rules) against an explicit FIELD TABLE transcribed
+from the public substrait proto schema (substrait-io/substrait:
+proto/substrait/plan.proto, algebra.proto, type.proto,
+extensions/extensions.proto — the same v39 pin as the consumer).
+
+Guarantees:
+- ``plan_to_bytes``/``plan_from_bytes`` are exact inverses for every
+  message in the table (property: decode(encode(p)) executes identically
+  to p — asserted by tests/test_substrait_producer.py on the reference's
+  own Isthmus artifacts and on produced plans);
+- unknown JSON fields fail loudly at encode time and unknown wire tags
+  fail loudly at decode time (never silently dropped — a silent drop
+  would corrupt a plan another engine round-trips through us).
+
+JSON mapping notes (protobuf JSON, as the consumer reads it): message
+fields are camelCase; enums travel as their NAME strings; int64 values
+are accepted as ints or strings and decoded as Python ints; bytes fields
+are base64 strings.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import struct
+
+__all__ = ["plan_to_bytes", "plan_from_bytes", "consume_plan_bytes"]
+
+
+def _snake(name: str) -> str:
+    return re.sub(r"([A-Z])", lambda m: "_" + m.group(1).lower(), name)
+
+
+def _camel(name: str) -> str:
+    return re.sub(r"_([a-z])", lambda m: m.group(1).upper(), name)
+
+
+# -- enums (name <-> number, from the public substrait proto) ----------------
+
+_ENUMS: dict[str, dict[str, int]] = {
+    "SortDirection": {
+        "SORT_DIRECTION_UNSPECIFIED": 0,
+        "SORT_DIRECTION_ASC_NULLS_FIRST": 1,
+        "SORT_DIRECTION_ASC_NULLS_LAST": 2,
+        "SORT_DIRECTION_DESC_NULLS_FIRST": 3,
+        "SORT_DIRECTION_DESC_NULLS_LAST": 4,
+        "SORT_DIRECTION_CLUSTERED": 5,
+    },
+    "JoinType": {
+        "JOIN_TYPE_UNSPECIFIED": 0,
+        "JOIN_TYPE_INNER": 1,
+        "JOIN_TYPE_OUTER": 2,
+        "JOIN_TYPE_LEFT": 3,
+        "JOIN_TYPE_RIGHT": 4,
+        "JOIN_TYPE_SEMI": 5,
+        "JOIN_TYPE_ANTI": 6,
+        "JOIN_TYPE_SINGLE": 7,
+    },
+    "SetOp": {
+        "SET_OP_UNSPECIFIED": 0,
+        "SET_OP_MINUS_PRIMARY": 1,
+        "SET_OP_MINUS_MULTISET": 2,
+        "SET_OP_INTERSECTION_PRIMARY": 3,
+        "SET_OP_INTERSECTION_MULTISET": 4,
+        "SET_OP_UNION_DISTINCT": 5,
+        "SET_OP_UNION_ALL": 6,
+    },
+    "AggregationPhase": {
+        "AGGREGATION_PHASE_UNSPECIFIED": 0,
+        "AGGREGATION_PHASE_INITIAL_TO_INTERMEDIATE": 1,
+        "AGGREGATION_PHASE_INTERMEDIATE_TO_INTERMEDIATE": 2,
+        "AGGREGATION_PHASE_INITIAL_TO_RESULT": 3,
+        "AGGREGATION_PHASE_INTERMEDIATE_TO_RESULT": 4,
+    },
+    "AggregationInvocation": {
+        "AGGREGATION_INVOCATION_UNSPECIFIED": 0,
+        "AGGREGATION_INVOCATION_ALL": 1,
+        "AGGREGATION_INVOCATION_DISTINCT": 2,
+    },
+    "Nullability": {
+        "NULLABILITY_UNSPECIFIED": 0,
+        "NULLABILITY_NULLABLE": 1,
+        "NULLABILITY_REQUIRED": 2,
+    },
+    "FailureBehavior": {
+        "FAILURE_BEHAVIOR_UNSPECIFIED": 0,
+        "FAILURE_BEHAVIOR_RETURN_NULL": 1,
+        "FAILURE_BEHAVIOR_THROW_EXCEPTION": 2,
+    },
+    "BoundsType": {
+        "BOUNDS_TYPE_UNSPECIFIED": 0,
+        "BOUNDS_TYPE_ROWS": 1,
+        "BOUNDS_TYPE_RANGE": 2,
+    },
+    "WindowType": {  # physical placeholder; unused by this surface
+        "UNSPECIFIED": 0,
+    },
+}
+_ENUM_BY_NUM = {
+    en: {num: name for name, num in m.items()} for en, m in _ENUMS.items()
+}
+
+# -- field tables -------------------------------------------------------------
+# message -> field_name(snake) -> (number, kind[, "rep"])
+# kind: msg:<Message> | enum:<Enum> | string | bytes | bool
+#       | i32 | i64 | u32 | u64 | f32 | f64
+# Field numbers transcribed from the public substrait v39 proto files.
+
+_S = "string"
+_MSGS: dict[str, dict[str, tuple]] = {
+    "Plan": {
+        "extension_uris": (1, "msg:SimpleExtensionURI", "rep"),
+        "extensions": (2, "msg:SimpleExtensionDeclaration", "rep"),
+        "relations": (3, "msg:PlanRel", "rep"),
+        "expected_type_urls": (5, _S, "rep"),
+        "version": (6, "msg:Version"),
+    },
+    "Version": {
+        "major_number": (1, "u32"),
+        "minor_number": (2, "u32"),
+        "patch_number": (3, "u32"),
+        "git_hash": (4, _S),
+        "producer": (5, _S),
+    },
+    "SimpleExtensionURI": {
+        "extension_uri_anchor": (1, "u32"),
+        "uri": (2, _S),
+    },
+    "SimpleExtensionDeclaration": {
+        "extension_function": (3, "msg:ExtensionFunction"),
+    },
+    "ExtensionFunction": {
+        "extension_uri_reference": (1, "u32"),
+        "function_anchor": (2, "u32"),
+        "name": (3, _S),
+    },
+    "PlanRel": {"rel": (1, "msg:Rel"), "root": (2, "msg:RelRoot")},
+    "RelRoot": {"input": (1, "msg:Rel"), "names": (2, _S, "rep")},
+    "Rel": {
+        "read": (1, "msg:ReadRel"),
+        "filter": (2, "msg:FilterRel"),
+        "fetch": (3, "msg:FetchRel"),
+        "aggregate": (4, "msg:AggregateRel"),
+        "sort": (5, "msg:SortRel"),
+        "join": (6, "msg:JoinRel"),
+        "project": (7, "msg:ProjectRel"),
+        "set": (8, "msg:SetRel"),
+        "cross": (12, "msg:CrossRel"),
+    },
+    "RelCommon": {
+        "direct": (1, "msg:Empty"),
+        "emit": (2, "msg:Emit"),
+    },
+    "Emit": {"output_mapping": (1, "i32", "rep")},
+    "Empty": {},
+    "ReadRel": {
+        "common": (1, "msg:RelCommon"),
+        "base_schema": (2, "msg:NamedStruct"),
+        "filter": (3, "msg:Expression"),
+        "projection": (4, "msg:MaskExpression"),
+        "virtual_table": (5, "msg:VirtualTable"),
+        "local_files": (6, "msg:LocalFiles"),
+        "named_table": (7, "msg:NamedTable"),
+        "best_effort_filter": (11, "msg:Expression"),
+    },
+    "NamedTable": {"names": (1, _S, "rep")},
+    "VirtualTable": {"values": (1, "msg:LiteralStruct", "rep")},
+    "LocalFiles": {"items": (1, "msg:FileOrFiles", "rep")},
+    "FileOrFiles": {
+        "uri_path": (1, _S),
+        "uri_path_glob": (2, _S),
+        "uri_file": (3, _S),
+        "uri_folder": (4, _S),
+        "partition_index": (6, "u64"),
+        "start": (7, "u64"),
+        "length": (8, "u64"),
+        "parquet": (9, "msg:Empty"),
+        "arrow": (10, "msg:Empty"),
+        "orc": (11, "msg:Empty"),
+    },
+    "MaskExpression": {
+        "select": (1, "msg:StructSelect"),
+        "maintain_singular_struct": (2, "bool"),
+    },
+    "StructSelect": {"struct_items": (1, "msg:StructItem", "rep")},
+    "StructItem": {"field": (1, "i32"), "child": (2, "msg:SelectUnsupported")},
+    "FilterRel": {
+        "common": (1, "msg:RelCommon"),
+        "input": (2, "msg:Rel"),
+        "condition": (3, "msg:Expression"),
+    },
+    "FetchRel": {
+        "common": (1, "msg:RelCommon"),
+        "input": (2, "msg:Rel"),
+        "offset": (3, "i64"),
+        "count": (4, "i64"),
+    },
+    "AggregateRel": {
+        "common": (1, "msg:RelCommon"),
+        "input": (2, "msg:Rel"),
+        "groupings": (3, "msg:Grouping", "rep"),
+        "measures": (4, "msg:Measure", "rep"),
+    },
+    "Grouping": {"grouping_expressions": (1, "msg:Expression", "rep")},
+    "Measure": {
+        "measure": (1, "msg:AggregateFunction"),
+        "filter": (2, "msg:Expression"),
+    },
+    "AggregateFunction": {
+        "function_reference": (1, "u32"),
+        "args": (2, "msg:Expression", "rep"),  # deprecated pre-v0.4 form
+        "sorts": (3, "msg:SortField", "rep"),
+        "phase": (4, "enum:AggregationPhase"),
+        "output_type": (5, "msg:Type"),
+        "invocation": (7, "enum:AggregationInvocation"),
+        "arguments": (9, "msg:FunctionArgument", "rep"),
+        "options": (11, "msg:FunctionOption", "rep"),
+    },
+    "SortRel": {
+        "common": (1, "msg:RelCommon"),
+        "input": (2, "msg:Rel"),
+        "sorts": (3, "msg:SortField", "rep"),
+    },
+    "SortField": {
+        "expr": (1, "msg:Expression"),
+        "direction": (2, "enum:SortDirection"),
+        "comparison_function_reference": (3, "u32"),
+    },
+    "JoinRel": {
+        "common": (1, "msg:RelCommon"),
+        "left": (2, "msg:Rel"),
+        "right": (3, "msg:Rel"),
+        "expression": (4, "msg:Expression"),
+        "post_join_filter": (5, "msg:Expression"),
+        "type": (6, "enum:JoinType"),
+    },
+    "CrossRel": {
+        "common": (1, "msg:RelCommon"),
+        "left": (2, "msg:Rel"),
+        "right": (3, "msg:Rel"),
+    },
+    "SetRel": {
+        "common": (1, "msg:RelCommon"),
+        "inputs": (2, "msg:Rel", "rep"),
+        "op": (3, "enum:SetOp"),
+    },
+    "ProjectRel": {
+        "common": (1, "msg:RelCommon"),
+        "input": (2, "msg:Rel"),
+        "expressions": (3, "msg:Expression", "rep"),
+    },
+    "Expression": {
+        "literal": (1, "msg:Literal"),
+        "selection": (2, "msg:FieldReference"),
+        "scalar_function": (3, "msg:ScalarFunction"),
+        "if_then": (4, "msg:IfThen"),
+        "window_function": (5, "msg:WindowFunction"),
+        "switch_expression": (6, "msg:SwitchExpression"),
+        "singular_or_list": (7, "msg:SingularOrList"),
+        "multi_or_list": (8, "msg:MultiOrList"),
+        "cast": (9, "msg:Cast"),
+        "subquery": (10, "msg:Subquery"),
+    },
+    "Literal": {
+        "boolean": (1, "bool"),
+        "i8": (2, "i32"),
+        "i16": (3, "i32"),
+        "i32": (5, "i32"),
+        "i64": (7, "i64"),
+        "fp32": (10, "f32"),
+        "fp64": (11, "f64"),
+        "string": (12, _S),
+        "binary": (13, "bytes"),
+        "timestamp": (14, "i64"),
+        "date": (16, "i32"),
+        "time": (17, "i64"),
+        "interval_year_to_month": (19, "msg:IntervalYearToMonth"),
+        "interval_day_to_second": (20, "msg:IntervalDayToSecond"),
+        "fixed_char": (21, _S),
+        "var_char": (22, "msg:VarChar"),
+        "fixed_binary": (23, "bytes"),
+        "decimal": (24, "msg:LiteralDecimal"),
+        "struct": (25, "msg:LiteralStruct"),
+        "timestamp_tz": (27, "i64"),
+        "uuid": (28, "bytes"),
+        "null": (29, "msg:Type"),
+        "list": (30, "msg:LiteralList"),
+        "empty_list": (31, "msg:TypeList"),
+        "nullable": (50, "bool"),
+        "type_variation_reference": (51, "u32"),
+    },
+    "VarChar": {"value": (1, _S), "length": (2, "u32")},
+    "LiteralDecimal": {
+        "value": (1, "bytes"),
+        "precision": (2, "i32"),
+        "scale": (3, "i32"),
+    },
+    "LiteralStruct": {"fields": (1, "msg:Literal", "rep")},
+    "LiteralList": {"values": (1, "msg:Literal", "rep")},
+    "IntervalYearToMonth": {"years": (1, "i32"), "months": (2, "i32")},
+    "IntervalDayToSecond": {
+        "days": (1, "i32"),
+        "seconds": (2, "i32"),
+        "microseconds": (3, "i32"),
+    },
+    "FieldReference": {
+        "direct_reference": (1, "msg:ReferenceSegment"),
+        "expression": (3, "msg:Expression"),
+        "root_reference": (4, "msg:Empty"),
+        "outer_reference": (5, "msg:OuterReference"),
+    },
+    "OuterReference": {"steps_out": (1, "u32")},
+    "ReferenceSegment": {
+        "map_key": (1, "msg:RefSegMapKey"),
+        "struct_field": (2, "msg:RefSegStructField"),
+        "list_element": (3, "msg:RefSegListElement"),
+    },
+    "RefSegStructField": {
+        "field": (1, "i32"),
+        "child": (2, "msg:ReferenceSegment"),
+    },
+    "RefSegListElement": {
+        "offset": (1, "i32"),
+        "child": (2, "msg:ReferenceSegment"),
+    },
+    "RefSegMapKey": {
+        "map_key": (1, "msg:Literal"),
+        "child": (2, "msg:ReferenceSegment"),
+    },
+    "ScalarFunction": {
+        "function_reference": (1, "u32"),
+        "args": (2, "msg:Expression", "rep"),  # deprecated pre-v0.4 form
+        "output_type": (3, "msg:Type"),
+        "arguments": (4, "msg:FunctionArgument", "rep"),
+        "options": (5, "msg:FunctionOption", "rep"),
+    },
+    "FunctionOption": {
+        "name": (1, _S),
+        "preference": (2, _S, "rep"),
+    },
+    "FunctionArgument": {
+        "enum": (1, _S),
+        "type": (2, "msg:Type"),
+        "value": (3, "msg:Expression"),
+    },
+    "IfThen": {
+        "ifs": (1, "msg:IfClause", "rep"),
+        "else": (2, "msg:Expression"),
+    },
+    "IfClause": {"if": (1, "msg:Expression"), "then": (2, "msg:Expression")},
+    "SingularOrList": {
+        "value": (1, "msg:Expression"),
+        "options": (2, "msg:Expression", "rep"),
+    },
+    "MultiOrList": {
+        "value": (1, "msg:Expression", "rep"),
+        "options": (2, "msg:RecordLiteral", "rep"),
+    },
+    "Cast": {
+        "type": (1, "msg:Type"),
+        "input": (2, "msg:Expression"),
+        "failure_behavior": (3, "enum:FailureBehavior"),
+    },
+    "Subquery": {
+        "scalar": (1, "msg:ScalarSubquery"),
+        "in_predicate": (2, "msg:InPredicate"),
+    },
+    "ScalarSubquery": {"input": (1, "msg:Rel")},
+    "InPredicate": {
+        "needles": (1, "msg:Expression", "rep"),
+        "haystack": (2, "msg:Rel"),
+    },
+    "WindowFunction": {
+        "function_reference": (1, "u32"),
+        "partitions": (2, "msg:Expression", "rep"),
+        "sorts": (3, "msg:SortField", "rep"),
+        "upper_bound": (4, "msg:Bound"),
+        "lower_bound": (5, "msg:Bound"),
+        "phase": (6, "enum:AggregationPhase"),
+        "output_type": (7, "msg:Type"),
+        "args": (8, "msg:Expression", "rep"),  # deprecated pre-v0.4 form
+        "arguments": (9, "msg:FunctionArgument", "rep"),
+        "options": (10, "msg:FunctionOption", "rep"),
+        "invocation": (11, "enum:AggregationInvocation"),
+        "bounds_type": (12, "enum:BoundsType"),
+    },
+    "Bound": {
+        "preceding": (1, "msg:BoundOffset"),
+        "following": (2, "msg:BoundOffset"),
+        "current_row": (3, "msg:Empty"),
+        "unbounded": (4, "msg:Empty"),
+    },
+    "BoundOffset": {"offset": (1, "i64")},
+    "NamedStruct": {
+        "names": (1, _S, "rep"),
+        "struct": (2, "msg:TypeStruct"),
+    },
+    # Type: every simple kind shares the {variation, nullability} body
+    "Type": {
+        "bool": (1, "msg:TypeBody"),
+        "i8": (2, "msg:TypeBody"),
+        "i16": (3, "msg:TypeBody"),
+        "i32": (5, "msg:TypeBody"),
+        "i64": (7, "msg:TypeBody"),
+        "fp32": (10, "msg:TypeBody"),
+        "fp64": (11, "msg:TypeBody"),
+        "string": (12, "msg:TypeBody"),
+        "binary": (13, "msg:TypeBody"),
+        "timestamp": (14, "msg:TypeBody"),
+        "date": (16, "msg:TypeBody"),
+        "time": (17, "msg:TypeBody"),
+        "interval_year": (19, "msg:TypeBody"),
+        "interval_day": (20, "msg:TypeBody"),
+        "fixed_char": (21, "msg:TypeParam"),
+        "varchar": (22, "msg:TypeParam"),
+        "fixed_binary": (23, "msg:TypeParam"),
+        "decimal": (24, "msg:TypeDecimal"),
+        "struct": (25, "msg:TypeStruct"),
+        "list": (27, "msg:TypeList"),
+        "map": (28, "msg:TypeMap"),
+        "timestamp_tz": (29, "msg:TypeBody"),
+        "uuid": (32, "msg:TypeBody"),
+    },
+    "TypeBody": {
+        "type_variation_reference": (1, "u32"),
+        "nullability": (2, "enum:Nullability"),
+    },
+    "TypeParam": {
+        "length": (1, "i32"),
+        "type_variation_reference": (2, "u32"),
+        "nullability": (3, "enum:Nullability"),
+    },
+    "TypeDecimal": {
+        "scale": (1, "i32"),
+        "precision": (2, "i32"),
+        "type_variation_reference": (3, "u32"),
+        "nullability": (4, "enum:Nullability"),
+    },
+    "TypeStruct": {
+        "types": (1, "msg:Type", "rep"),
+        "type_variation_reference": (2, "u32"),
+        "nullability": (3, "enum:Nullability"),
+    },
+    "TypeList": {
+        "type": (1, "msg:Type"),
+        "type_variation_reference": (2, "u32"),
+        "nullability": (3, "enum:Nullability"),
+    },
+    "TypeMap": {
+        "key": (1, "msg:Type"),
+        "value": (2, "msg:Type"),
+        "type_variation_reference": (3, "u32"),
+        "nullability": (4, "enum:Nullability"),
+    },
+}
+
+# decode index: message -> field number -> (name, kind, repeated)
+_BY_NUM: dict[str, dict[int, tuple[str, str, bool]]] = {
+    m: {
+        spec[0]: (fname, spec[1], len(spec) > 2)
+        for fname, spec in fields.items()
+    }
+    for m, fields in _MSGS.items()
+}
+
+_VARINT_KINDS = {"bool", "i32", "i64", "u32", "u64"}
+
+
+# -- wire primitives ----------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    if v < 0:  # two's-complement 64-bit, per proto int32/int64 rules
+        v += 1 << 64
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# -- encode -------------------------------------------------------------------
+
+
+def _enc_field(num: int, kind: str, v) -> bytes:
+    if kind in _VARINT_KINDS:
+        if isinstance(v, str):
+            v = int(v)
+        return _varint(num << 3) + _varint(int(v))
+    if kind == "f64":
+        return _varint(num << 3 | 1) + struct.pack("<d", float(v))
+    if kind == "f32":
+        return _varint(num << 3 | 5) + struct.pack("<f", float(v))
+    if kind == "string":
+        b = str(v).encode()
+        return _varint(num << 3 | 2) + _varint(len(b)) + b
+    if kind == "bytes":
+        b = base64.b64decode(v) if isinstance(v, str) else bytes(v)
+        return _varint(num << 3 | 2) + _varint(len(b)) + b
+    if kind.startswith("enum:"):
+        en = kind[5:]
+        n = v if isinstance(v, int) else _ENUMS[en][str(v)]
+        return _varint(num << 3) + _varint(n)
+    if kind.startswith("msg:"):
+        b = _enc_msg(kind[4:], v)
+        return _varint(num << 3 | 2) + _varint(len(b)) + b
+    raise NotImplementedError(f"wire kind {kind}")
+
+
+def _enc_msg(msg: str, d: dict) -> bytes:
+    fields = _MSGS.get(msg)
+    if fields is None:
+        raise NotImplementedError(f"substrait wire: message {msg} not in table")
+    out = bytearray()
+    for key, v in (d or {}).items():
+        fname = _snake(key)
+        spec = fields.get(fname)
+        if spec is None:
+            raise NotImplementedError(
+                f"substrait wire: field {msg}.{fname} not in table"
+            )
+        num, kind = spec[0], spec[1]
+        rep = len(spec) > 2
+        if rep:
+            for item in v:
+                out += _enc_field(num, kind, item)
+        else:
+            out += _enc_field(num, kind, v)
+    return bytes(out)
+
+
+# -- decode -------------------------------------------------------------------
+
+
+def _dec_msg(msg: str, buf: bytes) -> dict:
+    fields = _BY_NUM.get(msg)
+    if fields is None:
+        raise NotImplementedError(f"substrait wire: message {msg} not in table")
+    out: dict = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        num, wt = tag >> 3, tag & 7
+        spec = fields.get(num)
+        if spec is None:
+            raise NotImplementedError(
+                f"substrait wire: unknown field {num} in {msg}"
+            )
+        fname, kind, rep = spec
+        if wt == 0:
+            raw, pos = _read_varint(buf, pos)
+            if kind == "bool":
+                v = bool(raw)
+            elif kind in ("i32", "i64"):
+                v = _signed64(raw)
+            elif kind in ("u32", "u64"):
+                v = raw
+            elif kind.startswith("enum:"):
+                v = _ENUM_BY_NUM[kind[5:]].get(raw, raw)
+            else:
+                raise NotImplementedError(f"varint for {msg}.{fname}:{kind}")
+        elif wt == 1:
+            (v,) = struct.unpack_from("<d", buf, pos)
+            pos += 8
+        elif wt == 5:
+            (v,) = struct.unpack_from("<f", buf, pos)
+            pos += 4
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            chunk = buf[pos : pos + ln]
+            pos += ln
+            if kind == "string":
+                v = chunk.decode()
+            elif kind == "bytes":
+                v = base64.b64encode(chunk).decode()
+            elif kind.startswith("msg:"):
+                v = _dec_msg(kind[4:], chunk)
+            elif kind in _VARINT_KINDS:  # packed repeated scalars
+                items, p2 = [], 0
+                while p2 < len(chunk):
+                    raw, p2 = _read_varint(chunk, p2)
+                    items.append(_signed64(raw) if kind.startswith("i") else raw)
+                if rep:
+                    out.setdefault(_camel(fname), []).extend(items)
+                    continue
+                v = items[-1]
+            else:
+                raise NotImplementedError(f"len-delim for {msg}.{fname}:{kind}")
+        else:
+            raise NotImplementedError(f"wire type {wt} in {msg}")
+        jkey = _camel(fname)
+        if rep:
+            out.setdefault(jkey, []).append(v)
+        else:
+            out[jkey] = v
+    return out
+
+
+# -- public API (serializer.rs analog) ----------------------------------------
+
+
+def plan_to_bytes(plan: dict) -> bytes:
+    """Substrait ``Plan`` protobuf-JSON dict -> binary wire bytes
+    (serializer.rs ``serialize``' encode half, prost ``Message::encode``)."""
+    return _enc_msg("Plan", plan)
+
+
+def plan_from_bytes(data: bytes) -> dict:
+    """Binary wire bytes -> protobuf-JSON dict consumable by
+    plans/substrait.py (serializer.rs ``deserialize_bytes``)."""
+    return _dec_msg("Plan", data)
+
+
+def consume_plan_bytes(ctx, data: bytes):
+    """Execute a binary Substrait plan (deserialize + consume)."""
+    from arrow_datafusion_spark.plans.substrait import consume_plan
+
+    return consume_plan(ctx, plan_from_bytes(data))

@@ -180,11 +180,86 @@ LIMIT 5
 """
 
 
+# --------------------------------------------------------------------------
+# Round 9: producer -> BINARY WIRE -> consumer round trip as a driver
+# entry. The plan below travels through BOTH new directions — it is
+# produced from the engine's logical-plan interchange tree
+# (plans/substrait_producer.py, producer.rs analog), encoded to protobuf
+# wire bytes and decoded back (plans/substrait_wire.py, serializer.rs
+# analog), then consumed and executed — and the result is oracled against
+# DuckDB running the equivalent SQL.
+
+_ROUNDTRIP_PLAN = {
+    "op": "sort",
+    "by": ["revenue DESC", "c_mktsegment"],
+    "input": {
+        "op": "projection",
+        "exprs": [
+            "c_mktsegment",
+            "CAST(ROUND(revenue_raw, 2) AS DOUBLE) AS revenue",
+            "n AS order_count",
+            "big_orders",
+        ],
+        "input": {
+            "op": "aggregate",
+            "group_by": ["c_mktsegment"],
+            "aggs": [
+                "sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue_raw",
+                "count(1) AS n",
+                "sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS big_orders",
+            ],
+            "input": {
+                "op": "join",
+                "how": "inner",
+                "on": "o_custkey = c_custkey",
+                "left": {
+                    "op": "filter",
+                    "predicate": "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+                    "input": {"op": "scan", "table": "orders"},
+                },
+                "right": {"op": "scan", "table": "customer"},
+            },
+        },
+    },
+}
+
+
+def substrait_producer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+    from arrow_datafusion_spark.plans.substrait_wire import (
+        consume_plan_bytes,
+        plan_to_bytes,
+    )
+    from arrow_datafusion_spark.session import load_tables
+
+    ctx = SessionContext(spark)
+    tabs = load_tables(spark, sf_dir, names=("orders", "customer"))
+    for name, df in tabs.items():
+        ctx.register_table(name, df)
+    wire = plan_to_bytes(produce_plan(ctx, _ROUNDTRIP_PLAN))
+    return consume_plan_bytes(ctx, wire)
+
+
+SUBSTRAIT_PRODUCER_ROUNDTRIP_SQL = """
+SELECT c_mktsegment,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS order_count,
+       CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_mktsegment
+ORDER BY revenue DESC, c_mktsegment
+"""
+
+
 QUERIES = {
     "substrait_tpch_q1": substrait_tpch_q1,
     "substrait_named_join": substrait_named_join,
+    "substrait_producer_roundtrip": substrait_producer_roundtrip,
 }
 ORACLE = {
     "substrait_tpch_q1": SUBSTRAIT_TPCH_Q1_SQL,
     "substrait_named_join": SUBSTRAIT_NAMED_JOIN_SQL,
+    "substrait_producer_roundtrip": SUBSTRAIT_PRODUCER_ROUNDTRIP_SQL,
 }

@@ -1,0 +1,293 @@
+"""Substrait PRODUCER + binary wire tests.
+
+Mirrors the reference's producer round-trip suite
+(datafusion/substrait/tests/cases/roundtrip_logical_plan.rs: each plan is
+produced to Substrait, consumed back, and the round-tripped plan must
+execute identically) and serializer.rs (binary encode/decode). Two
+directions beyond the r8 consumer:
+
+- ``produce_plan`` lowers the engine's logical-plan interchange tree
+  (plans/serde.py) to a substrait Plan; every produced plan is executed
+  three ways — direct, produced->consumed (JSON), and
+  produced->encoded->decoded->consumed (binary wire) — and all three must
+  return identical rows AND column names.
+- the binary codec is additionally validated against the reference's own
+  third-party Isthmus artifacts: encode(decode) must preserve execution
+  behavior on plans THIS repo's producer did not create.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arrow_datafusion_spark.plans.serde import run_json_plan  # noqa: E402
+from arrow_datafusion_spark.plans.substrait import consume_plan  # noqa: E402
+from arrow_datafusion_spark.plans.substrait_producer import produce_plan  # noqa: E402
+from arrow_datafusion_spark.plans.substrait_wire import (  # noqa: E402
+    consume_plan_bytes,
+    plan_from_bytes,
+    plan_to_bytes,
+)
+
+_TESTDATA = "/root/reference/datafusion/substrait/tests/testdata"
+
+
+def _ctx(spark, sf_dir, *tables):
+    """Hermetic sub-session context with sf fixture tables registered."""
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark.newSession())
+    for t in tables:
+        ctx.register_table(
+            t, ctx.spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        )
+    return ctx
+
+
+def _assert_roundtrip(ctx, plan: dict) -> None:
+    direct = run_json_plan(ctx, plan)
+    want_cols, want = direct.columns, sorted(map(tuple, direct.collect()))
+    sp = produce_plan(ctx, plan)
+    via_json = consume_plan(ctx, sp)
+    assert via_json.columns == want_cols
+    assert sorted(map(tuple, via_json.collect())) == want
+    via_wire = consume_plan_bytes(ctx, plan_to_bytes(sp))
+    assert via_wire.columns == want_cols
+    assert sorted(map(tuple, via_wire.collect())) == want
+
+
+# -- producer round-trips (roundtrip_logical_plan.rs analog) -----------------
+
+
+def test_roundtrip_filter_project_scalar_exprs(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "lineitem")
+    _assert_roundtrip(ctx, {
+        "op": "projection",
+        "exprs": [
+            "l_orderkey",
+            "l_extendedprice * (1 - l_discount) AS rev",
+            "CAST(l_quantity AS INT) AS qty",
+            "CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS band",
+            "l_linenumber IN (1, 2) AS first_two",
+            "upper(l_returnflag) AS rf",
+        ],
+        "input": {
+            "op": "filter",
+            "predicate": (
+                "l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+                "AND NOT l_quantity IS NULL AND -l_discount <= 0.0"
+            ),
+            "input": {"op": "scan", "table": "lineitem"},
+        },
+    })
+
+
+def test_roundtrip_grouped_aggregate(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "lineitem")
+    _assert_roundtrip(ctx, {
+        "op": "sort",
+        "by": ["sum_rev DESC", "l_returnflag"],
+        "input": {
+            "op": "aggregate",
+            "group_by": ["l_returnflag", "l_linestatus"],
+            "aggs": [
+                "sum(l_extendedprice * (1 - l_discount)) AS sum_rev",
+                "count(1) AS n",
+                "avg(l_quantity) AS avg_qty",
+                "min(l_shipdate) AS first_ship",
+                "max(l_shipdate) AS last_ship",
+                "count(DISTINCT l_suppkey) AS suppliers",
+            ],
+            "input": {"op": "scan", "table": "lineitem"},
+        },
+    })
+
+
+def test_roundtrip_global_aggregate(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "orders")
+    _assert_roundtrip(ctx, {
+        "op": "aggregate",
+        "group_by": [],
+        "aggs": ["count(1) AS n", "sum(o_totalprice) AS total"],
+        "input": {"op": "scan", "table": "orders"},
+    })
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi"])
+def test_roundtrip_join_types(spark, sf_dir, how):
+    ctx = _ctx(spark, sf_dir, "nation", "region")
+    _assert_roundtrip(ctx, {
+        "op": "join",
+        "how": how,
+        "on": "n_regionkey = r_regionkey",
+        "left": {"op": "scan", "table": "nation"},
+        "right": {
+            "op": "filter",
+            "predicate": "r_name <> 'ASIA'",
+            "input": {"op": "scan", "table": "region"},
+        },
+    })
+
+
+def test_roundtrip_using_join(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "nation")
+    plan = {
+        "op": "join",
+        "how": "inner",
+        "using": ["n_regionkey"],
+        "left": {"op": "scan", "table": "nation"},
+        "right": {"op": "scan", "table": "nation"},
+    }
+    # serde's using-join COALESCES the key column; substrait JoinRel keeps
+    # both sides — compare row multiset on the produced forms only
+    sp = produce_plan(ctx, plan)
+    a = sorted(map(tuple, consume_plan(ctx, sp).collect()))
+    b = sorted(map(tuple, consume_plan_bytes(ctx, plan_to_bytes(sp)).collect()))
+    assert a == b and len(a) == 125  # 25 nations, 5 per region
+
+
+def test_roundtrip_sort_limit_offset(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "customer")
+    _assert_roundtrip(ctx, {
+        "op": "limit",
+        "n": 7,
+        "offset": 3,
+        "input": {
+            "op": "sort",
+            "by": ["c_acctbal DESC", "c_custkey"],
+            "input": {"op": "scan", "table": "customer"},
+        },
+    })
+
+
+def test_roundtrip_union_all_and_values(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "region")
+    _assert_roundtrip(ctx, {
+        "op": "union",
+        "inputs": [
+            {
+                "op": "projection",
+                "exprs": ["r_regionkey AS k", "r_name AS name"],
+                "input": {"op": "scan", "table": "region"},
+            },
+            {
+                "op": "values",
+                "rows": [[99, "ATLANTIS"], [100, "LEMURIA"]],
+                "schema": "k bigint, name string",
+            },
+        ],
+    })
+
+
+def test_producer_rejects_unsupported_constructs(spark, sf_dir):
+    ctx = _ctx(spark, sf_dir, "region")
+    scan = {"op": "scan", "table": "region"}
+    with pytest.raises(NotImplementedError, match="UNION DISTINCT"):
+        produce_plan(ctx, {"op": "union", "distinct": True, "inputs": [scan, scan]})
+    with pytest.raises(NotImplementedError, match="bare aggregate"):
+        produce_plan(ctx, {
+            "op": "aggregate", "group_by": [],
+            "aggs": ["sum(r_regionkey) + 1 AS s"], "input": scan,
+        })
+    # a function Spark resolves but the engine registry does not carry
+    # must fail at PRODUCE time, not surface as an anchor no consumer
+    # can resolve
+    with pytest.raises(NotImplementedError, match="unregistered function"):
+        produce_plan(ctx, {
+            "op": "projection", "exprs": ["xxhash64(r_name) AS x"],
+            "input": scan,
+        })
+
+
+# -- binary wire (serializer.rs analog) ---------------------------------------
+
+
+def test_wire_rejects_unknown_fields_loudly():
+    with pytest.raises(NotImplementedError, match="not in table"):
+        plan_to_bytes({"relations": [], "futureField": 1})
+    # unknown tag on decode: field 19 is not a Plan member
+    bogus = bytes([19 << 3, 1])
+    with pytest.raises(NotImplementedError, match="unknown field"):
+        plan_from_bytes(bogus)
+
+
+@pytest.mark.skipif(not os.path.isdir(_TESTDATA), reason="reference artifacts absent")
+def test_wire_preserves_isthmus_tpch_q1_execution(spark):
+    """encode(decode) on the reference's third-party Isthmus artifact must
+    execute identically to the original JSON — the binary wire carries
+    plans this repo's producer did not create."""
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.queries.substrait_suite import (
+        _Q1_PLAN,
+        _ensure_fixture,
+    )
+
+    ctx = SessionContext(spark.newSession())
+    ctx.register_table(
+        "FILENAME_PLACEHOLDER_0", ctx.spark.read.parquet(_ensure_fixture())
+    )
+    plan = json.load(open(_Q1_PLAN))
+    want = sorted(map(tuple, consume_plan(ctx, plan).collect()))
+    got = sorted(
+        map(tuple, consume_plan_bytes(ctx, plan_to_bytes(plan)).collect())
+    )
+    assert got == want and len(got) == 4
+
+
+@pytest.mark.skipif(not os.path.isdir(_TESTDATA), reason="reference artifacts absent")
+@pytest.mark.parametrize("name,cols", [
+    ("test_plans/select_not_bool.substrait.json", ["EXPR$0"]),
+    ("test_plans/select_window.substrait.json", ["LEAD_EXPR"]),
+    ("test_plans/non_nullable_lists.substrait.json", ["col"]),
+])
+def test_wire_preserves_test_plan_execution(spark, name, cols):
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark.newSession())
+    if "window" in name:
+        rows = [(1, 1, 1), (2, 1, 2), (3, 1, 3), (10, 2, 1), (20, 2, 2)]
+        ctx.register_table(
+            "DATA", ctx.spark.createDataFrame(rows, "d int, part int, ord int")
+        )
+    else:
+        ctx.register_table(
+            "DATA",
+            ctx.spark.createDataFrame([(True,), (False,), (None,)], "d boolean"),
+        )
+    plan = json.load(open(f"{_TESTDATA}/{name}"))
+
+    def key(r):
+        t = tuple(None if v is None else v for v in r)
+        return tuple((v is None, [] if v is None else v if not isinstance(v, list) else list(v)) for v in t)
+
+    a = consume_plan(ctx, plan)
+    b = consume_plan_bytes(ctx, plan_to_bytes(plan))
+    assert a.columns == b.columns == cols
+    ra = [tuple(x if not isinstance(x, list) else tuple(x) for x in r) for r in a.collect()]
+    rb = [tuple(x if not isinstance(x, list) else tuple(x) for x in r) for r in b.collect()]
+    assert sorted(ra, key=repr) == sorted(rb, key=repr)
+
+
+@pytest.mark.skipif(not os.path.isdir(_TESTDATA), reason="reference artifacts absent")
+def test_wire_preserves_contains_plan_execution(spark):
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark.newSession())
+    rows = [(1, "ASIA", 1, 1, 1, 1), (2, "INDIA", 2, 2, 2, 2),
+            (3, "GEORGIA", 3, 3, 3, 3), (4, "PERU", 4, 4, 4, 4)]
+    ctx.register_table(
+        "nation",
+        ctx.spark.createDataFrame(rows, "a int, b string, c int, d int, e int, f int"),
+    )
+    plan = json.load(open(f"{_TESTDATA}/contains_plan.substrait.json"))
+    want = sorted(r[0] for r in consume_plan(ctx, plan).collect())
+    got = sorted(
+        r[0] for r in consume_plan_bytes(ctx, plan_to_bytes(plan)).collect()
+    )
+    assert got == want == ["ASIA", "GEORGIA", "INDIA"]
