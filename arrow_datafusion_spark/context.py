@@ -1271,6 +1271,18 @@ def _rewrite_sql(q: str) -> str:
     q = re.sub(r"~\*", " RLIKE \x01(?i)\x01 || ", q)
     q = re.sub(r"(?<![<>!=\^])~(?!=)", " RLIKE ", q)
 
+    # operator precedence: the reference parses `^` (XOR) TIGHTER than
+    # `>>`/`<<` (sqlparser-rs PG-style: additive > xor > shift), Spark the
+    # reverse — re-group simple-token xor chains adjacent to a shift so
+    # `d ^ 7 >> 4` evaluates as `(d ^ 7) >> 4` (scalar.slt:1059)
+    _tok = r"[\w.\x00]+"
+    q = re.sub(
+        rf"((?:{_tok})(?:\s*\^\s*{_tok})+)\s*(>>|<<)", r"(\1) \2", q
+    )
+    q = re.sub(
+        rf"(>>|<<)\s*((?:{_tok})(?:\s*\^\s*{_tok})+)(?!\s*\^)", r"\1 (\2)", q
+    )
+
     # (these two loops run BEFORE any internal lowering below —
     # arrow_typeof/array_to_string emit Java-style regexp_replace text
     # that must stay on Spark's kernel, not get re-routed)

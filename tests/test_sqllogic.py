@@ -153,7 +153,6 @@ _KNOWN = {
     # each engine's float order. Integer COLUMN division for joined /
     # multi-table shapes stays fractional (the single-table rewrite covers
     # the corpus — §1.2 residual).
-    ("scalar.slt", 1059): "^ operator precedence (additive > xor > shift)",
     # coalesce(i64, u64): the reference types it Int64 with an in-file
     # 'TODO: casting to decimal or double or even i128 if supported' —
     # the §1.2 unsigned policy widens UInt64 to Decimal(20,0) (lossless,
