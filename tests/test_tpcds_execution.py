@@ -28,7 +28,12 @@ import pytest
 _QUERY_DIR = "/root/reference/datafusion/core/tests/tpc-ds"
 
 # ORACLE-side dialect substitutions (DuckDB can't bind/parse these;
-# Spark runs the reference's text verbatim):
+# Spark runs the reference's text verbatim — re-verified round 9 by
+# feeding DuckDB 1.x the untouched statements: q58 "Binder Error:
+# Ambiguous reference to column name 'item_id'", q72 same for
+# 'd_week_seq', q77 "Parser Error: syntax error at or near 'returns'".
+# The ENGINE needs no substitution on any of the three; these rows are
+# oracle-dialect artifacts, not ctx.sql lowering gaps):
 # - 58: `ORDER BY item_id` over three subqueries exposing equal-valued
 #   item_id columns — ambiguous to DuckDB's binder (Spark + DataFusion
 #   resolve equal-name sort keys after equi-join); qualify one.
