@@ -92,6 +92,10 @@ def _registries() -> tuple[dict, dict]:
         #     CREATE EXTERNAL TABLE no longer eagerly mkdirs empty
         #     locations — re-validate the DDL-routed entry
         "sql_ddl_insert",
+        #     dedup_components' blocking key widened to the 64-bit simhash
+        #     string (16-bit space saturates at corpus scale — 100× probe);
+        #     oracle SQL recomputes the same 64-bit key
+        "dedup_components",
         # (l) round-8 changes, validate first:
         #     q3 gained a SHUFFLE_HASH build on the semi-filtered orders
         #     side; q15 rebuilt (e4-long accumulator + coalesce(1) before

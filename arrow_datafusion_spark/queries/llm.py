@@ -172,7 +172,13 @@ ORDER BY id_a, id_b
 # --------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (integer-exact) + per-signature collision
-    count via a window — near-dup clusters share a signature."""
+    count via a window — near-dup clusters share a signature.
+
+    Scale note: 16 bits is this entry's declared signature width (compact
+    Hamming sketch). As a BLOCKING key it saturates at corpus scale —
+    dedup_components therefore groups on the 64-bit string form
+    (operators/dedup.py simhash64_arrow; 100× probe evidence in
+    BENCH_SCALE.md)."""
     d = _docs(spark, sf_dir)
     sig = D.simhash16(T.ws_tokens(F.col("text")))
     from pyspark.sql import Window

@@ -23,6 +23,10 @@ from arrow_datafusion_spark.operators import dedup as D
 from arrow_datafusion_spark.operators import text as T
 from arrow_datafusion_spark.session import load_tables
 
+# set by dedup_components after each run — read by tools/scale_probe.py
+# (the round count is the operator's O(log diameter) cost model)
+LAST_CC_ROUNDS: int | None = None
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, names=("documents",))["documents"]
@@ -172,10 +176,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale. The SimHash key uses the Arrow-batched kernel
     (simhash16_arrow — value-identical to the HOF form, measured ~6×)."""
     d = _docs(spark, sf_dir)
+    # k2 is the 64-BIT simhash: the 16-bit form has 65,536 buckets, which
+    # saturate at corpus scale and chain unrelated docs into giant
+    # accidental components (100× probe: convergence rounds 5 -> 19 on the
+    # 16-bit key; 64-bit keeps collisions negligible past 2^32 docs)
     keyed = d.select(
         "doc_id",
         F.md5(F.substring_index(F.col("text"), " ", 8)).alias("k1"),
-        D.simhash16_arrow(T.ws_tokens(F.col("text"))).cast("string").alias("k2"),
+        D.simhash64_arrow(T.ws_tokens(F.col("text"))).alias("k2"),
     )
 
     from pyspark.sql import Observation
@@ -213,6 +221,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     else:
         raise RuntimeError("connected components did not converge in 50 rounds")
+    # observability for the scale probe: rounds ARE this operator's cost
+    # model (O(log diameter)), so the probe records them per corpus scale
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = i + 1
     return lbl.select(
         F.col("doc_id").alias("node"), F.col("label").alias("component")
     ).orderBy("node")
@@ -222,11 +234,11 @@ DEDUP_COMPONENTS_SQL = """
 WITH keyed AS (
   SELECT doc_id,
          md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS k1,
-         CAST(list_sum([CASE WHEN list_sum(list_transform(
+         array_to_string([CASE WHEN list_sum(list_transform(
                  list_distinct(string_split(text, ' ')),
-                 x -> ((strpos('0123456789abcdef', substring(md5(x), j+1, 1)) - 1) % 2) * 2 - 1
-               )) > 0 THEN 1 << j ELSE 0 END
-               for j in range(0, 16)]) AS VARCHAR) AS k2
+                 x -> (((strpos('0123456789abcdef', substring(md5(x), (j % 32) + 1, 1)) - 1) >> (j // 32)) & 1) * 2 - 1
+               )) > 0 THEN '1' ELSE '0' END
+               for j in range(0, 64)], '') AS k2
   FROM documents
 ), s1 AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY k1) AS root FROM keyed

@@ -59,21 +59,36 @@ def _build_session():
     return spark
 
 
-def _gen(spark) -> None:
+def _perm(c: int) -> str:
+    """Copy-c substitution alphabet. Copies 0-25 are rotations (identical
+    to the original 10× probe); past 26 copies the family switches to
+    AFFINE maps i -> (a*i + b) mod 26 with a coprime to 26 — two distinct
+    affine maps agree on at most ONE letter, so any two copies' shingle
+    spaces stay essentially disjoint (a plain rotation family would
+    repeat at copy 26 and create verbatim cross-copy duplicate clusters,
+    breaking the per-copy duplicate-statistics invariant)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    a, b = coprime[c // 26], c % 26
+    return "".join(alpha[(a * i + b) % 26] for i in range(26))
+
+
+def _gen(spark, factor: int, dst: str) -> None:
     from pyspark.sql import functions as F
 
-    shutil.rmtree(_DST, ignore_errors=True)
-    os.makedirs(_DST, exist_ok=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
     alpha = "abcdefghijklmnopqrstuvwxyz"
     docs = spark.read.parquet(f"{_SRC}/documents.parquet")
-    copies = F.explode(F.array(*[F.lit(c) for c in range(10)])).alias("copy")
+    copies = F.explode(
+        F.array(*[F.lit(c) for c in range(factor)])
+    ).alias("copy")
     d = docs.select("*", copies)
     # per-copy substitution cipher — identity for copy 0
     text = F.col("text")
-    for c in range(1, 10):
-        rot = alpha[c:] + alpha[:c]
+    for c in range(1, factor):
         text = F.when(
-            F.col("copy") == c, F.translate(F.col("text"), alpha, rot)
+            F.col("copy") == c, F.translate(F.col("text"), alpha, _perm(c))
         ).otherwise(text)
     d.select(
         (F.col("doc_id") + F.col("copy") * F.lit(100000)).alias("doc_id"),
@@ -81,23 +96,39 @@ def _gen(spark) -> None:
         "lang",
         "source",
         F.length("text").alias("n_chars"),
-    ).repartition(16).write.mode("overwrite").parquet(f"{_DST}/documents.parquet")
+    ).repartition(max(16, factor)).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
 
     emb = spark.read.parquet(f"{_SRC}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
     e = emb.select("*", copies)
     n = "size(embedding)"
     vec = F.col("embedding")
-    for c in range(1, 10):
-        vec = F.when(
-            F.col("copy") == c,
-            F.expr(f"concat(slice(embedding, {c + 1}, {n} - {c}), "
-                   f"slice(embedding, 1, {c}))"),
-        ).otherwise(vec)
+    for c in range(1, factor):
+        r = c % dim
+        expr = (
+            f"concat(slice(embedding, {r + 1}, {n} - {r}), "
+            f"slice(embedding, 1, {r}))"
+            if r
+            else "embedding"
+        )
+        if (c // dim) % 2:
+            # rotations repeat past the dimension — compose with an
+            # odd-coordinate sign flip (orthogonal, distance-preserving
+            # within the copy; near-orthogonal across the flip boundary)
+            expr = (
+                f"transform({expr}, (__x, __i) -> "
+                "CASE WHEN __i % 2 = 1 THEN -__x ELSE __x END)"
+            )
+        vec = F.when(F.col("copy") == c, F.expr(expr)).otherwise(vec)
     e.select(
         (F.col("vec_id") + F.col("copy") * F.lit(100000)).alias("vec_id"),
         vec.alias("embedding"),
         "label",
-    ).repartition(8).write.mode("overwrite").parquet(f"{_DST}/embeddings.parquet")
+    ).repartition(max(8, factor // 2)).write.mode("overwrite").parquet(
+        f"{dst}/embeddings.parquet"
+    )
 
 
 def _shuffle_totals(port: int) -> tuple[int, int]:
@@ -122,22 +153,33 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--regen", action="store_true")
     ap.add_argument("--n", type=int, default=2)
+    ap.add_argument(
+        "--factor",
+        type=int,
+        default=10,
+        help="corpus scale multiple (10 = the r8 probe; 100 adds a decade)",
+    )
+    ap.add_argument(
+        "--ops", default=None, help="comma list; default = the r8 six"
+    )
     args = ap.parse_args()
+    dst = os.path.join(_REPO, ".bench_layout", f"docs_{args.factor}x")
+    ops = args.ops.split(",") if args.ops else list(_OPS)
 
     spark = _build_session()
-    if args.regen or not os.path.isdir(f"{_DST}/documents.parquet"):
+    if args.regen or not os.path.isdir(f"{dst}/documents.parquet"):
         t0 = time.perf_counter()
-        _gen(spark)
+        _gen(spark, args.factor, dst)
         print(f"# corpus generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     import __spark_entry__ as entry
 
     queries = entry.queries()
     out: dict[str, dict] = {}
-    for op in _OPS:
+    for op in ops:
         fn = queries[op]
         rec: dict[str, dict] = {}
-        for label, sf_dir in (("sf0.1", _SRC), ("10x", _DST)):
+        for label, sf_dir in (("sf0.1", _SRC), (f"{args.factor}x", dst)):
             fn(spark, sf_dir).count()  # warm: plan compile + UDF deploy
             best, sh = None, (0, 0)
             for _ in range(args.n):
@@ -154,14 +196,30 @@ def main() -> None:
                 "shuffle_read_mb": round(sh[0] / 1e6, 2),
                 "shuffle_write_mb": round(sh[1] / 1e6, 2),
             }
+            if op == "dedup_components":
+                from arrow_datafusion_spark.queries import pipeline
+
+                rec[label]["cc_rounds"] = pipeline.LAST_CC_ROUNDS
         import math
 
-        ratio = rec["10x"]["wall_s"] / max(rec["sf0.1"]["wall_s"], 1e-9)
-        rec["wall_ratio_10x"] = round(ratio, 2)
-        rec["scaling_exponent"] = round(math.log10(max(ratio, 1e-9)), 2)
+        big = f"{args.factor}x"
+        ratio = rec[big]["wall_s"] / max(rec["sf0.1"]["wall_s"], 1e-9)
+        rec[f"wall_ratio_{big}"] = round(ratio, 2)
+        # exponent normalized to the probe decade: log_factor(ratio)
+        rec["scaling_exponent"] = round(
+            math.log(max(ratio, 1e-9)) / math.log(args.factor), 2
+        )
         out[op] = rec
         print(f"# {op}: {json.dumps(rec)}", file=sys.stderr)
-    print(json.dumps({"metric": "pipeline_scale_probe", "ops": out}))
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_scale_probe",
+                "factor": args.factor,
+                "ops": out,
+            }
+        )
+    )
     spark.stop()
 
 
