@@ -4523,10 +4523,85 @@ class SessionContext:
     def _spark_sql(self, query: str, args=None) -> DataFrame:
         """Rewritten query → spark.sql, carrying bound parameters if any."""
         query = self._rewrite_median(query)
+        query = self._rewrite_decimal_avg(query)
         query = self._rewrite_int_division(query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
+
+    def _rewrite_decimal_avg(self, q: str) -> str:
+        """Decimal AVG with the reference's TRUNCATING division
+        (functions-aggregate/src/average.rs DecimalAverager: the i128 sum
+        is integer-divided by the count, truncating toward zero at result
+        scale s+4; Spark's decimal divide rounds HALF_UP, so the last
+        digit diverges — tpch.slt q1's avg_disc 0.050144 vs 0.050145).
+
+        Result type matches the reference: Decimal128(p+4 capped 38, s+4).
+        Lowered when the argument is a bare column of the SINGLE plain
+        FROM table with a DecimalType — the same static-resolvability
+        discipline as _rewrite_median / _rewrite_int_division; joins,
+        subqueries, and expression arguments keep Spark's avg (documented
+        §1.2 residual). Exactness: sum is an exact decimal; multiplying
+        by 10^(s+4) makes the target quotient's unscaled value integral,
+        `div` truncates toward zero exactly (the reference's i128 `/`),
+        and the final /10^(s+4) + cast are exact power-of-ten rescales.
+        Bound: the truncated unscaled average must fit a BIGINT
+        (avg < 10^(14-s) absolute) — beyond that the form would overflow
+        long before Decimal128 does; such magnitudes keep Spark's avg."""
+        if not re.search(r"\bavg\s*\(", q, re.IGNORECASE):
+            return q
+        shield = _strip_strings(q)
+        if re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+            return q
+        froms = {
+            m.lower()
+            for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)
+        }
+        if len(froms) != 1:
+            return q
+        from pyspark.sql.types import DecimalType
+
+        try:
+            schema = {
+                f.name.lower(): f.dataType
+                for f in self.spark.table(next(iter(froms))).schema
+            }
+        except Exception:
+            return q
+        pos = 0
+        while True:
+            hit = _find_call(q, "avg", pos)
+            if hit is None:
+                break
+            s_i, a, e = hit
+            arg = q[a:e].strip()
+            dt = (
+                schema.get(arg.rsplit(".", 1)[-1].lower())
+                if re.fullmatch(r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", arg)
+                else None
+            )
+            if not isinstance(dt, DecimalType):
+                pos = e
+                continue
+            p, s = dt.precision, dt.scale
+            if s + 4 > 19:
+                pos = e
+                continue
+            scale10 = 10 ** (s + 4)
+            # the quotient is cast to DECIMAL(19,0), NOT (38,0): under
+            # Spark's precision-cap rule a 38-digit dividend forces the
+            # division result's scale down to 6 (HALF_UP rounding — the
+            # very thing this rewrite removes); 19 integer digits leave
+            # the capped result scale at 19, so the /10^(s+4) rescale is
+            # exact for every s ≤ 15
+            repl = (
+                f"CAST(CAST((CAST(SUM({arg}) AS DECIMAL(38,{s})) * {scale10})"
+                f" div COUNT({arg}) AS DECIMAL(19,0)) / {scale10}"
+                f" AS DECIMAL({min(p + 4, 38)},{s + 4}))"
+            )
+            q = q[:s_i] + repl + q[e + 1 :]
+            pos = s_i + len(repl)
+        return q
 
     def _rewrite_int_division(self, q: str) -> str:
         """Integer COLUMN division truncates in the reference (Int64/Int64 →

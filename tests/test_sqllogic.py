@@ -38,12 +38,10 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 _KNOWN = {
     # tpch/tpch.slt (the reference's own q1-q22 goldens at dbgen SF0.1,
     # run via tests/tpch_tbl.py's duckdb-dbgen regeneration):
-    # - decimal AVG rounding: the reference's DecimalAverager divides the
-    #   i128 sum by count with TRUNCATING integer division
-    #   (functions-aggregate/src/average.rs), so q1's avg_disc shows
-    #   0.050144 where the exact quotient 0.0501445970... rounds HALF_UP
-    #   to 0.050145 under Spark decimal division. Last-digit only; every
-    #   other q1 cell matches.
+    # - CLOSED round 9: decimal AVG truncating division (average.rs
+    #   DecimalAverager) is now emulated by ctx.sql's
+    #   _rewrite_decimal_avg, so q1's avg_disc golden (line 206) and
+    #   decimal.slt's avg record (line 121) PASS.
     # - dbgen text streams: duckdb's dbgen port reproduces every numeric/
     #   key/date/name column of classic dbgen at SF0.1 (16 of 22 queries
     #   match the goldens cell-exactly) but its random-TEXT streams
@@ -53,7 +51,6 @@ _KNOWN = {
     #   FILTER on comment text (q13's `o_comment not like
     #   '%special%requests%'` distribution). Not reproducible without
     #   dbgen's dists.dss word lists, which no repo here ships.
-    ("tpch/tpch.slt", 206): "decimal AVG truncating division (average.rs)",
     ("tpch/tpch.slt", 347): "dbgen text stream (c_address/c_comment cells)",
     ("tpch/tpch.slt", 763): "dbgen text stream (o_comment LIKE distribution)",
     ("tpch/tpch.slt", 985): "dbgen text stream (s_address cell)",
@@ -114,7 +111,6 @@ _KNOWN = {
     # decimal.slt: Arrow's decimal avg/divide TRUNCATE at the result
     # scale where Spark rounds / keeps a wider quotient scale — §1.2
     # decimal arithmetic rule divergence (values agree to ~1e-10).
-    ("decimal.slt", 121): "decimal avg truncates at result scale (Spark rounds)",
     ("decimal.slt", 397): "decimal division scale rule (truncate@10 vs widen)",
     ("interval.slt", 84): "interval '5' hours: reference parses literal as secs",
     # timestamps.slt: ns-precision displays (§1.2 ns→µs truncation);

@@ -114,6 +114,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--regen", action="store_true")
     ap.add_argument("--n", type=int, default=3)
+    ap.add_argument(
+        "--floors",
+        action="store_true",
+        help="also measure each query's sf0.001 floor back-to-back (the "
+        "ab_tpch.py discipline) and report compute-over-floor — the "
+        "BENCH_SF1.md closed-at-floor accounting",
+    )
     args = ap.parse_args()
 
     raw = generate(args.regen)
@@ -153,20 +160,32 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
     for name in sorted(tpch.QUERIES, key=lambda n: int(n.split("q")[-1])):
         fn = tpch.QUERIES[name]
         spark._jvm.System.gc()
         q = name.removeprefix("tpch_")
         timings[q] = bench._min_of(lambda: fn(spark, lay).collect(), args.n)
+        if args.floors:  # same-query sf0.001 wall, back-to-back (ab_tpch)
+            floors[q] = bench._min_of(
+                lambda: fn(spark, warm).collect(), args.n
+            )
 
     total = round(sum(timings.values()), 4)
     base_total = sum(_BASELINE_MS.values()) / 1000.0
-    print(f"{'query':6s} {'sf1_wall_s':>10s} {'baseline_s':>10s} {'ratio':>6s}")
+    hdr = f"{'query':6s} {'sf1_wall_s':>10s} {'baseline_s':>10s} {'ratio':>6s}"
+    if args.floors:
+        hdr += f" {'floor_s':>8s} {'compute_s':>9s} {'cmp_ratio':>9s}"
+    print(hdr)
     for q, t in timings.items():
         b = _BASELINE_MS[q] / 1000.0
-        print(f"{q:6s} {t:10.3f} {b:10.3f} {t / b:6.2f}")
+        line = f"{q:6s} {t:10.3f} {b:10.3f} {t / b:6.2f}"
+        if args.floors:
+            comp = max(0.0, t - floors[q])
+            line += f" {floors[q]:8.3f} {comp:9.3f} {comp / b:9.2f}"
+        print(line)
     print(f"{'total':6s} {total:10.3f} {base_total:10.3f} {total / base_total:6.2f}")
-    print(json.dumps({
+    out = {
         "metric": "tpch_total_sf1",
         "value": total,
         "unit": "sec",
@@ -174,7 +193,10 @@ def main() -> None:
         "sf": 1,
         "baseline_total_sec": round(base_total, 3),
         "ratio_vs_baseline": round(total / base_total, 3),
-    }))
+    }
+    if args.floors:
+        out["floors"] = {q: round(f, 4) for q, f in floors.items()}
+    print(json.dumps(out))
     spark.stop()
 
 
