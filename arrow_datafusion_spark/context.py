@@ -4524,6 +4524,7 @@ class SessionContext:
         """Rewritten query → spark.sql, carrying bound parameters if any."""
         query = self._rewrite_median(query)
         query = self._rewrite_decimal_avg(query)
+        query = self._rewrite_deep_array_fns(query)
         query = self._rewrite_int_division(query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
@@ -4601,6 +4602,108 @@ class SessionContext:
             )
             q = q[:s_i] + repl + q[e + 1 :]
             pos = s_i + len(repl)
+        return q
+
+    def _array_arg_depth(self, arg: str, schema: dict | None) -> int | None:
+        """Static array-nesting depth of an expression TEXT, or None when
+        unresolvable. Resolves bare columns (single-FROM schema), bracket
+        literals, make_array/array_repeat chains, and arrow_cast type
+        strings — the shapes the reference's array corpus uses."""
+        arg = arg.strip()
+        if arg.startswith("["):
+            return len(arg) - len(arg.lstrip("["))
+        low = arg.lower()
+        for fn in ("make_array(", "array_repeat("):
+            if low.startswith(fn) and arg.endswith(")"):
+                inner = _split_top_level(arg[len(fn) : -1])
+                d = (
+                    self._array_arg_depth(inner[0], schema)
+                    if inner
+                    else None
+                )
+                return (d or 0) + 1
+        if low.startswith("arrow_cast(") and arg.endswith(")"):
+            parts = _split_top_level(arg[len("arrow_cast(") : -1])
+            if len(parts) == 2:
+                return len(
+                    re.findall(r"(?:Fixed_?Size|Large)?List\s*\(", parts[1], re.I)
+                ) or None
+        if schema is not None and re.fullmatch(
+            r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", arg
+        ):
+            from pyspark.sql.types import ArrayType
+
+            dt = schema.get(arg.rsplit(".", 1)[-1].lower())
+            d = 0
+            while isinstance(dt, ArrayType):
+                d, dt = d + 1, dt.elementType
+            return d or None
+        return None
+
+    def _rewrite_deep_array_fns(self, q: str) -> str:
+        """flatten / array_to_string over NESTED arrays, the reference's
+        recursive leaf semantics (functions-array flatten.rs flattens
+        RECURSIVELY; array_to_string joins the leaves of any nesting).
+        Spark's flatten removes exactly one level and errors on flat
+        input, and a runtime CASE over depth cannot type-check, so the
+        depth must be static: resolvable argument shapes get flatten
+        applied (depth-1) times (identity for flat input — the reference
+        returns flat arrays unchanged); unresolvable shapes keep Spark's
+        semantics (documented partial)."""
+        low = q.lower()
+        if "flatten" not in low and "to_string" not in low and "_join" not in low:
+            return q
+        schema = None
+        shield = _strip_strings(q)
+        froms = {
+            m.lower()
+            for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)
+        }
+        if len(froms) == 1 and not re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+            try:
+                schema = {
+                    f.name.lower(): f.dataType
+                    for f in self.spark.table(next(iter(froms))).schema
+                }
+            except Exception:
+                schema = None
+
+        def flattened(arg: str, times: int) -> str:
+            out = arg
+            for _ in range(times):
+                out = f"flatten({out})"
+            return out
+
+        for fn, join_like in (
+            ("array_to_string", True),
+            ("list_to_string", True),
+            ("array_join", True),
+            ("list_join", True),
+            ("flatten", False),
+        ):
+            pos = 0
+            while True:
+                hit = _find_call(q, fn, pos)
+                if hit is None:
+                    break
+                s_i, a, e = hit
+                parts = [p.strip() for p in _split_top_level(q[a:e])]
+                if not parts:
+                    pos = e
+                    continue
+                d = self._array_arg_depth(parts[0], schema)
+                if d is None or (d <= 1 and join_like) or (join_like and d == 1):
+                    pos = e
+                    continue
+                if join_like:
+                    parts[0] = flattened(parts[0], d - 1)
+                    repl = f"{fn}({', '.join(parts)})"
+                elif d == 1:  # reference flatten(flat) = identity
+                    repl = f"({parts[0]})"
+                else:
+                    repl = flattened(parts[0], d - 1)
+                q = q[: s_i] + repl + q[e + 1 :]
+                pos = s_i + len(repl)
         return q
 
     def _rewrite_int_division(self, q: str) -> str:
