@@ -578,13 +578,6 @@ class _Consumer:
         lo = bound(_get(w, "lower_bound"), Window.unboundedPreceding)
         hi = bound(_get(w, "upper_bound"), Window.unboundedFollowing)
         bounds_type = str(_get(w, "bounds_type", "BOUNDS_TYPE_ROWS"))
-        if sorts or _get(w, "lower_bound") or _get(w, "upper_bound"):
-            if bounds_type == "BOUNDS_TYPE_RANGE":
-                spec = spec.rangeBetween(lo, hi)
-            else:
-                spec = spec.rowsBetween(lo, hi)
-        if name in _AGG_FUNCS:
-            return self._agg_call(name, args, False).over(spec)
         named = {
             "row_number": F.row_number,
             "rank": F.rank,
@@ -593,7 +586,17 @@ class _Consumer:
             "cume_dist": F.cume_dist,
         }
         if name in named:
+            # ranking functions take no frame — Spark rejects an explicit
+            # frame specification on them (the reference's planner also
+            # pins their frame internally)
             return named[name]().over(spec)
+        if sorts or _get(w, "lower_bound") or _get(w, "upper_bound"):
+            if bounds_type == "BOUNDS_TYPE_RANGE":
+                spec = spec.rangeBetween(lo, hi)
+            else:
+                spec = spec.rowsBetween(lo, hi)
+        if name in _AGG_FUNCS:
+            return self._agg_call(name, args, False).over(spec)
         raise NotImplementedError(f"window function {name!r}")
 
     # -- schema helper -------------------------------------------------------

@@ -326,6 +326,8 @@ class _Producer:
             if els is not None:
                 node["else"] = self.rex(els, columns)
             return {"ifThen": node}
+        if cls == "WindowExpression":
+            return self._window_rex(e, columns)
         if cls == "UnresolvedFunction":
             np = e.nameParts()
             name = ".".join(np.apply(i) for i in range(np.size())).lower()
@@ -347,6 +349,84 @@ class _Producer:
         raise NotImplementedError(
             f"substrait producer: unsupported expression node {cls}"
         )
+
+    _RANKING = {"row_number", "rank", "dense_rank", "percent_rank", "cume_dist"}
+
+    def _window_rex(self, e, columns: list[str]) -> dict:
+        """Catalyst WindowExpression -> Expression.WindowFunction
+        (producer.rs to_substrait_rex's WindowFunction arm)."""
+        fn = e.windowFunction()
+        if fn.getClass().getSimpleName() != "UnresolvedFunction":
+            raise NotImplementedError(
+                "substrait producer: window function node "
+                f"{fn.getClass().getSimpleName()}"
+            )
+        np = fn.nameParts()
+        name = ".".join(np.apply(i) for i in range(np.size())).lower()
+        if name not in _AGG_NAMES and name not in self._RANKING:
+            raise NotImplementedError(
+                f"substrait producer: unsupported window function {name!r}"
+            )
+        spec = e.windowSpec()
+        parts = spec.partitionSpec()
+        orders = spec.orderSpec()
+        node: dict = {
+            "functionReference": self._anchor(name),
+            "arguments": [
+                {"value": self.rex(k, columns)} for k in self._children(fn)
+            ],
+            "partitions": [
+                self.rex(parts.apply(i), columns) for i in range(parts.size())
+            ],
+            "sorts": [
+                self._sort_field(orders.apply(i), columns)
+                for i in range(orders.size())
+            ],
+            "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+            "invocation": "AGGREGATION_INVOCATION_ALL",
+        }
+        frame = spec.frameSpecification()
+        fcls = frame.getClass().getSimpleName()
+        if fcls == "SpecifiedWindowFrame":
+            node["boundsType"] = (
+                "BOUNDS_TYPE_RANGE"
+                if str(frame.frameType()) == "RangeFrame"
+                else "BOUNDS_TYPE_ROWS"
+            )
+            node["lowerBound"] = self._frame_bound(frame.lower())
+            node["upperBound"] = self._frame_bound(frame.upper())
+        elif name in _AGG_NAMES and orders.size():
+            # UnspecifiedFrame with ORDER BY: both engines default to
+            # RANGE UNBOUNDED PRECEDING .. CURRENT ROW — emit it
+            # explicitly so any consumer computes the same running agg
+            node["boundsType"] = "BOUNDS_TYPE_RANGE"
+            node["lowerBound"] = {"unbounded": {}}
+            node["upperBound"] = {"currentRow": {}}
+        return {"windowFunction": node}
+
+    def _frame_bound(self, b) -> dict:
+        cls = b.getClass().getSimpleName()
+        if cls == "UnboundedPreceding$" or cls == "UnboundedFollowing$":
+            return {"unbounded": {}}
+        if cls == "CurrentRow$":
+            return {"currentRow": {}}
+        if cls == "UnaryMinus":
+            off = int(str(self._children(b)[0].value()))
+            return {"preceding": {"offset": off}}
+        if cls == "Literal":
+            v = int(str(b.value()))
+            if v < 0:
+                return {"preceding": {"offset": -v}}
+            return {"following": {"offset": v}}
+        raise NotImplementedError(f"substrait producer: frame bound {cls}")
+
+    def _sort_field(self, so, columns: list[str]) -> dict:
+        d = "asc" if str(so.direction()) == "Ascending" else "desc"
+        n = "first" if str(so.nullOrdering()) == "NullsFirst" else "last"
+        return {
+            "expr": self.rex(self._children(so)[0], columns),
+            "direction": _SORT_DIR[(d, n)],
+        }
 
     def measure(self, e, columns: list[str], out_type: dict) -> dict:
         """An aggregate expression (optionally aliased) -> AggregateRel

@@ -185,6 +185,27 @@ def test_roundtrip_union_all_and_values(spark, sf_dir):
     })
 
 
+def test_roundtrip_window_functions(spark, sf_dir):
+    """Expression.WindowFunction emission (producer.rs WindowFunction
+    arm): ranking (frameless), a running aggregate (UnspecifiedFrame with
+    ORDER BY — both engines' RANGE unbounded..current default, emitted
+    explicitly), and an explicit ROWS frame."""
+    ctx = _ctx(spark, sf_dir, "orders")
+    _assert_roundtrip(ctx, {
+        "op": "projection",
+        "exprs": [
+            "o_custkey",
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS rn",
+            "sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS running",
+            "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY "
+            "o_orderdate ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w2",
+        ],
+        "input": {"op": "scan", "table": "orders"},
+    })
+
+
 def test_producer_rejects_unsupported_constructs(spark, sf_dir):
     ctx = _ctx(spark, sf_dir, "region")
     scan = {"op": "scan", "table": "region"}
