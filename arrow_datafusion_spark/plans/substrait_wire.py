@@ -31,7 +31,13 @@ import base64
 import re
 import struct
 
-__all__ = ["plan_to_bytes", "plan_from_bytes", "consume_plan_bytes"]
+__all__ = [
+    "plan_to_bytes",
+    "plan_from_bytes",
+    "consume_plan_bytes",
+    "serialize",
+    "deserialize",
+]
 
 
 def _snake(name: str) -> str:
@@ -642,3 +648,27 @@ def consume_plan_bytes(ctx, data: bytes):
     from arrow_datafusion_spark.plans.substrait import consume_plan
 
     return consume_plan(ctx, plan_from_bytes(data))
+
+
+def serialize(ctx, logical_plan, path: str) -> None:
+    """Produce + encode an engine logical plan (plans/serde.py tree) to a
+    binary Substrait file — serializer.rs ``serialize`` (which takes SQL,
+    plans it, and writes ``Plan`` bytes; here the planned form IS the
+    serde tree). Refuses to overwrite, like serializer.rs's
+    ``File::create_new``."""
+    import os
+
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+
+    if os.path.exists(path):
+        raise FileExistsError(f"substrait serialize target exists: {path}")
+    data = plan_to_bytes(produce_plan(ctx, logical_plan))
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def deserialize(ctx, path: str):
+    """Read a binary Substrait plan file and return the executable
+    DataFrame — serializer.rs ``deserialize`` + consumer."""
+    with open(path, "rb") as f:
+        return consume_plan_bytes(ctx, f.read())

@@ -186,6 +186,9 @@ def test_q15_single_partition_collapse_is_byte_gated(spark, monkeypatch):
     plan_small = _plan(spark, "tpch_q15")
     assert "Window" in plan_small, plan_small
     assert "Coalesce 1" in plan_small, plan_small
+    small_rows = sorted(
+        map(tuple, _QUERIES["tpch_q15"](spark, _SF).collect())
+    )
     monkeypatch.setattr(tpch, "_BROADCAST_BYTES_CAP", 0)
     plan_big = _plan(spark, "tpch_q15")
     assert "Window" not in plan_big, plan_big
@@ -195,6 +198,9 @@ def test_q15_single_partition_collapse_is_byte_gated(spark, monkeypatch):
     assert re.search(r"HashAggregate.*partial_max\(rev_e4\)", plan_big) or (
         "partial_max" in plan_big
     ), plan_big
+    # both sides of the gate return the same rows
+    big_rows = sorted(map(tuple, _QUERIES["tpch_q15"](spark, _SF).collect()))
+    assert big_rows == small_rows
 
 
 def test_substrait_consumed_plan_gets_pushdown_and_pruning(spark):

@@ -226,6 +226,28 @@ def test_producer_rejects_unsupported_constructs(spark, sf_dir):
         })
 
 
+def test_serialize_deserialize_file(spark, sf_dir, tmp_path):
+    """serializer.rs parity: serialize writes Plan bytes and refuses to
+    overwrite (File::create_new semantics); deserialize executes them."""
+    from arrow_datafusion_spark.plans.substrait_wire import (
+        deserialize,
+        serialize,
+    )
+
+    ctx = _ctx(spark, sf_dir, "region")
+    plan = {
+        "op": "sort", "by": ["r_regionkey"],
+        "input": {"op": "scan", "table": "region"},
+    }
+    target = str(tmp_path / "plan.substrait")
+    serialize(ctx, plan, target)
+    got = [tuple(r) for r in deserialize(ctx, target).collect()]
+    want = [tuple(r) for r in run_json_plan(ctx, plan).collect()]
+    assert got == want and len(got) == 5
+    with pytest.raises(FileExistsError):
+        serialize(ctx, plan, target)
+
+
 # -- binary wire (serializer.rs analog) ---------------------------------------
 
 
