@@ -96,6 +96,11 @@ def _registries() -> tuple[dict, dict]:
         #     string (16-bit space saturates at corpus scale — 100× probe);
         #     oracle SQL recomputes the same 64-bit key
         "dedup_components",
+        #     ctx.sql rewrite layer grew xor-before-shift precedence,
+        #     truncating decimal AVG, and static-depth flatten/
+        #     array_to_string — re-validate the ctx.sql-routed families
+        #     that share the layer (all re-checked hash-exact locally)
+        "sql_basic", "fn_math", "fn_array", "sql_macros", "h2o_mean_median",
         # (l) round-8 changes, validate first:
         #     q3 gained a SHUFFLE_HASH build on the semi-filtered orders
         #     side; q15 rebuilt (e4-long accumulator + coalesce(1) before
