@@ -4925,7 +4925,9 @@ class SessionContext:
                     "extension! Use STORED AS to define file format."
                 )
             ext = path.rsplit(".", 1)[-1].lower()
-            fmt = {"csv": "csv", "json": "json", "ndjson": "json"}.get(ext, "parquet")
+            fmt = {"csv": "csv", "json": "json", "ndjson": "json", "avro": "avro"}.get(
+                ext, "parquet"
+            )
         if source.startswith("("):
             df = self._spark_sql(source[1:-1].strip(), args)
         else:
@@ -4938,7 +4940,7 @@ class SessionContext:
         # files (the reference adds files to an existing directory;
         # copy.slt:188 expects 2+4 = 6 rows after a second COPY).
         single_file = bool(
-            re.search(r"\.(csv|json|ndjson|parquet|arrow)$", path, re.IGNORECASE)
+            re.search(r"\.(csv|json|ndjson|parquet|arrow|avro)$", path, re.IGNORECASE)
         ) and not re.match(r"[A-Za-z][A-Za-z0-9+.-]*://", path.replace("file://", ""))
         # writer options from COPY OPTIONS (format.* namespace)
         header = copts.get("format.has_header", "false").lower() in ("true", "1")
@@ -4968,6 +4970,10 @@ class SessionContext:
             wopts["compression"] = compression
         if fmt == "arrow":
             self._copy_to_arrow(df, path, single_file)
+            n = df.count()
+            return self.spark.createDataFrame([(n,)], "count bigint")
+        if fmt == "avro":
+            self._copy_to_avro(df, path, single_file)
             n = df.count()
             return self.spark.createDataFrame([(n,)], "count bigint")
         writer_df = df.coalesce(1) if single_file else df
@@ -5017,6 +5023,40 @@ class SessionContext:
         except Exception:
             n = df.count()
         return self.spark.createDataFrame([(n,)], "count bigint")
+
+    def _copy_to_avro(self, df: DataFrame, path: str, single_file: bool) -> None:
+        """COPY ... STORED AS AVRO → container files via the pure-Python
+        writer (sources/avro.py — BEYOND the reference, whose Avro surface
+        is read-only). Directory targets write one part per DataFrame
+        partition (executor-side, distributed) and APPEND on re-COPY like
+        the other formats; a '<name>.avro' target writes one file."""
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        from arrow_datafusion_spark.sources.avro import write_avro_partitioned
+
+        local = path[len("file://") :] if path.startswith("file://") else path
+        if single_file:
+            tmp = local + ".__avro_tmp__"
+            write_avro_partitioned(df.coalesce(1), tmp)
+            parts = sorted(_glob.glob(_os.path.join(tmp, "part-*.avro")))
+            _os.makedirs(_os.path.dirname(local) or ".", exist_ok=True)
+            if _os.path.isdir(local):
+                _shutil.rmtree(local)
+            if parts:
+                _shutil.move(parts[0], local)
+            else:  # empty result: a valid header-only container
+                from arrow_datafusion_spark.sources.avro import (
+                    avro_schema_of,
+                    write_avro,
+                )
+
+                write_avro(local, avro_schema_of(df.schema), [])
+            _shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            write_avro_partitioned(df, local, mode="append")
+        self._refresh_path_tables(path)
 
     def _copy_to_arrow(self, df: DataFrame, path: str, single_file: bool) -> None:
         """COPY ... STORED AS ARROW → one Arrow IPC file (the reference's

@@ -153,3 +153,11 @@ class DataFrame:
 
     def write_json(self, path: str, mode: str = "overwrite", **opts) -> None:
         self.df.write.mode(mode).options(**opts).json(path)
+
+    def write_avro(self, path: str, mode: str = "overwrite", **opts) -> None:
+        """Distributed Avro container-file sink (one part per partition)
+        — BEYOND the reference, whose Avro surface is read-only
+        (file_format/avro.rs); reads back via register_avro."""
+        from arrow_datafusion_spark.sources.avro import write_avro_partitioned
+
+        write_avro_partitioned(self.df, path, mode=mode, **opts)

@@ -22,9 +22,16 @@ Supported schema: a record whose field types may be primitives (boolean,
 int, long, float, double, string, bytes), arrays, maps (string keys, per
 the spec), nested records, and ``["null", T]`` unions of any of those —
 the same composite coverage as the reference's avro_to_arrow schema
-mapping (datafusion/core/src/datasource/avro_to_arrow/schema.rs). A writer
-(`write_avro`) exists for fixtures/tests only, mirroring the reference's
-read-only posture.
+mapping (datafusion/core/src/datasource/avro_to_arrow/schema.rs).
+
+Write side (BEYOND the reference, which is reader-only): ``write_avro``
+(single container file), ``write_avro_partitioned`` (distributed — one
+part file per DataFrame partition via executor-side foreachPartition),
+and ``avro_schema_of`` (Spark schema → Avro record schema). Exposed
+publicly through ``COPY ... TO ... STORED AS AVRO`` and the facade's
+``write_avro``; temporal columns are rejected with a cast hint rather
+than silently round-tripping as bare longs (Avro logical types are not
+decoded by this reader).
 """
 
 from __future__ import annotations
@@ -337,23 +344,94 @@ def write_avro(
             fh.write(sync_marker)
 
 
+def avro_schema_of(spark_schema, name: str = "spark_graft") -> dict:
+    """Spark StructType → Avro record schema (the inverse of
+    ``_spark_type``; every type it emits round-trips through this module's
+    reader with the same Spark DDL type). Temporal types are REJECTED with
+    a cast hint: the reader decodes no Avro logical types, so a
+    timestamp/date written as a bare long/int would silently change type
+    on read-back."""
+    from pyspark.sql import types as T
+
+    def conv(dt, nullable: bool):
+        if isinstance(dt, T.BooleanType):
+            t: object = "boolean"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            t = "int"
+        elif isinstance(dt, T.LongType):
+            t = "long"
+        elif isinstance(dt, T.FloatType):
+            t = "float"
+        elif isinstance(dt, T.DoubleType):
+            t = "double"
+        elif isinstance(dt, T.StringType):
+            t = "string"
+        elif isinstance(dt, T.BinaryType):
+            t = "bytes"
+        elif isinstance(dt, T.ArrayType):
+            t = {"type": "array", "items": conv(dt.elementType, dt.containsNull)}
+        elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise NotImplementedError(
+                    "avro maps require string keys (Avro 1.x spec)"
+                )
+            t = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull)}
+        elif isinstance(dt, T.StructType):
+            t = {
+                "type": "record",
+                "name": f"r{abs(hash(dt.simpleString())) % 10**8}",
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            raise NotImplementedError(
+                f"avro writer: temporal column type {dt.simpleString()} — "
+                "cast to BIGINT (epoch units) or STRING first; this "
+                "module's reader decodes no Avro logical types, so a bare "
+                "long would silently change type on read-back"
+            )
+        else:
+            raise NotImplementedError(
+                f"avro writer: unsupported type {dt.simpleString()}"
+            )
+        return ["null", t] if nullable else t
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable)}
+            for f in spark_schema.fields
+        ],
+    }
+
+
 def write_avro_partitioned(
     df,
     path: str,
-    schema: dict,
+    schema: dict | None = None,
     codec: str = "deflate",
     rows_per_block: int = 1000,
+    mode: str = "overwrite",
 ) -> None:
     """Distributed Avro write: each DataFrame partition writes its own
     ``part-NNNNN.avro`` container file under ``path`` (executor-side
     foreachPartition — no driver materialization; the reader's dir scan
     picks up all parts). Targets a filesystem shared by the executors, the
-    same contract as any Spark file sink."""
+    same contract as any Spark file sink. ``mode='append'`` adds part
+    files after the existing ones (the COPY-TO-directory contract the
+    other formats follow); schema defaults to ``avro_schema_of(df)``."""
     import os
     import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
+    if schema is None:
+        schema = avro_schema_of(df.schema)
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    offset = sum(1 for f in os.listdir(path) if f.endswith(".avro"))
     cols = [f["name"] for f in schema["fields"]]
 
     def _write_part(rows_iter):
@@ -361,7 +439,7 @@ def write_avro_partitioned(
 
         rows = [tuple(r[c] for c in cols) for r in rows_iter]
         if rows:
-            pid = TaskContext.get().partitionId()
+            pid = TaskContext.get().partitionId() + offset
             write_avro(
                 os.path.join(path, f"part-{pid:05d}.avro"),
                 schema,
@@ -497,9 +575,14 @@ try:  # Python Data Source API (Spark 4+)
             for f in self.files:
                 _schema, _codec, blocks = block_index(f)
                 parts.extend(_AvroBlock(f, *b) for b in blocks)
-            return parts
+            # a header-only container has zero blocks; Spark's Python
+            # data source still requires ≥1 partition (it hands the
+            # reader None otherwise) — emit one empty marker
+            return parts or [_AvroBlock("", 0, 0, 0)]
 
         def read(self, partition: _AvroBlock):
+            if not partition.path:  # empty-container marker
+                return
             yield from decode_block(
                 partition.path,
                 partition.offset,
