@@ -3478,6 +3478,9 @@ class SessionContext:
                 df = reader.options(**ropts).csv(path)
             elif fmt == "json":
                 df = reader.json(path)
+            elif fmt == "avro":
+                self._ensure_py_source("avro_py")
+                df = self.spark.read.format("avro_py").load(path)
             else:
                 df = reader.parquet(path)
             if parts and sink["schema"]:
@@ -3586,6 +3589,22 @@ class SessionContext:
             return self.spark.createDataFrame([(n,)], "count bigint")
         if fmt == "arrow":
             self._insert_external_arrow(out, path, parts)
+        elif fmt == "avro":
+            if parts:
+                raise NotImplementedError(
+                    "partitioned Avro INSERT sinks are not supported"
+                )
+            from arrow_datafusion_spark.sources.avro import (
+                avro_schema_of,
+                write_avro_partitioned,
+            )
+
+            # write with the DECLARED table schema, not this batch's
+            # inferred nullability — all part files of one table share
+            # one Avro schema
+            write_avro_partitioned(
+                out, path, schema=avro_schema_of(schema), mode="append"
+            )
         else:
             w = out.write.mode("append")
             if fmt == "csv":
@@ -4433,11 +4452,14 @@ class SessionContext:
             "json",
             "ndjson",
             "arrow",
+            "avro",
         ):
             import os as _os
 
             single_file = bool(
-                re.search(r"\.(csv|json|ndjson|parquet|arrow)$", local, re.IGNORECASE)
+                re.search(
+                    r"\.(csv|json|ndjson|parquet|arrow|avro)$", local, re.IGNORECASE
+                )
             )
             if schema and sink_parts:
                 # the reference moves partition columns to the END of the

@@ -554,8 +554,20 @@ try:  # Python Data Source API (Spark 4+)
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
     class _AvroBlock(InputPartition):
-        def __init__(self, path: str, offset: int, n_rows: int, size: int):
+        def __init__(
+            self,
+            path: str,
+            offset: int,
+            n_rows: int,
+            size: int,
+            schema: dict | None = None,
+            codec: str = "null",
+        ):
             self.path, self.offset, self.n_rows, self.size = path, offset, n_rows, size
+            # per-FILE schema/codec: files in one directory may differ in
+            # nullability unions (e.g. successive INSERT batches) — each
+            # block must decode with its own file's header, not file[0]'s
+            self.schema, self.codec = schema, codec
 
     class _AvroReader(DataSourceReader):
         def __init__(self, options):
@@ -574,7 +586,10 @@ try:  # Python Data Source API (Spark 4+)
             parts = []
             for f in self.files:
                 _schema, _codec, blocks = block_index(f)
-                parts.extend(_AvroBlock(f, *b) for b in blocks)
+                parts.extend(
+                    _AvroBlock(f, *b, schema=_schema, codec=_codec)
+                    for b in blocks
+                )
             # a header-only container has zero blocks; Spark's Python
             # data source still requires ≥1 partition (it hands the
             # reader None otherwise) — emit one empty marker
@@ -588,8 +603,8 @@ try:  # Python Data Source API (Spark 4+)
                 partition.offset,
                 partition.n_rows,
                 partition.size,
-                self.schema,
-                self.codec,
+                partition.schema,
+                partition.codec,
             )
 
     class AvroDataSource(DataSource):

@@ -620,6 +620,41 @@ def test_median_exact_lowering_has_a_scale_guard(spark, sf_dir):
         spark.catalog.dropTempView("med_guard_t")
 
 
+def test_decimal_avg_truncates_like_the_reference(spark):
+    # average.rs DecimalAverager: i128 sum integer-divided by count,
+    # truncating TOWARD ZERO at scale s+4, result Decimal(p+4, s+4). The
+    # lowering must survive Spark's decimal precision-cap rule (a 38-digit
+    # dividend in the final rescale would force scale 6 with HALF_UP —
+    # the exact bug class this test pins), truncate negatives toward
+    # zero, work grouped, and leave non-decimal avg untouched.
+    from decimal import Decimal
+
+    ctx = SessionContext(spark)
+    spark.sql(
+        "SELECT CAST(v AS DECIMAL(10,6)) v, g FROM VALUES "
+        "(0.00001, 0), (0.00002, 0), (-0.00001, 1), (-0.00002, 1), "
+        "(-0.00008, 1) t(v, g)"
+    ).createOrReplaceTempView("dec_avg_t")
+    try:
+        out = ctx.sql("SELECT avg(v) AS a FROM dec_avg_t WHERE g = 1")
+        assert out.schema[0].dataType.simpleString() == "decimal(14,10)"
+        # exact -0.0000366666... truncates toward zero (HALF_UP would
+        # give -0.0000366667)
+        assert out.collect()[0][0] == Decimal("-0.0000366666")
+        grouped = {
+            r[0]: r[1]
+            for r in ctx.sql(
+                "SELECT g, avg(v) AS a FROM dec_avg_t GROUP BY g"
+            ).collect()
+        }
+        assert grouped[0] == Decimal("0.0000150000")
+        assert grouped[1] == Decimal("-0.0000366666")
+        d = ctx.sql("SELECT avg(CAST(v AS DOUBLE)) AS a FROM dec_avg_t")
+        assert d.schema[0].dataType.simpleString() == "double"
+    finally:
+        spark.catalog.dropTempView("dec_avg_t")
+
+
 def test_int_division_rewrite_skips_string_literals(spark):
     # '3/4' inside a literal is text, not arithmetic — the single-table
     # integer-division lowering must leave it alone while still

@@ -80,6 +80,20 @@ def test_copy_to_single_avro_file(spark, sf_dir, tmp_path):
     assert ctx.table("empty_back").count() == 0
 
 
+def test_insert_into_external_avro_table(spark, tmp_path):
+    ctx = _ctx(spark)
+    target = str(tmp_path / "ext_avro")
+    ctx.sql(
+        f"CREATE EXTERNAL TABLE av (a BIGINT, b VARCHAR) STORED AS AVRO "
+        f"LOCATION '{target}/'"
+    )
+    n = ctx.sql("INSERT INTO av VALUES (1, 'x'), (2, 'y')").collect()[0][0]
+    assert n == 2
+    ctx.sql("INSERT INTO av VALUES (3, NULL)")
+    got = sorted(tuple(r) for r in ctx.sql("SELECT * FROM av").collect())
+    assert got == [(1, "x"), (2, "y"), (3, None)]
+
+
 def test_avro_writer_rejects_temporal_columns(spark, sf_dir, tmp_path):
     ctx = _ctx(spark)
     ctx.register_parquet("orders", f"{sf_dir}/orders.parquet")
