@@ -101,6 +101,10 @@ def _registries() -> tuple[dict, dict]:
         #     array_to_string — re-validate the ctx.sql-routed families
         #     that share the layer (all re-checked hash-exact locally)
         "sql_basic", "fn_math", "fn_array", "sql_macros", "h2o_mean_median",
+        #     Avro gained a public write sink and the reader now decodes
+        #     each block with its own file's header (per-file schemas) —
+        #     re-validate the scan entries riding that reader
+        "scan_avro", "scan_avro_nested", "sql_copy_to",
         # (l) round-8 changes, validate first:
         #     q3 gained a SHUFFLE_HASH build on the semi-filtered orders
         #     side; q15 rebuilt (e4-long accumulator + coalesce(1) before
