@@ -4543,11 +4543,24 @@ class SessionContext:
         return self.spark.createDataFrame([], "result string")
 
     def _spark_sql(self, query: str, args=None) -> DataFrame:
-        """Rewritten query → spark.sql, carrying bound parameters if any."""
+        """Rewritten query → spark.sql, carrying bound parameters if any.
+
+        String literals are shielded around the schema-resolving rewrites
+        so none of them can match function-call or operator text INSIDE a
+        quoted string ('select median(x)' stays text); _rewrite_sql below
+        re-shields for its own passes."""
+        _lits: list[str] = []
+
+        def _sh(m: re.Match) -> str:
+            _lits.append(m.group(0))
+            return f"\x00{len(_lits) - 1}\x00"
+
+        query = re.sub(r"'(?:[^']|'')*'", _sh, query)
         query = self._rewrite_median(query)
         query = self._rewrite_decimal_avg(query)
         query = self._rewrite_deep_array_fns(query)
         query = self._rewrite_int_division(query)
+        query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
