@@ -4558,7 +4558,7 @@ class SessionContext:
         query = re.sub(r"'(?:[^']|'')*'", _sh, query)
         query = self._rewrite_median(query)
         query = self._rewrite_decimal_avg(query)
-        query = self._rewrite_deep_array_fns(query)
+        query = self._rewrite_deep_array_fns(query, _lits)
         query = self._rewrite_int_division(query)
         query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
         if args:
@@ -4639,11 +4639,16 @@ class SessionContext:
             pos = s_i + len(repl)
         return q
 
-    def _array_arg_depth(self, arg: str, schema: dict | None) -> int | None:
+    def _array_arg_depth(
+        self, arg: str, schema: dict | None, lits: list[str] | None = None
+    ) -> int | None:
         """Static array-nesting depth of an expression TEXT, or None when
         unresolvable. Resolves bare columns (single-FROM schema), bracket
         literals, make_array/array_repeat chains, and arrow_cast type
-        strings — the shapes the reference's array corpus uses."""
+        strings — the shapes the reference's array corpus uses. ``lits``
+        is the caller's literal-shield table: arrow_cast's TYPE STRING is
+        a quoted literal, so it arrives as a placeholder that must be
+        looked back up."""
         arg = arg.strip()
         if arg.startswith("["):
             return len(arg) - len(arg.lstrip("["))
@@ -4652,7 +4657,7 @@ class SessionContext:
             if low.startswith(fn) and arg.endswith(")"):
                 inner = _split_top_level(arg[len(fn) : -1])
                 d = (
-                    self._array_arg_depth(inner[0], schema)
+                    self._array_arg_depth(inner[0], schema, lits)
                     if inner
                     else None
                 )
@@ -4660,8 +4665,12 @@ class SessionContext:
         if low.startswith("arrow_cast(") and arg.endswith(")"):
             parts = _split_top_level(arg[len("arrow_cast(") : -1])
             if len(parts) == 2:
+                t = parts[1].strip()
+                m = re.fullmatch(r"\x00(\d+)\x00", t)
+                if m and lits is not None:
+                    t = lits[int(m.group(1))]
                 return len(
-                    re.findall(r"(?:Fixed_?Size|Large)?List\s*\(", parts[1], re.I)
+                    re.findall(r"(?:Fixed_?Size|Large)?List\s*\(", t, re.I)
                 ) or None
         if schema is not None and re.fullmatch(
             r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", arg
@@ -4675,7 +4684,9 @@ class SessionContext:
             return d or None
         return None
 
-    def _rewrite_deep_array_fns(self, q: str) -> str:
+    def _rewrite_deep_array_fns(
+        self, q: str, lits: list[str] | None = None
+    ) -> str:
         """flatten / array_to_string over NESTED arrays, the reference's
         recursive leaf semantics (functions-array flatten.rs flattens
         RECURSIVELY; array_to_string joins the leaves of any nesting).
@@ -4686,7 +4697,10 @@ class SessionContext:
         returns flat arrays unchanged); unresolvable shapes keep Spark's
         semantics (documented partial)."""
         low = q.lower()
-        if "flatten" not in low and "to_string" not in low and "_join" not in low:
+        if not any(
+            s in low
+            for s in ("flatten", "to_string", "_join", "cardinality")
+        ):
             return q
         schema = None
         shield = _strip_strings(q)
@@ -4709,12 +4723,18 @@ class SessionContext:
                 out = f"flatten({out})"
             return out
 
-        for fn, join_like in (
-            ("array_to_string", True),
-            ("list_to_string", True),
-            ("array_join", True),
-            ("list_join", True),
-            ("flatten", False),
+        for fn, kind in (
+            ("array_to_string", "join"),
+            ("list_to_string", "join"),
+            ("array_join", "join"),
+            ("list_join", "join"),
+            ("flatten", "flatten"),
+            # cardinality counts LEAF elements recursively, NULL for a
+            # flat empty array (functions-array cardinality.rs). The
+            # runtime typeof-CASE fallback (further down the pipeline)
+            # cannot type-check for FLAT inputs — static depth makes
+            # those exact too.
+            ("cardinality", "card"),
         ):
             pos = 0
             while True:
@@ -4723,16 +4743,22 @@ class SessionContext:
                     break
                 s_i, a, e = hit
                 parts = [p.strip() for p in _split_top_level(q[a:e])]
-                if not parts:
+                if not parts or (kind == "card" and len(parts) != 1):
                     pos = e
                     continue
-                d = self._array_arg_depth(parts[0], schema)
-                if d is None or (d <= 1 and join_like) or (join_like and d == 1):
+                d = self._array_arg_depth(parts[0], schema, lits)
+                if d is None or (kind == "join" and d <= 1):
                     pos = e
                     continue
-                if join_like:
+                if kind == "join":
                     parts[0] = flattened(parts[0], d - 1)
                     repl = f"{fn}({', '.join(parts)})"
+                elif kind == "card":
+                    repl = (
+                        f"nullif(size({parts[0]}), 0)"
+                        if d == 1
+                        else f"size({flattened(parts[0], d - 1)})"
+                    )
                 elif d == 1:  # reference flatten(flat) = identity
                     repl = f"({parts[0]})"
                 else:
