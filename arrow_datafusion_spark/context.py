@@ -4699,7 +4699,7 @@ class SessionContext:
         low = q.lower()
         if not any(
             s in low
-            for s in ("flatten", "to_string", "_join", "cardinality")
+            for s in ("flatten", "to_string", "_join", "cardinality", "dims", "length")
         ):
             return q
         schema = None
@@ -4733,8 +4733,15 @@ class SessionContext:
             # flat empty array (functions-array cardinality.rs). The
             # runtime typeof-CASE fallback (further down the pipeline)
             # cannot type-check for FLAT inputs — static depth makes
-            # those exact too.
+            # those exact too. Same for array_dims (per-level sizes via a
+            # try_element_at chain) and 2-arg array_length (size along a
+            # dimension): their templates' probe chains fail ANALYSIS on
+            # flat inputs.
             ("cardinality", "card"),
+            ("array_dims", "dims"),
+            ("list_dims", "dims"),
+            ("array_length", "len"),
+            ("list_length", "len"),
         ):
             pos = 0
             while True:
@@ -4743,26 +4750,49 @@ class SessionContext:
                     break
                 s_i, a, e = hit
                 parts = [p.strip() for p in _split_top_level(q[a:e])]
-                if not parts or (kind == "card" and len(parts) != 1):
+                if (
+                    not parts
+                    or (kind in ("card", "dims") and len(parts) != 1)
+                    or (kind == "len" and len(parts) != 2)
+                ):
                     pos = e
                     continue
                 d = self._array_arg_depth(parts[0], schema, lits)
                 if d is None or (kind == "join" and d <= 1):
                     pos = e
                     continue
+                arg = parts[0]
                 if kind == "join":
-                    parts[0] = flattened(parts[0], d - 1)
+                    parts[0] = flattened(arg, d - 1)
                     repl = f"{fn}({', '.join(parts)})"
                 elif kind == "card":
                     repl = (
-                        f"nullif(size({parts[0]}), 0)"
+                        f"nullif(size({arg}), 0)"
                         if d == 1
-                        else f"size({flattened(parts[0], d - 1)})"
+                        else f"size({flattened(arg, d - 1)})"
                     )
+                elif kind == "dims":
+                    chain, sizes = arg, []
+                    for _ in range(d):
+                        sizes.append(f"size({chain})")
+                        chain = f"try_element_at({chain}, 1)"
+                    repl = (
+                        f"(CASE WHEN ({arg}) IS NULL THEN NULL "
+                        f"WHEN size({arg}) = 0 THEN NULL "
+                        f"ELSE array({', '.join(sizes)}) END)"
+                    )
+                elif kind == "len":
+                    dim = parts[1]
+                    chain, whens = arg, []
+                    for k in range(1, d + 1):
+                        whens.append(f"WHEN ({dim}) = {k} THEN size({chain})")
+                        chain = f"try_element_at({chain}, 1)"
+                    # dims past the nesting depth are NULL (length.rs)
+                    repl = f"(CASE {' '.join(whens)} END)"
                 elif d == 1:  # reference flatten(flat) = identity
-                    repl = f"({parts[0]})"
+                    repl = f"({arg})"
                 else:
-                    repl = flattened(parts[0], d - 1)
+                    repl = flattened(arg, d - 1)
                 q = q[: s_i] + repl + q[e + 1 :]
                 pos = s_i + len(repl)
         return q

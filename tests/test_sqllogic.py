@@ -243,7 +243,7 @@ _FILES = {
     "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
     "interval.slt": 32,
     "timestamps.slt": 280,
-    "array.slt": 715,  # 725 measured r9 (flatten + cardinality depth lowering)
+    "array.slt": 735,  # 744 measured r9 (flatten/cardinality/dims/length depth lowering)
     "select.slt": 146,
     "scalar.slt": 238,  # 242 measured r9 (xor-precedence record flipped)
     "predicates.slt": 71,
