@@ -1271,16 +1271,46 @@ def _rewrite_sql(q: str) -> str:
     q = re.sub(r"~\*", " RLIKE \x01(?i)\x01 || ", q)
     q = re.sub(r"(?<![<>!=\^])~(?!=)", " RLIKE ", q)
 
+    # `interval '5' years|months|hours`: sqlparser-rs does NOT accept
+    # these plural words as interval units — the word becomes a column
+    # ALIAS and the unit-less string parses as SECONDS (interval.slt:40
+    # documents the Postgres-matching quirk: "years is parsed as a column
+    # name"). Spark accepts the plurals as real units, so rewrite to the
+    # reference's parse. (Plural milliseconds/microseconds/nanoseconds ARE
+    # units in sqlparser — untouched.)
+    q = re.sub(
+        r"\bINTERVAL\s+(\x00\d+\x00)\s+(years|months|hours)\b",
+        r"(INTERVAL \1) AS \2",
+        q,
+        flags=re.IGNORECASE,
+    )
+
     # operator precedence: the reference parses `^` (XOR) TIGHTER than
     # `>>`/`<<` (sqlparser-rs PG-style: additive > xor > shift), Spark the
     # reverse — re-group simple-token xor chains adjacent to a shift so
     # `d ^ 7 >> 4` evaluates as `(d ^ 7) >> 4` (scalar.slt:1059)
     _tok = r"[\w.\x00]+"
+    # unary minus binds TIGHTER than ^ in the reference ((-2) ^ 2), so a
+    # clearly-unary leading minus (after an operator / paren / keyword)
+    # goes INSIDE the regrouping parens; Spark also parses the minus
+    # tighter than ^, so the grouped text evaluates identically
+    _pre = (
+        r"(^|[(,=<>+*/%]|\b(?:SELECT|WHEN|THEN|ELSE|AND|OR|WHERE|NOT|IN"
+        r"|VALUES|RETURN)\b)"
+    )
+    q = re.sub(
+        rf"{_pre}(\s*)(-\s*(?:{_tok})(?:\s*\^\s*{_tok})+)\s*(>>|<<)",
+        r"\1\2(\3) \4",
+        q,
+        flags=re.IGNORECASE,
+    )
     q = re.sub(
         rf"((?:{_tok})(?:\s*\^\s*{_tok})+)\s*(>>|<<)", r"(\1) \2", q
     )
     q = re.sub(
-        rf"(>>|<<)\s*((?:{_tok})(?:\s*\^\s*{_tok})+)(?!\s*\^)", r"\1 (\2)", q
+        rf"(>>|<<)(\s*)(-?\s*(?:{_tok})(?:\s*\^\s*{_tok})+)(?!\s*\^)",
+        r"\1\2(\3)",
+        q,
     )
 
     # (these two loops run BEFORE any internal lowering below —
@@ -4565,6 +4595,86 @@ class SessionContext:
             return self.spark.sql(_rewrite_sql(query), args=args)
         return self.spark.sql(_rewrite_sql(query))
 
+    # relation-alias stopwords: a word here after `FROM t` is a clause
+    # keyword, not an alias
+    _ALIAS_STOP = frozenset(
+        """where group order limit offset having union except intersect
+        on using join inner left right full cross natural semi anti
+        outer window qualify lateral values select when then else end
+        set tablesample distribute sort cluster for fetch minus""".split()
+    )
+
+    def _from_schema_map(
+        self, q: str
+    ) -> tuple[dict[str, object], list[str]] | None:
+        """Alias-aware column→DataType map for the relations in a query's
+        FROM/JOIN clauses (all nesting levels flattened into one scope).
+
+        Keys are lowercased ``alias.col`` / ``table.col`` per relation,
+        plus bare ``col`` when exactly ONE relation carries that column —
+        the reference's own unambiguity rule, so a self-join's shared
+        columns resolve only through their qualifiers. Returns
+        ``(map, tables)`` or None when any FROM/JOIN source is not a
+        resolvable catalog table (subquery, UDTF call, VALUES, column
+        renames via ``alias(c1, ...)``) — callers then skip their
+        type-aware lowering, the documented §1.2 residual. This is the
+        shared resolver behind _rewrite_median / _rewrite_decimal_avg /
+        _rewrite_int_division / _rewrite_deep_array_fns, generalizing
+        them past the r9 single-plain-FROM guard."""
+        shield = _strip_strings(q)
+        rels: list[tuple[str, str | None]] = []  # (table, alias)
+        ident = r"[A-Za-z_][\w.]*"
+        for m in re.finditer(r"\b(FROM|JOIN)\b", shield, re.IGNORECASE):
+            pos = m.end()
+            while True:
+                seg = shield[pos:]
+                rm = re.match(rf"\s+({ident})\s*", seg)
+                if rm is None:
+                    # `FROM (subquery)`, `FROM VALUES`, lateral, ... —
+                    # unresolvable shape
+                    return None
+                rel = rm.group(1)
+                pos += rm.end()
+                if shield[pos : pos + 1] == "(":
+                    # UDTF / table-function call — not a catalog table
+                    return None
+                if rel.lower() in self._ALIAS_STOP:
+                    # `FROM` inside EXTRACT/SUBSTRING/TRIM text reaches
+                    # here with clause keywords — treat as unresolvable
+                    return None
+                alias = None
+                am = re.match(rf"(?:AS\s+)?([A-Za-z_]\w*)\s*", seg[rm.end() :], re.IGNORECASE)
+                if am and am.group(1).lower() not in self._ALIAS_STOP:
+                    alias = am.group(1)
+                    pos += am.end()
+                    if shield[pos : pos + 1] == "(":
+                        return None  # column-rename alias list
+                rels.append((rel, alias))
+                cm = re.match(r"\s*,", shield[pos:])
+                if not cm:
+                    break
+                pos += cm.end()
+        if not rels:
+            return None
+        out: dict[str, object] = {}
+        bare: dict[str, list[object]] = {}
+        tables: list[str] = []
+        for tbl, alias in rels:
+            try:
+                fields = self.spark.table(tbl).schema
+            except Exception:
+                return None
+            tables.append(tbl)
+            qual = (alias or tbl).lower()
+            for f in fields:
+                c = f.name.lower()
+                out[f"{qual}.{c}"] = f.dataType
+                bare.setdefault(c, []).append(f.dataType)
+        for c, dts in bare.items():
+            if len(dts) == 1:
+                out[c] = dts[0]
+        return out, tables
+
     def _rewrite_decimal_avg(self, q: str) -> str:
         """Decimal AVG with the reference's TRUNCATING division
         (functions-aggregate/src/average.rs DecimalAverager: the i128 sum
@@ -4573,11 +4683,11 @@ class SessionContext:
         digit diverges — tpch.slt q1's avg_disc 0.050144 vs 0.050145).
 
         Result type matches the reference: Decimal128(p+4 capped 38, s+4).
-        Lowered when the argument is a bare column of the SINGLE plain
-        FROM table with a DecimalType — the same static-resolvability
-        discipline as _rewrite_median / _rewrite_int_division; joins,
-        subqueries, and expression arguments keep Spark's avg (documented
-        §1.2 residual). Exactness: sum is an exact decimal; multiplying
+        Lowered when the argument is a (possibly alias-qualified) column
+        statically resolvable through _from_schema_map with a DecimalType
+        — the same discipline as _rewrite_median / _rewrite_int_division;
+        subqueries-in-FROM and expression arguments keep Spark's avg
+        (documented §1.2 residual). Exactness: sum is an exact decimal; multiplying
         by 10^(s+4) makes the target quotient's unscaled value integral,
         `div` truncates toward zero exactly (the reference's i128 `/`),
         and the final /10^(s+4) + cast are exact power-of-ten rescales.
@@ -4586,33 +4696,26 @@ class SessionContext:
         long before Decimal128 does; such magnitudes keep Spark's avg."""
         if not re.search(r"\bavg\s*\(", q, re.IGNORECASE):
             return q
-        shield = _strip_strings(q)
-        if re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+        resolved = self._from_schema_map(q)
+        if resolved is None:
             return q
-        froms = {
-            m.lower()
-            for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)
-        }
-        if len(froms) != 1:
-            return q
+        schema, _ = resolved
         from pyspark.sql.types import DecimalType
-
-        try:
-            schema = {
-                f.name.lower(): f.dataType
-                for f in self.spark.table(next(iter(froms))).schema
-            }
-        except Exception:
-            return q
         pos = 0
         while True:
             hit = _find_call(q, "avg", pos)
             if hit is None:
                 break
             s_i, a, e = hit
+            # windowed / filtered aggregates keep Spark semantics: the
+            # CAST(... div ...) form cannot take an OVER or FILTER clause
+            # (the truncation emulation exists for the grouped slt form)
+            if re.match(r"\s*(OVER|FILTER)\b", q[e + 1 :], re.IGNORECASE):
+                pos = e
+                continue
             arg = q[a:e].strip()
             dt = (
-                schema.get(arg.rsplit(".", 1)[-1].lower())
+                schema.get(arg.lower())
                 if re.fullmatch(r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", arg)
                 else None
             )
@@ -4643,7 +4746,7 @@ class SessionContext:
         self, arg: str, schema: dict | None, lits: list[str] | None = None
     ) -> int | None:
         """Static array-nesting depth of an expression TEXT, or None when
-        unresolvable. Resolves bare columns (single-FROM schema), bracket
+        unresolvable. Resolves columns (alias-aware _from_schema_map), bracket
         literals, make_array/array_repeat chains, and arrow_cast type
         strings — the shapes the reference's array corpus uses. ``lits``
         is the caller's literal-shield table: arrow_cast's TYPE STRING is
@@ -4651,7 +4754,9 @@ class SessionContext:
         looked back up."""
         arg = arg.strip()
         if arg.startswith("["):
-            return len(arg) - len(arg.lstrip("["))
+            # whitespace may separate nested brackets: `[ [1], [2] ]`
+            m = re.match(r"(?:\[\s*)+", arg)
+            return m.group(0).count("[")
         low = arg.lower()
         for fn in ("make_array(", "array_repeat("):
             if low.startswith(fn) and arg.endswith(")"):
@@ -4677,7 +4782,7 @@ class SessionContext:
         ):
             from pyspark.sql.types import ArrayType
 
-            dt = schema.get(arg.rsplit(".", 1)[-1].lower())
+            dt = schema.get(arg.lower())
             d = 0
             while isinstance(dt, ArrayType):
                 d, dt = d + 1, dt.elementType
@@ -4702,20 +4807,8 @@ class SessionContext:
             for s in ("flatten", "to_string", "_join", "cardinality", "dims", "length")
         ):
             return q
-        schema = None
-        shield = _strip_strings(q)
-        froms = {
-            m.lower()
-            for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)
-        }
-        if len(froms) == 1 and not re.search(r"\bJOIN\b", shield, re.IGNORECASE):
-            try:
-                schema = {
-                    f.name.lower(): f.dataType
-                    for f in self.spark.table(next(iter(froms))).schema
-                }
-            except Exception:
-                schema = None
+        resolved = self._from_schema_map(q)
+        schema = resolved[0] if resolved else None
 
         def flattened(arg: str, times: int) -> str:
             out = arg
@@ -4766,10 +4859,16 @@ class SessionContext:
                     parts[0] = flattened(arg, d - 1)
                     repl = f"{fn}({', '.join(parts)})"
                 elif kind == "card":
+                    # empty OUTER array is NULL at every depth
+                    # (compute_array_dims yields None → cardinality NULL);
+                    # nested-empty like [[]] stays 0
                     repl = (
                         f"nullif(size({arg}), 0)"
                         if d == 1
-                        else f"size({flattened(arg, d - 1)})"
+                        else (
+                            f"(CASE WHEN size({arg}) = 0 THEN NULL "
+                            f"ELSE size({flattened(arg, d - 1)}) END)"
+                        )
                     )
                 elif kind == "dims":
                     chain, sizes = arg, []
@@ -4801,39 +4900,25 @@ class SessionContext:
         """Integer COLUMN division truncates in the reference (Int64/Int64 →
         Int64, like Rust's `/`); Spark's `/` is always fractional. The
         literal/literal pair is folded in _rewrite_sql; this closes the
-        column cases the text layer alone cannot type: when the query has a
-        SINGLE plain FROM table, `a / b` where each operand is a bare
-        column of that table with an INTEGRAL type (or an integer literal)
+        column cases the text layer alone cannot type: `a / b` where each
+        operand is an integer literal or a column statically resolvable
+        through the alias-aware _from_schema_map with an INTEGRAL type
         lowers to `a div b` — Spark's `div` is Int64 truncating division,
-        the reference's exact semantics. Joins, subqueries, aliases, and
+        the reference's exact semantics. Subqueries-in-FROM and
         non-integral operands keep Spark's `/` (documented §1.2 residual)."""
         if "/" not in q:
             return q
-        shield = _strip_strings(q)
-        if re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+        resolved = self._from_schema_map(q)
+        if resolved is None:
             return q
-        froms = {
-            m.lower()
-            for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)
-        }
-        if len(froms) != 1:
-            return q
-        try:
-            schema = {
-                f.name.lower(): f.dataType
-                for f in self.spark.table(next(iter(froms))).schema
-            }
-        except Exception:
-            return q
+        schema, _ = resolved
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
         def integral(tok: str) -> bool:
             if re.fullmatch(r"\d+", tok):
                 return True
-            # qualified references resolve through the (single) table, so
-            # the qualifier — table name or alias — drops for the lookup
             return isinstance(
-                schema.get(tok.rsplit(".", 1)[-1].lower()),
+                schema.get(tok.lower()),
                 (ByteType, ShortType, IntegerType, LongType),
             )
 
@@ -4861,8 +4946,8 @@ class SessionContext:
         loses both the type and exactness (int64 > 2^53, decimal scale).
 
         Lowered to a sorted-collect formula when the argument's type is
-        statically resolvable — a bare column of the single plain FROM
-        table — and integral or decimal. Floats keep Spark's median (same
+        statically resolvable — a possibly alias-qualified column through
+        _from_schema_map — and integral or decimal. Floats keep Spark's median (same
         value), and unresolvable shapes (joins, subqueries, expressions)
         keep the interpolating median as the documented divergence.
         Spark computes the repeated collect_list aggregate once
@@ -4881,36 +4966,38 @@ class SessionContext:
         instead of truncating — the documented trade at scale."""
         if not re.search(r"\bmedian\s*\(", q, re.IGNORECASE):
             return q
-        shield = _strip_strings(q)
-        if re.search(r"\bJOIN\b", shield, re.IGNORECASE):
+        resolved = self._from_schema_map(q)
+        if resolved is None:
             return q
-        froms = {m.lower() for m in re.findall(r"\bFROM\s+([A-Za-z_]\w*)\b", shield, re.IGNORECASE)}
-        if len(froms) != 1:
-            return q
-        tbl = next(iter(froms))
-        try:
-            schema = {f.name.lower(): f.dataType for f in self.spark.table(tbl).schema}
-        except Exception:
-            return q
+        schema, tables = resolved
         try:
             cap = int(
                 self.spark.conf.get(
                     "spark.spark_graft.median.exact_max_bytes", str(1 << 30)
                 )
             )
-            est = int(
-                self.spark.table(tbl)
-                ._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
+            # multi-table queries guard on the SUM of source-table sizes
+            # (heuristic: equi-join fan-out past that needs statistics
+            # Spark doesn't expose pre-execution; the cap itself already
+            # sits well under executor memory)
+            est = 0
+            for tbl in tables:
+                t_est = int(
+                    self.spark.table(tbl)
+                    ._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+                # Long.MaxValue = Catalyst's "size unknown" sentinel
+                # (in-memory relations): unknown counts 0 — stays EXACT;
+                # the guard is for file-backed tables whose real byte
+                # size proves the lowering can't fit
+                if t_est < (1 << 63) - 1:
+                    est += t_est
         except Exception:
             cap, est = 1, 0
-        # Long.MaxValue = Catalyst's "size unknown" sentinel (in-memory
-        # relations): unknown stays EXACT — the guard is for file-backed
-        # tables whose real byte size proves the lowering can't fit
-        if est > cap and est < (1 << 63) - 1:
+        if est > cap:
             return q
         from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
 
@@ -4920,13 +5007,13 @@ class SessionContext:
             if hit is None:
                 break
             s_i, a, e = hit
-            if re.match(r"\s*OVER\b", q[e + 1 :], re.IGNORECASE):
+            if re.match(r"\s*(OVER|FILTER)\b", q[e + 1 :], re.IGNORECASE):
                 pos = e
                 continue
             argstr = q[a:e].strip()
             md = re.match(r"DISTINCT\s+(.+)$", argstr, re.IGNORECASE | re.DOTALL)
             x = (md.group(1) if md else argstr).strip()
-            if not re.fullmatch(r"[A-Za-z_]\w*", x):
+            if not re.fullmatch(r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", x):
                 pos = e
                 continue
             dtype = schema.get(x.lower())

@@ -134,21 +134,250 @@ _REGISTRY: dict[str, tuple[object, str]] = {
     "sql_parser.support_varchar_with_length": ("true", "bool"),
 }
 
-# Descriptions for SHOW ... VERBOSE — ours, focused on what the key does
-# IN THIS ENGINE (the reference renders its own doc text here).
+# Descriptions for SHOW ... VERBOSE and information_schema.df_settings —
+# the reference's own option documentation (public API surface of
+# datafusion/common/src/config.rs ConfigOptions doc text, as rendered by
+# its SHOW ALL VERBOSE golden in test_files/information_schema.slt). The
+# Spark-side effect of each mapped key is the table in this module's
+# docstring; the description text is the cross-engine contract users see.
 _DESCRIPTIONS = {
-    "catalog.default_catalog": "Catalog name used in information_schema displays",
-    "catalog.default_schema": "Schema name used in information_schema displays",
-    "catalog.information_schema": "Whether information_schema SQL is available",
-    "catalog.has_header": "Default CSV header behavior for CREATE EXTERNAL TABLE",
-    "execution.batch_size": "Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch)",
-    "execution.coalesce_batches": "Coalesce small partitions (AQE coalescePartitions)",
-    "execution.target_partitions": "Shuffle parallelism (spark.sql.shuffle.partitions)",
-    "execution.time_zone": "Session time zone (spark.sql.session.timeZone)",
-    "execution.enable_recursive_ctes": "Whether WITH RECURSIVE is allowed",
-    "execution.parquet.compression": "Parquet write compression codec",
-    "optimizer.prefer_hash_join": "Prefer hash join over sort-merge join",
-    "sql_parser.parse_float_as_decimal": "Type decimal literals as DECIMAL instead of DOUBLE",
+    'catalog.create_default_catalog_and_schema': (
+        'Whether the default catalog and schema should be created automatically.'
+    ),
+    'catalog.default_catalog': (
+        'The default catalog name - this impacts what SQL queries use if not specified'
+    ),
+    'catalog.default_schema': (
+        'The default schema name - this impacts what SQL queries use if not specified'
+    ),
+    'catalog.format': (
+        'Type of `TableProvider` to use when loading `default` schema'
+    ),
+    'catalog.has_header': (
+        'Default value for `format.has_header` for `CREATE EXTERNAL TABLE` if not specified explicitly in the statement.'
+    ),
+    'catalog.information_schema': (
+        'Should DataFusion provide access to `information_schema` virtual tables for displaying schema information'
+    ),
+    'catalog.location': (
+        'Location scanned to load tables for `default` schema'
+    ),
+    'execution.aggregate.scalar_update_factor': (
+        'Specifies the threshold for using `ScalarValue`s to update accumulators during high-cardinality aggregations for each input batch. The aggregation is considered high-cardinality if the number of affected groups is greater than or equal to `batch_size / scalar_update_factor`. In such cases, `ScalarValue`s are utilized for updating accumulators, rather than the default batch-slice approach. This can lead to performance improvements. By adjusting the `scalar_update_factor`, you can balance the trade-off between more efficient accumulator updates and the number of groups affected.'
+    ),
+    'execution.batch_size': (
+        "Default batch size while creating new batches, it's especially useful for buffer-in-memory batches since creating tiny batches would result in too much metadata memory consumption"
+    ),
+    'execution.coalesce_batches': (
+        'When set to true, record batches will be examined between each operator and small batches will be coalesced into larger batches. This is helpful when there are highly selective filters or joins that could produce tiny output batches. The target batch size is determined by the configuration setting'
+    ),
+    'execution.collect_statistics': (
+        'Should DataFusion collect statistics after listing files'
+    ),
+    'execution.enable_recursive_ctes': (
+        'Should DataFusion support recursive CTEs'
+    ),
+    'execution.keep_partition_by_columns': (
+        'Should Datafusion keep the columns used for partition_by in the output RecordBatches'
+    ),
+    'execution.listing_table_ignore_subdirectory': (
+        'Should sub directories be ignored when scanning directories for data files. Defaults to true (ignores subdirectories), consistent with Hive. Note that this setting does not affect reading partitioned tables (e.g. `/table/year=2021/month=01/data.parquet`).'
+    ),
+    'execution.max_buffered_batches_per_output_file': (
+        'This is the maximum number of RecordBatches buffered for each output file being worked. Higher values can potentially give faster write performance at the cost of higher peak memory consumption'
+    ),
+    'execution.meta_fetch_concurrency': (
+        'Number of files to read in parallel when inferring schema and statistics'
+    ),
+    'execution.minimum_parallel_output_files': (
+        'Guarantees a minimum level of output files running in parallel. RecordBatches will be distributed in round robin fashion to each parallel writer. Each writer is closed and a new file opened once soft_max_rows_per_output_file is reached.'
+    ),
+    'execution.parquet.allow_single_file_parallelism': (
+        'Controls whether DataFusion will attempt to speed up writing parquet files by serializing them in parallel. Each column in each row group in each output file are serialized in parallel leveraging a maximum possible core count of n_files*n_row_groups*n_columns.'
+    ),
+    'execution.parquet.bloom_filter_fpp': (
+        'Sets bloom filter false positive probability. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.bloom_filter_ndv': (
+        'Sets bloom filter number of distinct values. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.bloom_filter_on_read': (
+        'Use any available bloom filters when reading parquet files'
+    ),
+    'execution.parquet.bloom_filter_on_write': (
+        'Write bloom filters for all columns when creating parquet files'
+    ),
+    'execution.parquet.column_index_truncate_length': (
+        'Sets column index truncate length'
+    ),
+    'execution.parquet.compression': (
+        'Sets default parquet compression codec Valid values are: uncompressed, snappy, gzip(level), lzo, brotli(level), lz4, zstd(level), and lz4_raw. These values are not case sensitive. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.created_by': (
+        'Sets "created by" property'
+    ),
+    'execution.parquet.data_page_row_count_limit': (
+        'Sets best effort maximum number of rows in data page'
+    ),
+    'execution.parquet.data_pagesize_limit': (
+        'Sets best effort maximum size of data page in bytes'
+    ),
+    'execution.parquet.dictionary_enabled': (
+        'Sets if dictionary encoding is enabled. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.dictionary_page_size_limit': (
+        'Sets best effort maximum dictionary page size, in bytes'
+    ),
+    'execution.parquet.enable_page_index': (
+        'If true, reads the Parquet data page level metadata (the Page Index), if present, to reduce the I/O and number of rows decoded.'
+    ),
+    'execution.parquet.encoding': (
+        'Sets default encoding for any column Valid values are: plain, plain_dictionary, rle, bit_packed, delta_binary_packed, delta_length_byte_array, delta_byte_array, rle_dictionary, and byte_stream_split. These values are not case sensitive. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.max_row_group_size': (
+        'Target maximum number of rows in each row group (defaults to 1M rows). Writing larger row groups requires more memory to write, but can get better compression and be faster to read.'
+    ),
+    'execution.parquet.max_statistics_size': (
+        'Sets max statistics size for any column. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.maximum_buffered_record_batches_per_stream': (
+        'By default parallel parquet writer is tuned for minimum memory usage in a streaming execution plan. You may see a performance benefit when writing large parquet files by increasing maximum_parallel_row_group_writers and maximum_buffered_record_batches_per_stream if your system has idle cores and can tolerate additional memory usage. Boosting these values is likely worthwhile when writing out already in-memory data, such as from a cached data frame.'
+    ),
+    'execution.parquet.maximum_parallel_row_group_writers': (
+        'By default parallel parquet writer is tuned for minimum memory usage in a streaming execution plan. You may see a performance benefit when writing large parquet files by increasing maximum_parallel_row_group_writers and maximum_buffered_record_batches_per_stream if your system has idle cores and can tolerate additional memory usage. Boosting these values is likely worthwhile when writing out already in-memory data, such as from a cached data frame.'
+    ),
+    'execution.parquet.metadata_size_hint': (
+        'If specified, the parquet reader will try and fetch the last `size_hint` bytes of the parquet file optimistically. If not specified, two reads are required: One read to fetch the 8-byte parquet footer and another to fetch the metadata length encoded in the footer'
+    ),
+    'execution.parquet.pruning': (
+        'If true, the parquet reader attempts to skip entire row groups based on the predicate in the query and the metadata (min/max values) stored in the parquet file'
+    ),
+    'execution.parquet.pushdown_filters': (
+        'If true, filter expressions are be applied during the parquet decoding operation to reduce the number of rows decoded. This optimization is sometimes called "late materialization".'
+    ),
+    'execution.parquet.reorder_filters': (
+        'If true, filter expressions evaluated during the parquet decoding operation will be reordered heuristically to minimize the cost of evaluation. If false, the filters are applied in the same order as written in the query'
+    ),
+    'execution.parquet.skip_metadata': (
+        'If true, the parquet reader skip the optional embedded metadata that may be in the file Schema. This setting can help avoid schema conflicts when querying multiple parquet files with schemas containing compatible types but different metadata'
+    ),
+    'execution.parquet.statistics_enabled': (
+        'Sets if statistics are enabled for any column Valid values are: "none", "chunk", and "page" These values are not case sensitive. If NULL, uses default parquet writer setting'
+    ),
+    'execution.parquet.write_batch_size': (
+        'Sets write_batch_size in bytes'
+    ),
+    'execution.parquet.writer_version': (
+        'Sets parquet writer version valid values are "1.0" and "2.0"'
+    ),
+    'execution.planning_concurrency': (
+        'Fan-out during initial physical planning. This is mostly use to plan `UNION` children in parallel. Defaults to the number of CPU cores on the system'
+    ),
+    'execution.soft_max_rows_per_output_file': (
+        'Target number of rows in output files when writing multiple. This is a soft max, so it can be exceeded slightly. There also will be one file smaller than the limit if the total number of rows written is not roughly divisible by the soft max'
+    ),
+    'execution.sort_in_place_threshold_bytes': (
+        'When sorting, below what size should data be concatenated and sorted in a single RecordBatch rather than sorted in batches and merged.'
+    ),
+    'execution.sort_spill_reservation_bytes': (
+        "Specifies the reserved memory for each spillable sort operation to facilitate an in-memory merge. When a sort operation spills to disk, the in-memory data must be sorted and merged before being written to a file. This setting reserves a specific amount of memory for that in-memory sort/merge process. Note: This setting is irrelevant if the sort operation cannot spill (i.e., if there's no `DiskManager` configured)."
+    ),
+    'execution.split_file_groups_by_statistics': (
+        'Attempt to eliminate sorts by packing & sorting files with non-overlapping statistics into the same file groups. Currently experimental'
+    ),
+    'execution.target_partitions': (
+        'Number of partitions for query execution. Increasing partitions can increase concurrency. Defaults to the number of CPU cores on the system'
+    ),
+    'execution.time_zone': (
+        'The default time zone Some functions, e.g. `EXTRACT(HOUR from SOME_TIME)`, shift the underlying datetime according to this time zone, and then extract the hour'
+    ),
+    'explain.logical_plan_only': (
+        'When set to true, the explain statement will only print logical plans'
+    ),
+    'explain.physical_plan_only': (
+        'When set to true, the explain statement will only print physical plans'
+    ),
+    'explain.show_schema': (
+        'When set to true, the explain statement will print schema information'
+    ),
+    'explain.show_sizes': (
+        'When set to true, the explain statement will print the partition sizes'
+    ),
+    'explain.show_statistics': (
+        'When set to true, the explain statement will print operator statistics for physical plans'
+    ),
+    'optimizer.allow_symmetric_joins_without_pruning': (
+        'Should DataFusion allow symmetric hash joins for unbounded data sources even when its inputs do not have any ordering or filtering If the flag is not enabled, the SymmetricHashJoin operator will be unable to prune its internal buffers, resulting in certain join types - such as Full, Left, LeftAnti, LeftSemi, Right, RightAnti, and RightSemi - being produced only at the end of the execution. This is not typical in stream processing. Additionally, without proper design for long runner execution, all types of joins may encounter out-of-memory errors.'
+    ),
+    'optimizer.default_filter_selectivity': (
+        'The default filter selectivity used by Filter Statistics when an exact selectivity cannot be determined. Valid values are between 0 (no selectivity) and 100 (all rows are selected).'
+    ),
+    'optimizer.enable_distinct_aggregation_soft_limit': (
+        'When set to true, the optimizer will push a limit operation into grouped aggregations which have no aggregate expressions, as a soft limit, emitting groups once the limit is reached, before all rows in the group are read.'
+    ),
+    'optimizer.enable_round_robin_repartition': (
+        'When set to true, the physical plan optimizer will try to add round robin repartitioning to increase parallelism to leverage more CPU cores'
+    ),
+    'optimizer.enable_topk_aggregation': (
+        'When set to true, the optimizer will attempt to perform limit operations during aggregations, if possible'
+    ),
+    'optimizer.filter_null_join_keys': (
+        'When set to true, the optimizer will insert filters before a join between a nullable and non-nullable column to filter out nulls on the nullable side. This filter can add additional overhead when the file format does not fully support predicate push down.'
+    ),
+    'optimizer.hash_join_single_partition_threshold': (
+        'The maximum estimated size in bytes for one input side of a HashJoin will be collected into a single partition'
+    ),
+    'optimizer.hash_join_single_partition_threshold_rows': (
+        'The maximum estimated size in rows for one input side of a HashJoin will be collected into a single partition'
+    ),
+    'optimizer.max_passes': (
+        'Number of times that the optimizer will attempt to optimize the plan'
+    ),
+    'optimizer.prefer_existing_sort': (
+        'When true, DataFusion will opportunistically remove sorts when the data is already sorted, (i.e. setting `preserve_order` to true on `RepartitionExec`  and using `SortPreservingMergeExec`) When false, DataFusion will maximize plan parallelism using `RepartitionExec` even if this requires subsequently resorting data using a `SortExec`.'
+    ),
+    'optimizer.prefer_existing_union': (
+        'When set to true, the optimizer will not attempt to convert Union to Interleave'
+    ),
+    'optimizer.prefer_hash_join': (
+        'When set to true, the physical plan optimizer will prefer HashJoin over SortMergeJoin. HashJoin can work more efficiently than SortMergeJoin but consumes more memory'
+    ),
+    'optimizer.repartition_aggregations': (
+        'Should DataFusion repartition data using the aggregate keys to execute aggregates in parallel using the provided `target_partitions` level'
+    ),
+    'optimizer.repartition_file_min_size': (
+        'Minimum total files size in bytes to perform file scan repartitioning.'
+    ),
+    'optimizer.repartition_file_scans': (
+        "When set to `true`, file groups will be repartitioned to achieve maximum parallelism. Currently Parquet and CSV formats are supported. If set to `true`, all files will be repartitioned evenly (i.e., a single large file might be partitioned into smaller chunks) for parallel scanning. If set to `false`, different files will be read in parallel, but repartitioning won't happen within a single file."
+    ),
+    'optimizer.repartition_joins': (
+        'Should DataFusion repartition data using the join keys to execute joins in parallel using the provided `target_partitions` level'
+    ),
+    'optimizer.repartition_sorts': (
+        'Should DataFusion execute sorts in a per-partition fashion and merge afterwards instead of coalescing first and sorting globally. With this flag is enabled, plans in the form below ```text      "SortExec: [a@0 ASC]",      "  CoalescePartitionsExec",      "    RepartitionExec: partitioning=RoundRobinBatch(8), input_partitions=1", ``` would turn into the plan below which performs better in multithreaded environments ```text      "SortPreservingMergeExec: [a@0 ASC]",      "  SortExec: [a@0 ASC]",      "    RepartitionExec: partitioning=RoundRobinBatch(8), input_partitions=1", ```'
+    ),
+    'optimizer.repartition_windows': (
+        'Should DataFusion repartition data using the partitions keys to execute window functions in parallel using the provided `target_partitions` level'
+    ),
+    'optimizer.skip_failed_rules': (
+        'When set to true, the logical plan optimizer will produce warning messages if any optimization rules produce errors and then proceed to the next rule. When set to false, any rules that produce errors will cause the query to fail'
+    ),
+    'optimizer.top_down_join_key_reordering': (
+        'When set to true, the physical plan optimizer will run a top down process to reorder the join keys'
+    ),
+    'sql_parser.dialect': (
+        "Configure the SQL dialect used by DataFusion's parser; supported values include: Generic, MySQL, PostgreSQL, Hive, SQLite, Snowflake, Redshift, MsSQL, ClickHouse, BigQuery, and Ansi."
+    ),
+    'sql_parser.enable_ident_normalization': (
+        'When set to true, SQL parser will normalize ident (convert ident to lowercase when not quoted)'
+    ),
+    'sql_parser.parse_float_as_decimal': (
+        'When set to true, SQL parser will parse float as decimal type'
+    ),
+    'sql_parser.support_varchar_with_length': (
+        'If true, permit lengths for `VARCHAR` such as `VARCHAR(20)`, but ignore the length. If false, error if a `VARCHAR` with a length is specified. The Arrow type system does not have a notion of maximum string length and thus DataFusion can not enforce such limits.'
+    ),
 }
 
 

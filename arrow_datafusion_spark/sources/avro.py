@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import struct
 import zlib
 from collections.abc import Iterator
@@ -431,7 +432,15 @@ def write_avro_partitioned(
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    offset = sum(1 for f in os.listdir(path) if f.endswith(".avro"))
+    # offset = max existing part INDEX + 1 (not the file count): empty
+    # partitions skip their write, leaving gaps in part numbers — a
+    # count-based offset could land a later append on an existing index
+    # and 'wb' would destroy previously inserted rows
+    offset = 0
+    for f in os.listdir(path):
+        m = re.match(r"part-(\d+)\.avro$", f)
+        if m:
+            offset = max(offset, int(m.group(1)) + 1)
     cols = [f["name"] for f in schema["fields"]]
 
     def _write_part(rows_iter):

@@ -655,6 +655,170 @@ def test_decimal_avg_truncates_like_the_reference(spark):
         spark.catalog.dropTempView("dec_avg_t")
 
 
+def test_decimal_avg_skips_windowed_and_filtered_forms(spark):
+    # r9 regression (VERDICT r9 #1): the truncating-avg lowering replaced
+    # avg(decimal) even when followed by OVER/FILTER, producing
+    # CAST(...) OVER (...) — a ParseException. Windowed and filtered
+    # decimal avg keep Spark semantics (the truncation emulation exists
+    # for the grouped slt golden only).
+    from decimal import Decimal
+
+    ctx = SessionContext(spark)
+    spark.sql(
+        "SELECT CAST(v AS DECIMAL(10,6)) v, g FROM VALUES "
+        "(1.5, 0), (2.5, 0), (10.0, 1) t(v, g)"
+    ).createOrReplaceTempView("dec_avg_w_t")
+    try:
+        rows = ctx.sql(
+            "SELECT g, avg(v) OVER (PARTITION BY g) AS a FROM dec_avg_w_t"
+        ).collect()
+        vals = {(r[0], r[1]) for r in rows}
+        assert (1, Decimal("10.0000000000")) in vals
+        f = ctx.sql(
+            "SELECT avg(v) FILTER (WHERE g = 0) AS a FROM dec_avg_w_t"
+        ).collect()[0][0]
+        assert f == Decimal("2.0000000000")
+        # grouped form still truncates (the lowering itself intact)
+        g = ctx.sql(
+            "SELECT g, avg(v) AS a FROM dec_avg_w_t GROUP BY g ORDER BY g"
+        ).collect()
+        assert g[0][1] == Decimal("2.0000000000")
+    finally:
+        spark.catalog.dropTempView("dec_avg_w_t")
+
+
+def test_type_aware_rewrites_resolve_joined_and_aliased_tables(spark):
+    # r10: _from_schema_map generalizes the r9 single-plain-FROM guard —
+    # truncating decimal avg, integer division, exact median, and deep
+    # array lowerings now apply across JOIN/alias/comma-FROM shapes when
+    # the column resolves unambiguously (the reference's own rule)
+    from decimal import Decimal
+
+    ctx = SessionContext(spark)
+    spark.sql(
+        "SELECT CAST(v AS DECIMAL(10,6)) d, k, n FROM VALUES "
+        "(-0.00001, 1, 7), (-0.00002, 1, 9), (-0.00008, 1, 11) t(v, k, n)"
+    ).createOrReplaceTempView("jr_fact")
+    spark.createDataFrame([(1, "x")], "k int, name string").createOrReplaceTempView(
+        "jr_dim"
+    )
+    try:
+        # decimal avg through an INNER JOIN with aliases
+        v = ctx.sql(
+            "SELECT avg(f.d) AS a FROM jr_fact f JOIN jr_dim g ON f.k = g.k"
+        ).collect()[0][0]
+        assert v == Decimal("-0.0000366666")  # truncating, not HALF_UP
+        # unqualified column, unambiguous across both relations
+        v = ctx.sql(
+            "SELECT avg(d) AS a FROM jr_fact f JOIN jr_dim g ON f.k = g.k"
+        ).collect()[0][0]
+        assert v == Decimal("-0.0000366666")
+        # integer column division across a comma-FROM
+        v = ctx.sql(
+            "SELECT f.n / 2 AS h FROM jr_fact f, jr_dim g WHERE f.k = g.k "
+            "ORDER BY h"
+        ).collect()
+        assert [r[0] for r in v] == [3, 4, 5]  # truncating div, int type
+        # exact median through a join (int type preserved)
+        m = ctx.sql(
+            "SELECT median(f.n) AS m FROM jr_fact f JOIN jr_dim g ON f.k = g.k"
+        ).collect()[0][0]
+        assert m == 9 and not isinstance(m, float)
+        # ambiguous column (k in both tables) leaves Spark semantics:
+        # qualified k resolves, bare n / d still fine above
+        two = ctx.sql(
+            "SELECT f.n / g.k AS q FROM jr_fact f JOIN jr_dim g ON f.k = g.k "
+            "ORDER BY q"
+        ).collect()
+        assert [r[0] for r in two] == [7, 9, 11]
+    finally:
+        spark.catalog.dropTempView("jr_fact")
+        spark.catalog.dropTempView("jr_dim")
+
+
+def test_from_schema_map_bails_on_unresolvable_shapes(spark):
+    # subquery-in-FROM, UDTF calls, and EXTRACT's FROM keyword must all
+    # return None (skip lowering) rather than mis-resolve
+    ctx = SessionContext(spark)
+    assert ctx._from_schema_map("SELECT 1 FROM (SELECT 2) s") is None
+    assert ctx._from_schema_map("SELECT * FROM range(10)") is None
+    assert (
+        ctx._from_schema_map("SELECT EXTRACT(HOUR FROM ts) FROM nosuch_t")
+        is None
+    )
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("fsm_t")
+    try:
+        got = ctx._from_schema_map("SELECT a FROM fsm_t AS z")
+        assert got is not None
+        schema, tables = got
+        assert "z.a" in schema and "a" in schema and tables == ["fsm_t"]
+        # self-join: bare column ambiguous, qualified forms present
+        schema2, _ = ctx._from_schema_map(
+            "SELECT x.a FROM fsm_t x JOIN fsm_t y ON x.a = y.a"
+        )
+        assert "x.a" in schema2 and "y.a" in schema2 and "a" not in schema2
+    finally:
+        spark.catalog.dropTempView("fsm_t")
+
+
+def test_median_skips_filtered_form(spark):
+    # same guard class as the windowed-avg regression: the collect_list
+    # median lowering cannot take a FILTER clause either
+    ctx = SessionContext(spark)
+    spark.createDataFrame(
+        [(1, 0), (3, 0), (100, 1)], "x int, g int"
+    ).createOrReplaceTempView("med_f_t")
+    try:
+        v = ctx.sql(
+            "SELECT median(x) FILTER (WHERE g = 0) AS m FROM med_f_t"
+        ).collect()[0][0]
+        assert float(v) == 2.0
+    finally:
+        spark.catalog.dropTempView("med_f_t")
+
+
+def test_array_depth_tolerates_whitespace_in_bracket_literals(spark):
+    # `[ [1], [2] ]` is depth 2 even with whitespace between brackets —
+    # a depth-1 misread would lower flatten/cardinality with the wrong
+    # count and silently return wrong values (ADVICE r9)
+    ctx = SessionContext(spark)
+    row = ctx.sql(
+        "SELECT flatten([ [1, 2], [3] ]) AS f, cardinality([ [1, 2], [3] ]) AS c"
+    ).collect()[0]
+    assert row[0] == [1, 2, 3]
+    assert row[1] == 3
+
+
+def test_cardinality_null_for_empty_outer_nested_array(spark):
+    # compute_array_dims returns NULL for an empty OUTER array at every
+    # depth: cardinality(list<list> of size 0) is NULL, not 0; a
+    # nested-empty [[ ]] is 0 (one inner empty list → 0 leaves)
+    ctx = SessionContext(spark)
+    spark.sql(
+        "SELECT CAST(array() AS ARRAY<ARRAY<INT>>) AS a UNION ALL "
+        "SELECT array(CAST(array() AS ARRAY<INT>))"
+    ).createOrReplaceTempView("card_t")
+    try:
+        vals = sorted(
+            (r[0] for r in ctx.sql("SELECT cardinality(a) AS c FROM card_t").collect()),
+            key=lambda v: (v is None, v),
+        )
+        assert vals == [0, None]
+    finally:
+        spark.catalog.dropTempView("card_t")
+
+
+def test_xor_regroup_keeps_unary_minus_inside(spark):
+    # sqlparser-rs parses unary minus tighter than ^ (XOR), and ^ tighter
+    # than shifts: -2 ^ 2 >> 1 is ((-2) ^ 2) >> 1 = -2, NOT -((2^2) >> 1)
+    ctx = SessionContext(spark)
+    assert ctx.sql("SELECT -2 ^ 2 >> 1 AS v").collect()[0][0] == -2
+    assert ctx.sql("SELECT (-2 ^ 2 >> 1) AS v").collect()[0][0] == -2
+    # plain chain regrouping unchanged, both directions
+    assert ctx.sql("SELECT 13 ^ 7 >> 2 AS v").collect()[0][0] == (13 ^ 7) >> 2
+    assert ctx.sql("SELECT 256 >> 2 ^ 3 AS v").collect()[0][0] == 256 >> (2 ^ 3)
+
+
 def test_int_division_rewrite_skips_string_literals(spark):
     # '3/4' inside a literal is text, not arithmetic — the single-table
     # integer-division lowering must leave it alone while still

@@ -61,6 +61,35 @@ def test_copy_to_avro_directory_appends(spark, sf_dir, tmp_path):
     assert ctx.table("nations_back").count() == 50  # append, like csv/json
 
 
+def test_append_offset_survives_part_number_gaps(spark, tmp_path):
+    # empty partitions skip their write, leaving GAPS in part numbers; the
+    # append offset must be max-index+1, not the file count, or a later
+    # append lands on an existing index and 'wb' destroys rows (ADVICE r9).
+    # Deterministic gap: {part-00000, part-00005} (count 2, max index 5);
+    # a count-based offset would map append pids 0..3 onto 2..5, and
+    # part-00005 — real data — would be silently overwritten.
+    from arrow_datafusion_spark.sources.avro import (
+        avro_schema_of,
+        write_avro,
+        write_avro_partitioned,
+    )
+
+    ctx = _ctx(spark)
+    target = str(tmp_path / "gap_avro")
+    df1 = ctx.spark.createDataFrame([(100,)], "a bigint").coalesce(1)
+    write_avro_partitioned(df1, target, mode="overwrite")
+    schema = avro_schema_of(df1.schema)
+    write_avro(os.path.join(target, "part-00005.avro"), schema, [(105,)])
+    # append 4 rows in 4 round-robin partitions → every pid 0..3 writes
+    df2 = ctx.spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "a bigint"
+    ).repartition(4)
+    write_avro_partitioned(df2, target, mode="append")
+    ctx.register_avro("gap_back", target)
+    got = sorted(r[0] for r in ctx.table("gap_back").collect())
+    assert got == [1, 2, 3, 4, 100, 105]
+
+
 def test_copy_to_single_avro_file(spark, sf_dir, tmp_path):
     ctx = _ctx(spark)
     ctx.register_parquet("region", f"{sf_dir}/region.parquet")

@@ -112,7 +112,9 @@ _KNOWN = {
     # scale where Spark rounds / keeps a wider quotient scale — §1.2
     # decimal arithmetic rule divergence (values agree to ~1e-10).
     ("decimal.slt", 397): "decimal division scale rule (truncate@10 vs widen)",
-    ("interval.slt", 84): "interval '5' hours: reference parses literal as secs",
+    # (interval.slt:84 CLOSED round 10: `interval '5' years|months|hours`
+    # — sqlparser's plural-as-alias quirk — is now rewritten to the
+    # reference's parse: unit-less literal = seconds, word = alias.)
     # timestamps.slt: ns-precision displays (§1.2 ns→µs truncation);
     # named-timezone columns are normalized to the single session tz
     # (UTC) — the reference keeps per-column zones and truncates dates in
@@ -158,13 +160,10 @@ _KNOWN = {
     # ("casting to decimal or double or even i128 if supported").
     ("options.slt", 106): "u64-range literal typing: Decimal per §1.2 unsigned policy",
     ("options.slt", 134): "u64-range literal typing: Decimal per §1.2 unsigned policy",
-    # information_schema.slt: VERBOSE descriptions are each engine's own
-    # documentation text. (CTAS nullability closed r8: the SELECT's
-    # non-null fields are captured at create time, _ctas_non_null.)
-    ("information_schema.slt", 245): "SHOW ALL VERBOSE: engine's own doc text",
-    ("information_schema.slt", 335): "SHOW VERBOSE: engine's own doc text",
-    ("information_schema.slt", 357): "SHOW VERBOSE: engine's own doc text",
-    ("information_schema.slt", 364): "SHOW VERBOSE: engine's own doc text",
+    # (information_schema.slt VERBOSE records CLOSED round 10: settings.py
+    # now carries the reference's own option doc text — the public
+    # ConfigOptions description surface — so SHOW ALL VERBOSE / SHOW <key>
+    # VERBOSE match the goldens. CTAS nullability closed r8.)
     # Rust-harness-created fixtures (t2 with Large*/ns columns; the 'temp'
     # LOCAL TEMPORARY table) that no SQL statement in the file creates
     ("information_schema_columns.slt", 36): "t2 is a Rust-harness fixture (Large*/ns types)",
@@ -241,7 +240,7 @@ _FILES = {
     "map.slt": 9,
     "unnest.slt": 35,
     "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
-    "interval.slt": 32,
+    "interval.slt": 34,  # +3 plural-quirk records r10 (floor ~5% under)
     "timestamps.slt": 280,
     "array.slt": 735,  # 744 measured r9 (flatten/cardinality/dims/length depth lowering)
     "select.slt": 146,
@@ -294,7 +293,7 @@ _FILES = {
     "options.slt": 27,
     "create_function.slt": 8,
     "metadata.slt": 3,
-    "information_schema.slt": 58,
+    "information_schema.slt": 62,  # +4 VERBOSE records closed r10
     "information_schema_columns.slt": 5,
     "information_schema_table_types.slt": 5,
     "information_schema_multiple_catalogs.slt": 15,
