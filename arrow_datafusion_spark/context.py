@@ -2498,7 +2498,7 @@ def _resolve_object_store_location(spark, path: str, options=None) -> str:
     return path
 
 
-def _column_defs_to_ddl(cols: str) -> str:
+def _column_defs_to_ddl(cols: str, normalize: bool = True) -> str:
     """'name type, ...' column defs → Spark DDL schema string: split on
     top-level commas only (types like DECIMAL(10,2) contain commas) and map
     postgres type names."""
@@ -2515,9 +2515,14 @@ def _column_defs_to_ddl(cols: str) -> str:
                 continue
             cname, _, ctype = coldef.partition(" ")
             ctype = ctype.strip()
-            # quoted identifiers: '"date" DATE' → backticked Spark DDL
+            # quoted identifiers: '"date" DATE' → backticked Spark DDL,
+            # case preserved; UNQUOTED names lowercase — the reference's
+            # enable_ident_normalization (default true, ddl.slt's
+            # "Check column name is in uppercase" golden)
             if cname[:1] == '"' and cname[-1:] == '"':
                 cname = f"`{cname[1:-1]}`"
+            elif cname[:1] != "`" and normalize:
+                cname = cname.lower()
             # DEFAULT clauses are recorded separately (_record_defaults)
             # and applied at INSERT time — strip them from the DDL type
             ctype = re.sub(r"\s+DEFAULT\s+.+$", "", ctype, flags=re.IGNORECASE | re.DOTALL)
@@ -3366,7 +3371,11 @@ class SessionContext:
             if m.group(1) and self.table_exist(name):
                 return self.spark.createDataFrame([], "result string")
             self.spark.createDataFrame(
-                [], _column_defs_to_ddl(m.group(3))
+                [],
+                _column_defs_to_ddl(
+                    m.group(3),
+                    self.settings.get_bool("datafusion.sql_parser.enable_ident_normalization"),
+                ),
             ).write.mode("ignore" if m.group(1) else "errorifexists").saveAsTable(name)
             self._record_not_null(name, m.group(3))
             self._record_defaults(name, m.group(3))
@@ -3440,9 +3449,22 @@ class SessionContext:
             has_collist = bool(re.match(
                 r"\s*INSERT\s+INTO\s+[A-Za-z_]\w*\s*\(", query, re.IGNORECASE
             ))
-            if has_collist and self._col_defaults.get(target.lower()):
-                # Spark's native path would fill omitted columns with NULL;
-                # the coerced path evaluates the recorded defaults
+            body_is_values = bool(re.match(
+                r"\s*INSERT\s+INTO\s+[A-Za-z_]\w*\s*(?:\([^)]*\))?\s*\(?\s*VALUES\b",
+                query, re.IGNORECASE,
+            ))
+            if body_is_values or (
+                has_collist and self._col_defaults.get(target.lower())
+            ):
+                # coerced path: evaluates recorded column DEFAULTs Spark's
+                # native path would NULL-fill, and writes literal VALUES as
+                # ONE coalesced file so MemTable insertion order stays
+                # observable downstream (string_agg / last_value without
+                # ORDER BY follow scan order in the reference; Spark's
+                # native INSERT scatters literal rows across
+                # defaultParallelism files, scrambling scan order).
+                # Literal rows are bounded by the statement text —
+                # coalesce(1) cannot become a scale problem.
                 self._insert_coerced(target, query, args)
                 after = self.spark.table(target).count()
                 return self.spark.createDataFrame([(after - before,)], "count bigint")
@@ -3878,7 +3900,10 @@ class SessionContext:
         both a schema and a source query)."""
         if if_not_exists and self.table_exist(name):
             return self.spark.createDataFrame([], "result string")
-        ddl = _column_defs_to_ddl(coldefs)
+        ddl = _column_defs_to_ddl(
+            coldefs,
+            self.settings.get_bool("datafusion.sql_parser.enable_ident_normalization"),
+        )
         defs = _split_top_level(ddl)
         # placeholders were already bound by sql(); go straight to Spark
         src = self._spark_sql(body.strip().rstrip(";"), args)
@@ -4458,7 +4483,14 @@ class SessionContext:
         # object-store LOCATIONs: register credentials/scheme with Spark's
         # Hadoop conf (datafusion-cli object_storage.rs parity)
         path = self.register_object_store(path, opts)
-        schema = _column_defs_to_ddl(cols) if cols else None
+        schema = (
+            _column_defs_to_ddl(
+                cols,
+                self.settings.get_bool("datafusion.sql_parser.enable_ident_normalization"),
+            )
+            if cols
+            else None
+        )
         # External tables are INSERT sinks in the reference (FileSinkExec,
         # datasource/file_format/write/orchestration.rs): record the sink
         # shape, and allow registration over an EMPTY/missing location

@@ -16,6 +16,10 @@ Node shapes (op → fields):
     values      {"rows": [[...], ...], "schema": "a int, b string"}
     projection  {"input": node, "exprs": ["expr AS name", ...]}
     filter      {"input": node, "predicate": "expr"}
+                | {"input": node, "in_subquery":
+                   {"needle": "expr", "subquery": node, "negated": bool?}}
+                  (DataFusion InSubquery; lowered to the semi/anti join
+                  its RewritePredicateSubquery optimizer produces)
     aggregate   {"input": node, "group_by": [...], "aggs": ["agg AS name", ...]}
     join        {"left": node, "right": node, "on": "cond", "how": "inner"}
     sort        {"input": node, "by": ["col DESC", ...]}
@@ -57,7 +61,15 @@ def _node(ctx, n: dict) -> DataFrame:
     if op == "projection":
         return _node(ctx, n["input"]).selectExpr(*n["exprs"])
     if op == "filter":
-        return _node(ctx, n["input"]).filter(F.expr(n["predicate"]))
+        df = _node(ctx, n["input"])
+        if "in_subquery" in n:
+            ins = n["in_subquery"]
+            hay = _node(ctx, ins["subquery"])
+            how = "left_anti" if ins.get("negated") else "left_semi"
+            return df.join(
+                hay, F.expr(ins["needle"]) == hay[hay.columns[0]], how
+            )
+        return df.filter(F.expr(n["predicate"]))
     if op == "aggregate":
         df = _node(ctx, n["input"])
         aggs = [F.expr(a) for a in n["aggs"]]

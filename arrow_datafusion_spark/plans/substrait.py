@@ -400,6 +400,14 @@ class _Consumer:
                 return F.countDistinct(*args)
             if name == "sum":
                 return F.sum_distinct(args[0])
+            if name in ("min", "max", "any_value"):
+                # DISTINCT is a no-op for extrema/any (producer.rs emits
+                # the invocation faithfully; semantics are unchanged)
+                return _AGG_FUNCS[name](*args)
+            if name == "avg":
+                # avg(DISTINCT x) = sum(DISTINCT x) / count(DISTINCT x)
+                # (double-valued, like Spark's avg over integral input)
+                return F.sum_distinct(args[0]) / F.countDistinct(args[0])
             raise NotImplementedError(f"DISTINCT {name} aggregate")
         if name not in _AGG_FUNCS:
             raise NotImplementedError(f"aggregate function not supported: {name}")
@@ -468,6 +476,11 @@ class _Consumer:
             for nxt in inputs[1:]:
                 out = out.unionAll(nxt.toDF(*out.columns))
             return self._norm(out)
+        if str(op) in ("SET_OP_UNION_DISTINCT", "5") or op == 5:
+            out = inputs[0]
+            for nxt in inputs[1:]:
+                out = out.unionAll(nxt.toDF(*out.columns))
+            return self._norm(out.distinct())
         raise NotImplementedError(f"set operation {op}")
 
     # -- expressions ---------------------------------------------------------

@@ -434,6 +434,35 @@ class _Producer:
         cls = e.getClass().getSimpleName()
         if cls == "Alias":
             return self.measure(self._children(e)[0], columns, out_type)
+        if cls == "AggregateExpression":
+            # Spark parses some aggregates (any_value) straight to a
+            # resolved AggregateExpression instead of UnresolvedFunction —
+            # caught by the closure battery; read the wrapped function
+            fn = e.aggregateFunction()
+            name = fn.prettyName().lower()
+            if name not in _AGG_NAMES:
+                raise NotImplementedError(
+                    f"substrait producer: unsupported aggregate {name!r}"
+                )
+            args = [
+                self.rex(k, columns)
+                for k in self._children(fn)
+                if "Literal" not in k.getClass().getSimpleName()
+                or name != "any_value"  # drop any_value's ignoreNulls flag
+            ]
+            return {
+                "measure": {
+                    "functionReference": self._anchor(name),
+                    "arguments": [{"value": a} for a in args],
+                    "outputType": out_type,
+                    "phase": "AGGREGATION_PHASE_INITIAL_TO_RESULT",
+                    "invocation": (
+                        "AGGREGATION_INVOCATION_DISTINCT"
+                        if e.isDistinct()
+                        else "AGGREGATION_INVOCATION_ALL"
+                    ),
+                }
+            }
         if cls != "UnresolvedFunction":
             raise NotImplementedError(
                 "aggregate measures must be bare aggregate calls "
@@ -510,6 +539,28 @@ class _Producer:
             return rel, df
         if op == "filter":
             child, cdf = self.node(n["input"])
+            if "in_subquery" in n:
+                # Expression.Subquery InPredicate — the form the consumer
+                # reads at substrait.py _as_in_predicate (producer.rs emits
+                # it from DataFusion's InSubquery; NOT wraps in the `not`
+                # scalar, which the consumer unwraps by shape)
+                ins = n["in_subquery"]
+                hay_rel, _ = self.node(ins["subquery"])
+                cond: dict = {
+                    "subquery": {
+                        "inPredicate": {
+                            "needles": [
+                                self.rex(
+                                    self._parse(ins["needle"]), cdf.columns
+                                )
+                            ],
+                            "haystack": hay_rel,
+                        }
+                    }
+                }
+                if ins.get("negated"):
+                    cond = self._scalar_fn("not", [cond])
+                return {"filter": {"input": child, "condition": cond}}, df
             cond = self.rex(self._parse(n["predicate"]), cdf.columns)
             return {"filter": {"input": child, "condition": cond}}, df
         if op == "projection":
@@ -594,15 +645,13 @@ class _Producer:
                 fetch["offset"] = int(n["offset"])
             return {"fetch": fetch}, df
         if op == "union":
-            if n.get("distinct"):
-                raise NotImplementedError(
-                    "substrait producer: UNION DISTINCT (v39 surface emits "
-                    "SET_OP_UNION_ALL only, matching the consumer)"
-                )
             inputs = [self.node(i)[0] for i in n["inputs"]]
-            return {
-                "set": {"inputs": inputs, "op": "SET_OP_UNION_ALL"}
-            }, df
+            set_op = (
+                "SET_OP_UNION_DISTINCT"
+                if n.get("distinct")
+                else "SET_OP_UNION_ALL"
+            )
+            return {"set": {"inputs": inputs, "op": set_op}}, df
         raise NotImplementedError(f"substrait producer: unknown op {op!r}")
 
 

@@ -142,6 +142,37 @@ def parse_slt(text: str) -> list[Record]:
     return records
 
 
+def _map_order_safe(df):
+    """Collect-safe map columns: the JVM→Python conversion of MapType
+    iterates a hash structure, scrambling entry order, while the engine
+    (and arrow's Display, which the goldens encode) keeps the stored
+    order. Rewrap top-level map columns as struct(__m = ordered
+    key/value struct array) — map_entries preserves order and arrays
+    survive collect intact; _norm_cell renders the wrapper back as map
+    text. NULL maps stay NULL (map_entries(NULL) is NULL inside the
+    struct)."""
+    from pyspark.sql.types import MapType
+
+    if not any(isinstance(f.dataType, MapType) for f in df.schema):
+        return df
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, MapType):
+            c = F.struct(
+                F.transform(
+                    F.map_entries(c),
+                    lambda e: F.struct(
+                        e["key"].alias("__mk"), e["value"].alias("__mv")
+                    ),
+                ).alias("__m")
+            )
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
 def _norm_cell(v, code: str) -> str:
     """One output cell → slt string (conversion.rs rules + the engine's
     Display forms for intervals and structs)."""
@@ -197,6 +228,21 @@ def _norm_cell(v, code: str) -> str:
         # auto field names differ (Spark col1.. vs reference c0..)
         from pyspark.sql import Row
 
+        if isinstance(v, Row) and list(getattr(v, "__fields__", [])) == ["__m"]:
+            # _map_order_safe wrapper: the map's entries in ENGINE order
+            # (the Python dict conversion scrambles map iteration; the
+            # JVM-side map_entries array preserves it)
+            ents = v["__m"]
+            if ents is None:
+                return "NULL"
+            return (
+                "{"
+                + ", ".join(
+                    f"{_norm_elem(e['__mk'], code)}: {_norm_elem(e['__mv'], code)}"
+                    for e in ents
+                )
+                + "}"
+            )
         if isinstance(v, Row):
 
             def fname(k: str) -> str:
@@ -1201,7 +1247,9 @@ def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
         # Postgres-style (non-escaping) lexing without a session-wide conf
         try:
             rows = run_bounded(
-                lambda: [tuple(r) for r in ctx.sql(sql).collect()]
+                lambda: [
+                    tuple(r) for r in _map_order_safe(ctx.sql(sql)).collect()
+                ]
             )
         except Exception as exc:
             rep.skipped += 1

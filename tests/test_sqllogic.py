@@ -83,8 +83,6 @@ _KNOWN = {
     # - corr singular input: reference returns 0.0 for a zero-variance
     #   (single-point) population; Spark and Postgres return NULL.
     # - ns-precision columns and interval Display forms inside arrays.
-    # - string_agg without ORDER BY: concatenation order is the engine's
-    #   physical row order — unspecified by SQL.
     ("aggregate.slt", 510): "t-digest artifact (approx_median direct value)",
     ("aggregate.slt", 516): "t-digest artifact (approx_median direct value)",
     ("aggregate.slt", 1051): "HLL sketch artifact (approx_distinct counts)",
@@ -97,7 +95,9 @@ _KNOWN = {
     ("aggregate.slt", 1488): "t-digest artifact (grouped p95 direct value)",
     ("aggregate.slt", 3628): "ns→µs truncation policy (ns column display)",
     ("aggregate.slt", 3674): "ns→µs truncation policy (ns column display)",
-    ("aggregate.slt", 4933): "string_agg without ORDER BY: physical order",
+    # (aggregate.slt:4933 CLOSED round 10: literal-VALUES INSERTs now
+    # write ONE coalesced file, so scan order = MemTable insertion order
+    # and unordered string_agg concatenates like the reference.)
     # joins.slt: the reference's integer↔timestamp casts REINTERPRET unit
     # counts (bigint ns → Timestamp(ns)); Spark's integer casts mean
     # seconds — §1.2 documented cast-semantics divergence. NOT IN: the
@@ -174,11 +174,9 @@ _KNOWN = {
     ("arrow_typeof.slt", 329): "named-tz timestamp display (session UTC)",
     ("arrow_typeof.slt", 334): "named-tz timestamp display (session UTC)",
     ("select.slt", 551): "'-NaN'::double parses NaN in Rust, NULL in Spark",
-    ("ddl.slt", 647): (
-        "identifier case: DataFusion lowercases unquoted identifiers "
-        "(enable_ident_normalization); Spark preserves the written case "
-        "and resolves case-insensitively — documented §1.2 divergence"
-    ),
+    # (ddl.slt:647 CLOSED round 10: unquoted column names in CREATE
+    # TABLE defs now lowercase like enable_ident_normalization; quoted
+    # ones keep their case behind backticks.)
     ("csv_files.slt", 78): (
         "escape='\"' parse of backslash data: arrow's csv reader emits "
         "value\\0\" — the reference file itself marks this fixture 'TODO: "
@@ -203,7 +201,9 @@ _KNOWN = {
         "aggregate_test_100 row order is unavailable (substituted fixture)"
     ),
     ("map.slt", 24): "parquet reader nullability relaxation (Spark reads nullable)",
-    ("map.slt", 31): "map Display key order (insertion vs Spark internal)",
+    # (map.slt:31 CLOSED round 10: the slt runner collects map columns
+    # through map_entries — JVM order, what arrow's Display shows — so
+    # entry order survives the Python dict conversion.)
     ("math.slt", 66): "f32 compute: round(f32*10^s) ties differ in f64",
     ("math.slt", 236): "uint64 > 2^63 outside BIGINT widening range",
     ("math.slt", 246): "uint64 > 2^63 outside BIGINT widening range",
@@ -234,10 +234,10 @@ _FILES = {
     "nvl.slt": 8,
     "limit.slt": 39,
     "window.slt": 230,
-    "aggregate.slt": 776,
+    "aggregate.slt": 777,  # +1 string_agg record r10
     "joins.slt": 256,
     "subquery.slt": 57,
-    "map.slt": 9,
+    "map.slt": 10,  # +1 map-order record r10
     "unnest.slt": 35,
     "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
     "interval.slt": 34,  # +3 plural-quirk records r10 (floor ~5% under)
@@ -276,7 +276,7 @@ _FILES = {
     "prepare.slt": 15,
     "optimizer_group_by_constant.slt": 3,
     "push_down_filter.slt": 9,
-    "ddl.slt": 130,
+    "ddl.slt": 131,  # +1 ident-normalization record r10
     "copy.slt": 70,
     "csv_files.slt": 25,
     "sort_merge_join.slt": 55,
