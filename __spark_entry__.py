@@ -31,6 +31,7 @@ def _registries() -> tuple[dict, dict]:
     from arrow_datafusion_spark.queries import (
         aggregates,
         clickbench,
+        clickbench_verbatim,
         eventsuite,
         functions_suite,
         h2o,
@@ -64,6 +65,7 @@ def _registries() -> tuple[dict, dict]:
         sqlsuite,
         tpch,
         clickbench,
+        clickbench_verbatim,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE)
@@ -79,6 +81,36 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (n) round-10 changes, validate first:
+        #     NEW: the reference's ClickBench statements AS-WRITTEN over the
+        #     100k-row full-schema hits fixture, driver-gated (VERDICT r9
+        #     #6) — positional renames for the name-matched compare, oracle
+        #     reads the same parquet via read_parquet
+        "cb_v_count", "cb_v_count_filtered", "cb_v_distinct_users",
+        "cb_v_distinct_phrases", "cb_v_minmax_date", "cb_v_adv_engine",
+        "cb_v_phrase_topk", "cb_v_phrase_users_topk", "cb_v_point_lookup",
+        "cb_v_like_count", "cb_v_phrase_order", "cb_v_url_topk",
+        "cb_v_pageviews_url", "cb_v_pageviews_title", "cb_v_window_dims",
+        "cb_v_minute_series",
+        #     ctx.sql rewrite layer generalized alias-aware past single-FROM
+        #     (_from_schema_map: median/decimal-avg/int-div/deep-array now
+        #     fire on join shapes; decimal-avg OVER/FILTER regression fixed);
+        #     interval plural-quirk + unary-minus-xor precedence rewrites —
+        #     re-validate every ctx.sql-routed family sharing the layer
+        "sql_basic", "fn_math", "fn_array", "sql_macros", "h2o_mean_median",
+        "fn_datetime", "sql_case_in_between", "sql_cte_subquery",
+        #     literal-VALUES INSERT now writes one coalesced file (insertion
+        #     order observable downstream) — re-validate the DDL entry
+        "sql_ddl_insert",
+        #     settings registry carries the reference's option doc text
+        #     (SHOW VERBOSE); information_schema binding shares it
+        "sql_settings", "sql_info_schema",
+        #     Substrait producer emits InPredicate subqueries + UNION
+        #     DISTINCT; consumer reads DISTINCT min/max/avg/any_value and
+        #     union-distinct; producer reads pre-resolved AggregateExpression
+        #     (any_value) — re-validate the substrait entries
+        "substrait_producer_roundtrip", "substrait_tpch_q1",
+        "substrait_named_join",
         # (m) round-9 changes, validate first:
         #     NEW: Substrait PRODUCER + binary wire — the entry produces a
         #     plan from the engine's logical-plan interchange tree, encodes
