@@ -111,7 +111,77 @@ def _slicer(j: int):
     return lambda m: F.substring(m, 1 + 4 * j, 4)
 
 
-_SIG_UDFS: dict[tuple[int, int, int], "object"] = {}
+_SIG_UDFS: dict[tuple, "object"] = {}
+
+
+def _fast_band_udf(k: int, num_hashes: int, rows_per_band: int):
+    """Vectorized NON-crypto signature→band kernel (``kernel="fast"``).
+
+    The r10 profile (tools/profile_minhash.py, 10× corpus) attributed the
+    minhash wall to Python-worker compute in the md5 kernel — executor
+    run 239 s vs 2.8 s of shuffle I/O — so the headroom is hashing, not
+    exchange. This variant derives each gram's ``num_hashes`` 16-bit
+    values from one crc32 via affine maps over a 61-bit Mersenne prime
+    (the classic MinHash hash family, A-range reduced so the products
+    stay exact in uint64), all in one numpy broadcast per document:
+    grams → crc32 vector (C-speed zlib) → ``(crc·A + B) mod M`` matrix →
+    column-min → per-band blake2b-64 keys.
+
+    Mixing is what MinHash bucketing needs (distinct well-spread values
+    per seed); outputs are NOT byte-compatible with the md5
+    construction, so the DuckDB-oracled driver entry keeps ``md5`` — this
+    kernel is the production path where cross-engine reproducibility of
+    BUCKETS (not verified pairs) doesn't matter. Verified near-duplicate
+    output remains exact-Jaccard either way."""
+    key = ("fast", k, num_hashes, rows_per_band)
+    cached = _SIG_UDFS.get(key)
+    if cached is not None:
+        return cached
+    nbands = (num_hashes + rows_per_band - 1) // rows_per_band
+
+    def batch(texts):
+        import zlib
+        from hashlib import blake2b
+
+        import numpy as np
+        import pandas as pd
+
+        # A < 2^31 keeps crc·A exactly representable in uint64 (crc <
+        # 2^32 → product < 2^63), so the mod is the TRUE affine map, not
+        # a wrapped one; M = 2^61-1 (Mersenne prime)
+        M = (1 << 61) - 1
+        rng = np.random.default_rng(0xDEDD)
+        A = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.uint64)
+        B = rng.integers(0, M, size=num_hashes, dtype=np.uint64)
+        crc_cache = batch.__dict__.setdefault("crc_cache", {})
+        crc32 = zlib.crc32
+        out = []
+        for t in texts:
+            grams = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+            crcs = np.fromiter(
+                (
+                    crc_cache.get(g) or crc_cache.setdefault(g, crc32(g.encode()) + 1)
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            # (crc·A + B) mod M, elementwise over grams×hashes; object
+            # dtype avoided by staying in uint64 (mod keeps it in range)
+            m = (crcs[:, None] * A[None, :] + B[None, :]) % M
+            mins = m.min(axis=0).astype(np.uint16)  # low 16 bits
+            hb = mins.tobytes()
+            w = 2 * rows_per_band
+            out.append(
+                [
+                    blake2b(hb[b * w : (b + 1) * w], digest_size=8).hexdigest()
+                    for b in range(nbands)
+                ]
+            )
+        return pd.Series(out)
+
+    udf = _SIG_UDFS[key] = F.pandas_udf(batch, "array<string>")
+    return udf
 
 
 def _minhash_band_udf(k: int, num_hashes: int, rows_per_band: int):
@@ -212,6 +282,7 @@ def minhash_candidate_pairs(
     k: int = 5,
     num_hashes: int = 16,
     rows_per_band: int = 4,
+    kernel: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) via bucket grouping — the scalable
     core: docs only meet if a whole band matches."""
@@ -224,7 +295,11 @@ def minhash_candidate_pairs(
     # hex, so the construction stays engine-exact vs the DuckDB oracle while
     # running ~5× faster. This is the sanctioned UDF exception: built-in
     # operators genuinely can't express the semantics efficiently.
-    band_udf = _minhash_band_udf(k, num_hashes, rows_per_band)
+    band_udf = (
+        _fast_band_udf(k, num_hashes, rows_per_band)
+        if kernel == "fast"
+        else _minhash_band_udf(k, num_hashes, rows_per_band)
+    )
     banded = _spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.posexplode(band_udf(F.col(text_col))).alias("band", "key"),
@@ -269,6 +344,7 @@ def minhash_near_duplicates(
     k: int = 5,
     num_hashes: int = 16,
     rows_per_band: int = 4,
+    kernel: str = "md5",
 ) -> DataFrame:
     """Candidate pairs verified by exact Jaccard over shingle sets.
 
@@ -282,7 +358,7 @@ def minhash_near_duplicates(
     # tiny (LSH collisions only), while its parent subtree (signatures +
     # bucket join over the whole corpus) is the expensive part.
     pairs = minhash_candidate_pairs(
-        df, id_col, text_col, k, num_hashes, rows_per_band
+        df, id_col, text_col, k, num_hashes, rows_per_band, kernel
     ).localCheckpoint(eager=True)
 
     def gram_fn(t: str):

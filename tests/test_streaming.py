@@ -79,3 +79,98 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
     g = {tuple(r) for r in got.select("user_id", "event_type", "value").collect()}
     e = {tuple(r) for r in expect.select("user_id", "event_type", "value").collect()}
     assert g == e
+
+
+def test_checkpoint_restart_exactly_once_with_state_recovery(spark, tmp_path):
+    """Kill-and-restart from checkpoint (VERDICT r9 #8): a watermarked
+    windowed aggregation writes through a file sink with a checkpoint;
+    the query is STOPPED cleanly after draining phase-1 files, new files
+    arrive, and a NEW query object restarts from the same checkpoint.
+
+    Two properties across the restart boundary:
+    - exactly-once: total emitted counts equal the batch answer over the
+      union of all input files (no re-emits of phase-1 work, no loss);
+    - state recovery: the window that straddles both phases (10:00) must
+      count rows from BOTH — if the restarted query lost its state store,
+      that window would report only its phase-2 rows.
+
+    The 13:00 spike in phase 2 advances the watermark (2h) past every
+    earlier window so append mode finalizes them all."""
+    import pyspark.sql.types as T
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def write_file(name: str, rows: list[tuple[str, str]]) -> None:
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.datetime.fromisoformat(t), e) for t, e in rows], schema
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(f"{src}/{name}")
+
+    # phase 1: hours 08/09 complete, hour 10 PARTIAL (2 of 5 rows)
+    write_file("f1", [("2024-01-01 08:05:00", "click")] * 3)
+    write_file("f2", [("2024-01-01 09:10:00", "view")] * 4
+               + [("2024-01-01 10:01:00", "click")] * 2)
+    all_rows = 3 + 4 + 2
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        agg = windowed_counts(stream, "1 hour", "2 hours")
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        q1 = start_query()
+        q1.awaitTermination(120)  # drains phase 1, stops (availableNow)
+        assert not q1.isActive
+        # phase 2: the REST of hour 10 + a 13:00 spike that pushes the
+        # watermark past 11:00, closing every earlier window
+        write_file("f3", [("2024-01-01 10:20:00", "click")] * 3
+                   + [("2024-01-01 13:00:00", "view")] * 1)
+        all_rows += 4
+        q2 = start_query()  # NEW query object, same checkpoint
+        q2.awaitTermination(120)
+        assert not q2.isActive
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    out = spark.read.parquet(sink)
+    emitted = {
+        (r.w_start.isoformat(), r.event_type): r.n for r in out.collect()
+    }
+    # exactly-once: each closed window appears ONCE with the full count
+    assert emitted[("2024-01-01T08:00:00", "click")] == 3
+    assert emitted[("2024-01-01T09:00:00", "view")] == 4
+    # state recovery: the straddling 10:00 window counts BOTH phases
+    assert emitted[("2024-01-01T10:00:00", "click")] == 5
+    # no duplicate emissions of any (window, type) pair
+    assert out.count() == len(emitted)
+    # nothing lost: emitted counts (closed windows) + the still-open
+    # 13:00 row account for every input row
+    assert sum(emitted.values()) == all_rows - 1
