@@ -1976,48 +1976,13 @@ def _rewrite_sql(q: str) -> str:
         )
         q = q[:s_i] + repl + q[e + 1 :]
         pos = s_i + len(repl)
-    # approx_* family (physical-expr approx percentile/median): Spark's
-    # exact percentile is a valid implementation of an *approximate*
-    # contract (the corpus checks ±5% bounds); the t-digest centroid count
-    # (optional 3rd arg) is an implementation knob with no Spark analog.
+    # approx_distinct → Spark's HLL++ (both are HLL-family sketches; count
+    # artifacts can differ — documented). The approx percentile/median
+    # family is lowered earlier by the type-aware
+    # SessionContext._rewrite_approx_percentile (faithful t-digest).
     q = re.sub(
         r"\bapprox_distinct\s*\(", "approx_count_distinct(", q, flags=re.IGNORECASE
     )
-    for fn_name in (
-        "approx_percentile_cont_with_weight",
-        "approx_percentile_cont",
-        "approx_median",
-    ):
-        pos = 0
-        while True:
-            hit = _find_call(q, fn_name, pos)
-            if hit is None:
-                break
-            s_i, a, e = hit
-            parts = [p.strip() for p in _split_top_level(q[a:e])]
-            if fn_name == "approx_median" and len(parts) == 1:
-                repl = f"percentile({parts[0]}, 0.5)"
-            elif fn_name == "approx_percentile_cont" and len(parts) in (2, 3):
-                if len(parts) == 3 and (
-                    not re.fullmatch(r"\+?\d+", parts[2]) or int(parts[2]) == 0
-                ):
-                    # approx_percentile_cont.rs: the centroid budget must be
-                    # a positive integer LITERAL (reject negatives, floats,
-                    # column references) — plan-time error in the reference
-                    raise ValueError(
-                        "approx_percentile_cont: centroid count (third "
-                        f"argument) must be a positive integer literal, got "
-                        f"{parts[2]!r}"
-                    )
-                repl = f"percentile({parts[0]}, {parts[1]})"
-            elif fn_name == "approx_percentile_cont_with_weight" and len(parts) == 3:
-                # (expr, weight, pct) → percentile(expr, pct, frequency)
-                repl = f"percentile({parts[0]}, {parts[2]}, {parts[1]})"
-            else:
-                pos = e
-                continue
-            q = q[:s_i] + repl + q[e + 1 :]
-            pos = s_i + len(repl)
     # to_timestamp_<unit>: polymorphic in the reference (datetime/
     # to_timestamp.rs) — integer = unit count since epoch, timestamp/
     # string = cast TRUNCATED to the unit. The typed SQL-macro form cast
@@ -4622,6 +4587,8 @@ class SessionContext:
         query = self._rewrite_decimal_avg(query)
         query = self._rewrite_deep_array_fns(query, _lits)
         query = self._rewrite_int_division(query)
+        query = self._rewrite_f32_math(query)
+        query = self._rewrite_approx_percentile(query)
         query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
@@ -4968,6 +4935,213 @@ class SessionContext:
         return "".join(
             seg if i % 2 else pat.sub(repl, seg) for i, seg in enumerate(segs)
         )
+
+    def _rewrite_approx_percentile(self, q: str) -> str:
+        """approx_percentile_cont / approx_median /
+        approx_percentile_cont_with_weight → the faithful t-digest
+        aggregate (functions/tdigest.py — the reference's merging-digest
+        semantics, functions-aggregate/src/approx_percentile_cont.rs +
+        physical-expr-common/src/aggregate/tdigest.rs), registered as a
+        grouped-agg pandas UDF per session.
+
+        The result is the reference's Float64 estimate converted to the
+        INPUT type with a truncating cast (`q as i64`,
+        approx_percentile_cont.rs:400) — the input type resolves through
+        the alias-aware _from_schema_map when the argument is a plain
+        column; expression arguments keep the double estimate (the
+        corpus' expression-shaped records are ±5% bound checks, which the
+        estimate satisfies by construction)."""
+        if not re.search(r"\bapprox_(median|percentile_cont)", q, re.IGNORECASE):
+            return q
+        from arrow_datafusion_spark.functions.tdigest import register_udafs
+
+        if not getattr(self, "_tdigest_registered", False):
+            register_udafs(self.spark)
+            self._tdigest_registered = True
+        resolved = self._from_schema_map(q)
+        schema = resolved[0] if resolved else None
+
+        def _typed(inner: str, arg: str) -> str:
+            from pyspark.sql.types import (
+                ByteType,
+                FloatType,
+                IntegerType,
+                LongType,
+                ShortType,
+            )
+
+            dt = (
+                schema.get(arg.strip().lower())
+                if schema is not None
+                and re.fullmatch(
+                    r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", arg.strip()
+                )
+                else None
+            )
+            sql_t = {
+                ByteType: "TINYINT",
+                ShortType: "SMALLINT",
+                IntegerType: "INT",
+                LongType: "BIGINT",
+                FloatType: "FLOAT",
+            }.get(type(dt))
+            return f"CAST({inner} AS {sql_t})" if sql_t else inner
+
+        for fn_name in (
+            "approx_percentile_cont_with_weight",
+            "approx_percentile_cont",
+            "approx_median",
+        ):
+            pos = 0
+            while True:
+                hit = _find_call(q, fn_name, pos)
+                if hit is None:
+                    break
+                s_i, a, e = hit
+                parts = [p.strip() for p in _split_top_level(q[a:e])]
+                if parts and re.match(r"DISTINCT\b", parts[0], re.IGNORECASE):
+                    pos = e  # reference rejects DISTINCT here — let the
+                    continue  # name fall through to Spark's resolver error
+                windowed = re.match(
+                    r"\s*(OVER|FILTER)\b", q[e + 1 :], re.IGNORECASE
+                )
+                if fn_name == "approx_median" and len(parts) == 1:
+                    if windowed:
+                        # the collect_list form can't carry the trailing
+                        # OVER/FILTER clause — exact percentile keeps the
+                        # approximate contract there
+                        repl = f"percentile({parts[0]}, 0.5)"
+                    else:
+                        repl = (
+                            f"tdigest_from_list(collect_list("
+                            f"CAST({parts[0]} AS DOUBLE)), 0.5D, 100)"
+                        )
+                elif fn_name == "approx_percentile_cont" and len(parts) in (2, 3):
+                    if len(parts) == 3 and (
+                        not re.fullmatch(r"\+?\d+", parts[2])
+                        or int(parts[2]) == 0
+                    ):
+                        # approx_percentile_cont.rs:169: the centroid
+                        # budget must be a positive integer LITERAL
+                        # (reject negatives, floats, column references) —
+                        # plan-time error in the reference
+                        raise ValueError(
+                            "approx_percentile_cont: centroid count (third "
+                            "argument) must be a positive integer literal, "
+                            f"got {parts[2]!r}"
+                        )
+                    msize = parts[2] if len(parts) == 3 else "100"
+                    if windowed:
+                        repl = f"percentile({parts[0]}, {parts[1]})"
+                    else:
+                        repl = (
+                            f"tdigest_from_list(collect_list("
+                            f"CAST({parts[0]} AS DOUBLE)), "
+                            f"CAST({parts[1]} AS DOUBLE), {msize})"
+                        )
+                elif (
+                    fn_name == "approx_percentile_cont_with_weight"
+                    and len(parts) == 3
+                ):
+                    if windowed:
+                        repl = (
+                            f"percentile({parts[0]}, {parts[2]}, {parts[1]})"
+                        )
+                    else:
+                        pair = (
+                            f"CASE WHEN ({parts[0]}) IS NOT NULL AND "
+                            f"({parts[1]}) IS NOT NULL THEN named_struct("
+                            f"'v', CAST({parts[0]} AS DOUBLE), "
+                            f"'w', CAST({parts[1]} AS DOUBLE)) END"
+                        )
+                        repl = (
+                            f"tdigest_from_list_w(collect_list({pair}), "
+                            f"CAST({parts[2]} AS DOUBLE))"
+                        )
+                else:
+                    pos = e
+                    continue
+                if not windowed:
+                    repl = _typed(repl, parts[0])
+                q = q[:s_i] + repl + q[e + 1 :]
+                pos = s_i + len(repl)
+        return q
+
+    def _rewrite_f32_math(self, q: str) -> str:
+        """Float32 math kernels. §1.2 widens f32 compute to f64, and the slt
+        comparator absorbs that at ≤9 significant digits — but three corpus
+        shapes carry f32 artifacts OUTSIDE that window, where the reference
+        (functions/src/math) evaluates the kernel at Float32:
+
+        - ``round(c[, s])`` on a Float column (math.slt over
+          aggregate_simple's REAL c1): the reference computes
+          ``(x * 10f32.powi(s)).round() / 10^s`` ENTIRELY at f32 — for
+          c1 = 0.00005f (stored BELOW the decimal, 4.9999998737e-5) the
+          f32 multiply lands within half-ulp of 0.5 and rounds UP to
+          exactly 0.5f, which .round() takes half-away to 1; Spark's
+          round sees the f64-widened 4.9999998737e-5 and ties DOWN. The
+          lowering reproduces the f32 multiply with a true float*float
+          product (Spark's Multiply on two FloatType inputs is Java f32
+          arithmetic), rounds the exact f32 value in f64 (HALF_UP there
+          equals f32 half-away — representable f32 ties are exact in
+          f64), and rescales.
+        - ``sqrt(c)`` on a Float column: sqrt(Float32) → Float32 in the
+          reference where Spark computes DOUBLE (functions.slt's
+          avg(sqrt(c11)) golden 0.658440848589 is the mean of the
+          f32-rounded roots) → ``CAST(sqrt(c) AS FLOAT)``.
+        NOT lowered: 1-arg log over integers (the reference coerces to f32
+        there too, but its golden 0.3010299801826477 is one ulp BELOW the
+        correctly-rounded f32 log10(2) — a platform-libm artifact the
+        reference's own corpus flags as OS-dependent ("round is needed to
+        normalize the outputs of different operating systems",
+        scalar.slt:567) — no portable computation reproduces it).
+
+        Columns resolve through the alias-aware _from_schema_map; every
+        other shape keeps Spark's f64 math (§1.2 policy)."""
+        from pyspark.sql.types import FloatType
+
+        schema: dict | None = None
+        if re.search(r"\b(round|sqrt)\s*\(", q, re.IGNORECASE):
+            resolved = self._from_schema_map(q)
+            schema = resolved[0] if resolved else None
+        if schema is None:
+            return q
+
+        def _float_col(tok: str) -> bool:
+            return (
+                schema is not None
+                and re.fullmatch(r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*", tok)
+                is not None
+                and isinstance(schema.get(tok.lower()), FloatType)
+            )
+
+        for fn in ("round", "sqrt"):
+            pos = 0
+            while True:
+                hit = _find_call(q, fn, pos)
+                if hit is None:
+                    break
+                s_i, a, e = hit
+                args = [t.strip() for t in _split_top_level(q[a:e])]
+                maxargs = 1 if fn == "sqrt" else 2
+                if not args or not _float_col(args[0]) or len(args) > maxargs:
+                    pos = e
+                    continue
+                if fn == "sqrt":
+                    repl = f"CAST(SQRT({args[0]}) AS FLOAT)"
+                else:
+                    sc = args[1] if len(args) == 2 else "0"
+                    if not re.fullmatch(r"\d|10", sc):
+                        pos = e  # non-literal / out-of-range scale: Spark
+                        continue
+                    p10 = 10 ** int(sc)
+                    repl = (
+                        f"CAST(ROUND(CAST({args[0]} * CAST({p10} AS FLOAT) "
+                        f"AS FLOAT), 0) / {p10} AS FLOAT)"
+                    )
+                q = q[:s_i] + repl + q[e + 1 :]
+                pos = s_i + len(repl)
+        return q
 
     def _rewrite_median(self, q: str) -> str:
         """Type-preserving exact median (median.rs calculate_median): the

@@ -258,6 +258,10 @@ QUERIES = {
     "substrait_named_join": substrait_named_join,
     "substrait_producer_roundtrip": substrait_producer_roundtrip,
 }
+# the oracle strings embed _FIXTURE's path — materialize it at import so a
+# fresh checkout can PLAN the oracle SQL (tests/test_oracle_dtypes.py)
+# before any queries() entry has run (file-exists check after first gen)
+_ensure_fixture()
 ORACLE = {
     "substrait_tpch_q1": SUBSTRAIT_TPCH_Q1_SQL,
     "substrait_named_join": SUBSTRAIT_NAMED_JOIN_SQL,

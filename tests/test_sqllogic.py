@@ -36,17 +36,20 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 # propagation — string/overlay.rs:90), and integer COLUMN division
 # (schema-resolved `div` lowering for single-table queries — 3 lines).
 #
-# ROUND-10 AUDIT: 8 more closed (SHOW VERBOSE doc text ×4, plural-interval
-# quirk, unordered string_agg via coalesced literal inserts, map entry
-# order via map_entries collection, CREATE ident normalization). The
-# alias-aware rewrite generalization (_from_schema_map) closed ZERO
-# ledger entries — contrary to the r9 verdict's expectation, no survivor
-# was blocked on the single-FROM guard; it widens the engine's own
-# surface instead. Every remaining entry was re-read this round and cites
-# the policy that pins it: sketch-output artifacts (t-digest/HLL),
-# ns→µs truncation, f32-compute widening, dbgen text streams, -NaN
-# representability (Spark normalizes the sign; predicates.slt needs
-# -NaN ≠ NaN), scan-order accidents the reference's own comments call
+# ROUND-10 AUDIT: 11 more closed — 8 early (SHOW VERBOSE doc text ×4,
+# plural-interval quirk, unordered string_agg via coalesced literal
+# inserts, map entry order via map_entries collection, CREATE ident
+# normalization) + 3 f32-compute entries (_rewrite_f32_math lowers
+# round/sqrt over Float columns to the reference's f32 kernels —
+# math.slt:66, functions.slt:557/562 now pass). The alias-aware rewrite
+# generalization (_from_schema_map) closed ZERO ledger entries —
+# contrary to the r9 verdict's expectation, no survivor was blocked on
+# the single-FROM guard; it widens the engine's own surface instead.
+# Every remaining entry was re-read this round and cites the policy that
+# pins it: sketch-output artifacts (t-digest/HLL), ns→µs truncation,
+# dbgen text streams, -NaN representability (Spark normalizes the sign;
+# predicates.slt needs -NaN ≠ NaN), platform-libm f32 artifacts,
+# scan-order accidents the reference's own comments call
 # order-dependent, and non-ANSI reference quirks (NOT-IN null row, SMJ
 # duplicate emit) that would be bugs if emulated.
 _KNOWN = {
@@ -84,29 +87,30 @@ _KNOWN = {
     ("window.slt", 4337): "sort-tie order under LIMIT (c2=1.0 tie pair)",
     ("window.slt", 4356): "sort-tie order under LIMIT (c2=1.0 tie pair)",
     # aggregate.slt / functions.slt families, each tied to a policy:
-    # - t-digest artifacts: approx_percentile_cont/approx_median expected
-    #   blocks encode the reference's t-digest OUTPUT (e.g. p95=73 where
-    #   the exact percentile is 65); we implement the approximate contract
-    #   with Spark's exact percentile — no centroid artifacts to replicate.
+    # - t-digest: CLOSED round 10 — functions/tdigest.py reproduces the
+    #   reference's merging digest bit-exactly for single-batch groups
+    #   (all 6 direct-value records pass, e.g. p95=73 where the exact
+    #   percentile is 65); only the HLL count artifact remains sketchy.
     # - median typing: Spark's median/percentile is Float64-valued; the
     #   reference returns the INPUT type (integer medians truncate, big
     #   int64 medians stay exact, decimal medians keep scale) — §1.2.
-    # - f32 compute: reference evaluates sqrt/avg chains at Float32 where
-    #   §1.2 widens to f64 (12-sig-digit expected blocks excluded from the
-    #   f32-granularity comparator rule).
+    # - f32 compute: CLOSED round 10 for the sqrt/round-over-Float shapes
+    #   (_rewrite_f32_math lowers them to f32 kernels); only the
+    #   platform-libm log artifact remains (array.slt:645 below).
     # - corr singular input: reference returns 0.0 for a zero-variance
     #   (single-point) population; Spark and Postgres return NULL.
     # - ns-precision columns and interval Display forms inside arrays.
-    ("aggregate.slt", 510): "t-digest artifact (approx_median direct value)",
-    ("aggregate.slt", 516): "t-digest artifact (approx_median direct value)",
+    # (the t-digest DIRECT-VALUE family — approx_median ×2 at 510/516,
+    # grouped p95 ×4 at 1459-1488 — CLOSED round 10: functions/tdigest.py
+    # implements the reference's merging digest faithfully, bit-exact for
+    # single-batch groups, including with_weight's count-vs-weight quirk.)
     ("aggregate.slt", 1051): "HLL sketch artifact (approx_distinct counts)",
-    ("aggregate.slt", 1209): "t-digest artifact (bound anchored to t-digest output)",
-    ("aggregate.slt", 1214): "t-digest artifact (bound anchored to t-digest output)",
-    ("aggregate.slt", 1219): "t-digest artifact (bound anchored to t-digest output)",
-    ("aggregate.slt", 1459): "t-digest artifact (grouped p95 direct value)",
-    ("aggregate.slt", 1469): "t-digest artifact (grouped p95 direct value)",
-    ("aggregate.slt", 1479): "t-digest artifact (grouped p95 direct value)",
-    ("aggregate.slt", 1488): "t-digest artifact (grouped p95 direct value)",
+    # c10 is BIGINT UNSIGNED with values above 2^63 (golden medians
+    # 9.3e18, 1.61e19) — same §1.2 widening pin as math.slt:236/246; the
+    # t-digest itself is exact on the representable subset
+    ("aggregate.slt", 1209): "uint64 > 2^63 outside BIGINT widening range (c10)",
+    ("aggregate.slt", 1214): "uint64 > 2^63 outside BIGINT widening range (c10)",
+    ("aggregate.slt", 1219): "uint64 > 2^63 outside BIGINT widening range (c10)",
     ("aggregate.slt", 3628): "ns→µs truncation policy (ns column display)",
     ("aggregate.slt", 3674): "ns→µs truncation policy (ns column display)",
     # (aggregate.slt:4933 CLOSED round 10: literal-VALUES INSERTs now
@@ -218,18 +222,33 @@ _KNOWN = {
     # (map.slt:31 CLOSED round 10: the slt runner collects map columns
     # through map_entries — JVM order, what arrow's Display shows — so
     # entry order survives the Python dict conversion.)
-    ("math.slt", 66): "f32 compute: round(f32*10^s) ties differ in f64",
+    # (math.slt:66 + functions.slt:557/562 CLOSED round 10: ctx.sql's
+    # _rewrite_f32_math lowers round/sqrt over Float columns to the
+    # reference's f32 kernels — f32-product round ties and f32-rounded
+    # sqrt means now match the goldens exactly.)
+    # the 2^64-1 INSERT overflows the BIGINT that `BIGINT UNSIGNED`
+    # deliberately maps to. r10 A/B of the alternative (DECIMAL(20,0)):
+    # u64 columns are the c9/c10 fixture columns of aggregate_test_100's
+    # schema across aggregate/group_by/expr/distinct_on/..., where
+    # avg(u64) must stay Float64 (Spark's decimal avg is DECIMAL(24,4)),
+    # u64/int division must stay integral (decimal `/` is fractional),
+    # and sum displays diverge — dozens of passing records trade for
+    # these two rows. The BIGINT mapping stays (§1.2).
     ("math.slt", 236): "uint64 > 2^63 outside BIGINT widening range",
     ("math.slt", 246): "uint64 > 2^63 outside BIGINT widening range",
-    ("functions.slt", 557): "f32 compute: avg(sqrt(f32)) evaluated in f64",
-    ("functions.slt", 562): "f32 compute: avg(sqrt(f32)) evaluated in f64",
     # empty-value display forms: the reference renders a zero-length
     # binary as a blank cell and empty encode('') output without the
     # (empty) placeholder — cosmetic Display divergence on '' inputs
     # the reference evaluates log() at Float32 here — the expected cell
     # carries f32 artifacts (0.3010299801826477) at 16 digits, outside the
     # ≤9-digit f32-granularity comparator rule (§1.2 f64-widening policy)
-    ("array.slt", 645): "reference f32 log artifact in array literal",
+    # log(2)'s golden 0.3010299801826477 is one ulp BELOW the correctly-
+    # rounded f32 log10(2) — a platform-libm artifact (the corpus itself
+    # notes log outputs are OS-dependent, scalar.slt:567); no portable
+    # computation reproduces that exact f32, so this stays pinned even
+    # with _rewrite_f32_math landed (r10 A/B: CAST(LOG10(2) AS FLOAT)
+    # yields the NEIGHBORING f32 0.3010300099849701)
+    ("array.slt", 645): "platform-libm f32 log artifact in array literal",
 }
 
 # file → minimum records that must PASS (floors set ~5% under measured so
@@ -237,18 +256,18 @@ _KNOWN = {
 _FILES = {
     "coalesce.slt": 42,
     "cast.slt": 6,
-    "math.slt": 90,
+    "math.slt": 92,  # 94 measured r10 (f32 round closure)
     "expr.slt": 342,
     "union.slt": 26,
     "intersection.slt": 4,
     "dates.slt": 19,
     "regexp.slt": 50,
     "strings.slt": 13,
-    "functions.slt": 176,
+    "functions.slt": 183,  # 187 measured r10 (f32 sqrt closures)
     "nvl.slt": 8,
     "limit.slt": 39,
     "window.slt": 230,
-    "aggregate.slt": 777,  # +1 string_agg record r10
+    "aggregate.slt": 782,  # 786 measured r10 (t-digest closures)
     "joins.slt": 256,
     "subquery.slt": 57,
     "map.slt": 10,  # +1 map-order record r10
