@@ -95,8 +95,14 @@ def _registries() -> tuple[dict, dict]:
         #     ctx.sql rewrite layer generalized alias-aware past single-FROM
         #     (_from_schema_map: median/decimal-avg/int-div/deep-array now
         #     fire on join shapes; decimal-avg OVER/FILTER regression fixed);
-        #     interval plural-quirk + unary-minus-xor precedence rewrites —
-        #     re-validate every ctx.sql-routed family sharing the layer
+        #     interval plural-quirk + unary-minus-xor precedence rewrites;
+        #     LATE r10: + _rewrite_f32_math (f32 round/sqrt kernels) and
+        #     _rewrite_approx_percentile (faithful t-digest via
+        #     collect_list + scalar pandas UDF) join the same pipeline —
+        #     re-validate every ctx.sql-routed family sharing the layer;
+        #     NEW agg_tdigest gates the t-digest surface (bound checks +
+        #     the weight-1 digest-equality invariant)
+        "agg_tdigest",
         "sql_basic", "fn_math", "fn_array", "sql_macros", "h2o_mean_median",
         "fn_datetime", "sql_case_in_between", "sql_cte_subquery",
         #     literal-VALUES INSERT now writes one coalesced file (insertion

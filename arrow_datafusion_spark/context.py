@@ -4941,8 +4941,8 @@ class SessionContext:
         approx_percentile_cont_with_weight → the faithful t-digest
         aggregate (functions/tdigest.py — the reference's merging-digest
         semantics, functions-aggregate/src/approx_percentile_cont.rs +
-        physical-expr-common/src/aggregate/tdigest.rs), registered as a
-        grouped-agg pandas UDF per session.
+        physical-expr-common/src/aggregate/tdigest.rs), evaluated as
+        ``collect_list`` + a scalar pandas UDF registered per session.
 
         The result is the reference's Float64 estimate converted to the
         INPUT type with a truncating cast (`q as i64`,

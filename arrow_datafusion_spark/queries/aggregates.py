@@ -295,6 +295,67 @@ ORDER BY l_returnflag
 """
 
 
+def agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The faithful t-digest SQL surface (functions/tdigest.py — the
+    reference's merging digest, approx_percentile_cont.rs + tdigest.rs),
+    driver-gated through ``SessionContext.sql``.
+
+    Sketch estimates can't hash-match a different engine, so the entry
+    emits deterministic 0/1 checks: the digest's median/p90 within ±5%
+    of the EXACT percentile computed in the same query (mixing the
+    pandas-UDF digest with builtin aggregates — the collect_list surface
+    allows it), the 3-arg centroid-budget form within the same bound,
+    and the weight-1 with_weight digest EQUAL to the unweighted digest
+    (all-ones weights produce the identical centroid list — the slt
+    golden's invariant). The digest sorts its value set internally, so
+    every check is shuffle-order-insensitive."""
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    if "lineitem" not in ctx._tables:
+        ctx.register_parquet("lineitem", f"{sf_dir}/lineitem.parquet")
+    return ctx.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(abs(approx_median(CAST(l_extendedprice AS DOUBLE))
+                        - percentile(CAST(l_extendedprice AS DOUBLE), 0.5))
+                    <= 0.05 * percentile(CAST(l_extendedprice AS DOUBLE), 0.5)
+                    AS INT) AS med_ok,
+               CAST(abs(approx_percentile_cont(
+                            CAST(l_extendedprice AS DOUBLE), 0.9)
+                        - percentile(CAST(l_extendedprice AS DOUBLE), 0.9))
+                    <= 0.05 * percentile(CAST(l_extendedprice AS DOUBLE), 0.9)
+                    AS INT) AS p90_ok,
+               CAST(abs(approx_percentile_cont(
+                            CAST(l_extendedprice AS DOUBLE), 0.9, 200)
+                        - percentile(CAST(l_extendedprice AS DOUBLE), 0.9))
+                    <= 0.05 * percentile(CAST(l_extendedprice AS DOUBLE), 0.9)
+                    AS INT) AS p90_budget_ok,
+               CAST(approx_percentile_cont_with_weight(
+                        CAST(l_extendedprice AS DOUBLE), 1, 0.5)
+                    = approx_median(CAST(l_extendedprice AS DOUBLE))
+                    AS INT) AS weight1_eq
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+AGG_TDIGEST_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS cnt,
+       1 AS med_ok,
+       1 AS p90_ok,
+       1 AS p90_budget_ok,
+       1 AS weight1_eq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_stats": agg_stats,
     "agg_ordered": agg_ordered,
@@ -303,6 +364,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_approx": agg_approx,
+    "agg_tdigest": agg_tdigest,
 }
 ORACLE = {
     "agg_stats": AGG_STATS_SQL,
@@ -312,4 +374,5 @@ ORACLE = {
     "agg_cube": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     "agg_approx": AGG_APPROX_SQL,
+    "agg_tdigest": AGG_TDIGEST_SQL,
 }
