@@ -20,9 +20,13 @@ Corpus construction (10 copies of sf0.1, copy c of 0..9):
 - embeddings: vec_id' likewise; the vector is rotated by c positions
   (distance-preserving within a copy; cross-copy vectors decorrelate).
 
-Usage: python tools/scale_probe.py [--regen]
-Writes .bench_layout/docs_10x/ and prints one JSON line; paste the table
-into BENCH_SCALE.md.
+Usage: python tools/scale_probe.py [--regen] [--factor N] [--ops a,b]
+Writes .bench_layout/docs_{N}x/ and prints one JSON line; paste the table
+into BENCH_SCALE.md. Factors over 100 route through _gen_large (parity
+affine cipher + mapInPandas — see its docstring); the 1000× corpus is
+5M docs / 2M vectors and wants SPARK_GRAFT_DRIVER_MEM=64g (the default
+16g heap OOMs with 32 concurrent local task slots on the big shuffle —
+the local-mode analog of ordinary per-executor sizing, ~2 GB per slot).
 """
 
 from __future__ import annotations
@@ -73,8 +77,134 @@ def _perm(c: int) -> str:
     return "".join(alpha[(a * i + b) % 26] for i in range(26))
 
 
+def _gen_large(spark, factor: int, dst: str) -> None:
+    """factor > 100 corpus path (the 1000× decade). Two departures from
+    the when-chain generator below, both forced by scale:
+
+    - **cipher family**: the single-affine family tops out at 312
+      distinct maps (12 units × 26 shifts), so past copy 311 the cipher
+      becomes POSITION-PARITY affine — even byte positions use map ``e``,
+      odd positions map ``o``, with ``m = c - 312; e = m % 311;
+      o = (e + 1 + m // 311) % 312``. The (e, o) pairs are pairwise
+      distinct, never e == o (so no parity copy reproduces a single-map
+      copy — a naive ``o = f(c // 312)`` choice collides at copies
+      622/933), and injective up to factor ~96k. Any two distinct copies
+      differ in at least one parity's affine map, and two distinct
+      affine maps agree on ≤1 letter — multi-letter shingles stay
+      essentially disjoint across all copies. Applied as a 256-entry
+      numpy byte LUT: only a-z bytes are remapped, so UTF-8 multibyte
+      sequences pass through untouched.
+    - **plan shape**: a factor-deep CASE chain (the ≤100 path) would
+      produce a 1000-branch expression tree; this path explodes the copy
+      index and applies the cipher in ONE Arrow-batched mapInPandas pass.
+
+    Embeddings: rotation by ``c % dim`` composed with a diagonal ±1 sign
+    pattern from the BITS of ``c // dim`` (flip coord i iff bit i%20 of
+    the block index is set) — orthogonal, so within-copy distances are
+    exact, and distinct copies get distinct transforms for any factor
+    up to 2^20 · dim."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+
+    def _affine_lut(idx: int) -> "np.ndarray":
+        coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+        a, b = coprime[idx // 26], idx % 26
+        lut = np.arange(256, dtype=np.uint8)
+        for i in range(26):
+            lut[ord("a") + i] = ord("a") + (a * i + b) % 26
+        return lut
+
+    luts = {i: _affine_lut(i) for i in range(312)}
+
+    def cipher_docs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_text = []
+            for t, c in zip(pdf["text"], pdf["copy"]):
+                c = int(c)
+                if c == 0:
+                    out_text.append(t)
+                    continue
+                raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).copy()
+                if c < 312:
+                    raw = luts[c][raw]
+                else:
+                    m = c - 312
+                    e, o = m % 311, (m % 311 + 1 + m // 311) % 312
+                    raw[0::2] = luts[e][raw[0::2]]
+                    raw[1::2] = luts[o][raw[1::2]]
+                out_text.append(raw.tobytes().decode("utf-8", "replace"))
+            res = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] + pdf["copy"] * 100000,
+                    "text": out_text,
+                    "lang": pdf["lang"],
+                    "source": pdf["source"],
+                }
+            )
+            res["n_chars"] = res["text"].str.len().astype("int64")
+            yield res
+
+    docs = spark.read.parquet(f"{_SRC}/documents.parquet")
+    copies = F.explode(F.array(*[F.lit(c) for c in range(factor)])).alias("copy")
+    (
+        docs.select("doc_id", "text", "lang", "source", copies)
+        .repartition(max(32, factor // 8))
+        .mapInPandas(
+            cipher_docs,
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{dst}/documents.parquet")
+    )
+
+    def rotate_embs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = []
+            for v, c in zip(pdf["embedding"], pdf["copy"]):
+                c = int(c)
+                a = np.asarray(v, dtype=np.float32)
+                dim = len(a)
+                r, p = c % dim, c // dim
+                if r:
+                    a = np.roll(a, -r)
+                if p:
+                    signs = np.array(
+                        [(-1.0 if (p >> (i % 20)) & 1 else 1.0) for i in range(dim)],
+                        dtype=np.float32,
+                    )
+                    a = a * signs
+                vecs.append(a.tolist())
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"] + pdf["copy"] * 100000,
+                    "embedding": vecs,
+                    "label": pdf["label"],
+                }
+            )
+
+    emb = spark.read.parquet(f"{_SRC}/embeddings.parquet")
+    (
+        emb.select("vec_id", "embedding", "label", copies)
+        .repartition(max(16, factor // 16))
+        .mapInPandas(rotate_embs, "vec_id bigint, embedding array<float>, label int")
+        .write.mode("overwrite")
+        .parquet(f"{dst}/embeddings.parquet")
+    )
+
+
 def _gen(spark, factor: int, dst: str) -> None:
     from pyspark.sql import functions as F
+
+    if factor > 100:
+        return _gen_large(spark, factor, dst)
 
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
