@@ -101,8 +101,10 @@ def _registries() -> tuple[dict, dict]:
         #     collect_list + scalar pandas UDF) join the same pipeline —
         #     re-validate every ctx.sql-routed family sharing the layer;
         #     NEW agg_tdigest gates the t-digest surface (bound checks +
-        #     the weight-1 digest-equality invariant)
-        "agg_tdigest",
+        #     the weight-1 digest-equality invariant); NEW
+        #     stream_dedup_watermark gates dropDuplicatesWithinWatermark
+        #     against the batch DISTINCT oracle
+        "agg_tdigest", "stream_dedup_watermark",
         "sql_basic", "fn_math", "fn_array", "sql_macros", "h2o_mean_median",
         "fn_datetime", "sql_case_in_between", "sql_cte_subquery",
         #     literal-VALUES INSERT now writes one coalesced file (insertion

@@ -275,10 +275,40 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark —
+    state is bounded by the watermark delay, the O(1)-state design a
+    perpetual ingestion feed needs; streaming/__init__.py:131), drained
+    with availableNow and hash-compared to the batch DISTINCT oracle.
+    Only the dedup KEY columns are projected, so the result is the exact
+    distinct-key multiset regardless of which duplicate row survived."""
+    from arrow_datafusion_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        streaming_dedup,
+    )
+
+    _STREAM_SEQ[0] += 1
+    name = f"drv_stream_dedup_{os.getpid()}_{_STREAM_SEQ[0]}"
+    out = run_available_now(
+        streaming_dedup(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="append",
+    )
+    return out.select("user_id", "event_type", "value")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type, value
+FROM events
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_join_clicks_views": stream_join_clicks_views,
+    "stream_dedup_watermark": stream_dedup_watermark,
     "range_join_bucketed": range_join_bucketed,
     "hypertable_rollup": hypertable_rollup,
     "events_sliding": events_sliding,
@@ -289,6 +319,7 @@ ORACLE = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "stream_windowed_counts": STREAM_WINDOWED_COUNTS_SQL,
     "stream_join_clicks_views": STREAM_JOIN_SQL,
+    "stream_dedup_watermark": STREAM_DEDUP_SQL,
     "range_join_bucketed": RANGE_JOIN_BUCKETED_SQL,
     "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
