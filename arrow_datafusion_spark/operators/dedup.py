@@ -158,6 +158,8 @@ def _fast_band_udf(k: int, num_hashes: int, rows_per_band: int):
         out = []
         for t in texts:
             grams = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+            if len(crc_cache) >= 2_000_000:  # bounded under open vocab
+                crc_cache.clear()
             crcs = np.fromiter(
                 (
                     crc_cache.get(g) or crc_cache.setdefault(g, crc32(g.encode()) + 1)
@@ -215,20 +217,31 @@ def _minhash_band_udf(k: int, num_hashes: int, rows_per_band: int):
         import pandas as pd
 
         cache = batch.__dict__.setdefault("gram_cache", {})
+        md5_ = hashlib.md5
 
         def gram_slices(g: str):
             a = cache.get(g)
             if a is None:
-                vals = []
-                for s in range(nseeds):
-                    h = hashlib.md5((f"{s}:" + g).encode()).hexdigest()
-                    vals.extend(
-                        int(h[4 * j : 4 * j + 4], 16)
-                        for j in range(min(8, num_hashes - 8 * s))
-                    )
-                a = np.array(vals, dtype=np.uint16)
-                if len(cache) < 300_000:  # ~40 MB/worker ceiling
-                    cache[g] = a
+                # digest BYTES big-endian-u2 == int(hexdigest[4j:4j+4], 16)
+                # slice-for-slice (hex is just the byte pairs) — same
+                # values as the hex-parsing form, ~2× cheaper cold. The
+                # r10 1000×-corpus profile showed the cold path DOMINATES
+                # under an open vocabulary: the probe's per-copy-disjoint
+                # gram spaces (2M uniques) blow past the cap, and the old
+                # freeze-when-full policy then recomputed EVERY gram
+                # forever. Clear-on-full keeps caching — hot grams of a
+                # zipf vocabulary re-enter immediately, and worst case
+                # equals the old policy's permanent miss rate.
+                a = np.frombuffer(
+                    b"".join(
+                        md5_(b"%d:" % s + g.encode()).digest()
+                        for s in range(nseeds)
+                    ),
+                    dtype=">u2",
+                )[:num_hashes].astype(np.uint16)
+                if len(cache) >= 300_000:  # ~40 MB/worker ceiling
+                    cache.clear()
+                cache[g] = a
             return a
 
         out = []
