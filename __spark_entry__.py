@@ -103,8 +103,11 @@ def _registries() -> tuple[dict, dict]:
         #     NEW agg_tdigest gates the t-digest surface (bound checks +
         #     the weight-1 digest-equality invariant); NEW
         #     stream_dedup_watermark gates dropDuplicatesWithinWatermark
-        #     against the batch DISTINCT oracle
-        "agg_tdigest", "stream_dedup_watermark",
+        #     against the batch DISTINCT oracle; dedup_minhash's md5
+        #     cold path was rewritten byte-identically (digest-bytes
+        #     read + clear-on-full gram cache — 1000× probe fix) —
+        #     re-validate it
+        "agg_tdigest", "stream_dedup_watermark", "dedup_minhash",
         "sql_basic", "fn_math", "fn_array", "sql_macros", "h2o_mean_median",
         "fn_datetime", "sql_case_in_between", "sql_cte_subquery",
         #     literal-VALUES INSERT now writes one coalesced file (insertion
