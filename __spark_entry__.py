@@ -246,6 +246,13 @@ def _registries() -> tuple[dict, dict]:
         # (g) new in round 4
         "sql_info_schema",
     ]
+    # cb_v_* entries exist only when the reference checkout is present
+    # (clickbench_verbatim degrades gracefully to an empty registry) —
+    # drop them from the priority list rather than failing the whole
+    # registry on a host without /root/reference
+    priority = [
+        n for n in priority if n in queries or not n.startswith("cb_v_")
+    ]
     missing = [n for n in priority if n not in queries]
     assert not missing, f"priority list names unknown entries: {missing}"
     ordered = {n: queries[n] for n in priority}

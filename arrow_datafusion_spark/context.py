@@ -4583,12 +4583,25 @@ class SessionContext:
             return f"\x00{len(_lits) - 1}\x00"
 
         query = re.sub(r"'(?:[^']|'')*'", _sh, query)
-        query = self._rewrite_median(query)
-        query = self._rewrite_decimal_avg(query)
-        query = self._rewrite_deep_array_fns(query, _lits)
-        query = self._rewrite_int_division(query)
-        query = self._rewrite_f32_math(query)
-        query = self._rewrite_approx_percentile(query)
+
+        # the six type-aware rewrites share one lazily-computed schema map
+        # (their FROM/JOIN clauses are never edited by any pass, so the
+        # map stays valid across passes); each pass still gates on its own
+        # trigger regex first, so statements with no rewrite surface pay
+        # ZERO schema fetches
+        _rmap_memo: list = []
+
+        def _rmap(q: str):
+            if not _rmap_memo:
+                _rmap_memo.append(self._from_schema_map(q))
+            return _rmap_memo[0]
+
+        query = self._rewrite_median(query, rmap=_rmap)
+        query = self._rewrite_decimal_avg(query, rmap=_rmap)
+        query = self._rewrite_deep_array_fns(query, _lits, rmap=_rmap)
+        query = self._rewrite_int_division(query, rmap=_rmap)
+        query = self._rewrite_f32_math(query, rmap=_rmap)
+        query = self._rewrite_approx_percentile(query, rmap=_rmap)
         query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
         if args:
             return self.spark.sql(_rewrite_sql(query), args=args)
@@ -4621,6 +4634,16 @@ class SessionContext:
         _rewrite_int_division / _rewrite_deep_array_fns, generalizing
         them past the r9 single-plain-FROM guard."""
         shield = _strip_strings(q)
+        # CTE names shadow catalog tables: `WITH t AS (...) ... FROM t`
+        # must NOT resolve through spark.table("t") — a same-named
+        # catalog table would silently mis-type the rewrite target. Any
+        # `name AS (` capture is treated as a defined name (conservative:
+        # also matches UDTF column-alias forms, which are unresolvable
+        # here anyway).
+        cte_names = {
+            m.group(1).lower()
+            for m in re.finditer(r"\b(\w+)\s+AS\s*\(", shield, re.IGNORECASE)
+        }
         rels: list[tuple[str, str | None]] = []  # (table, alias)
         ident = r"[A-Za-z_][\w.]*"
         for m in re.finditer(r"\b(FROM|JOIN)\b", shield, re.IGNORECASE):
@@ -4658,13 +4681,22 @@ class SessionContext:
         out: dict[str, object] = {}
         bare: dict[str, list[object]] = {}
         tables: list[str] = []
+        quals: set[str] = set()
         for tbl, alias in rels:
+            if tbl.lower() in cte_names:
+                return None  # defined in this statement, not the catalog
             try:
                 fields = self.spark.table(tbl).schema
             except Exception:
                 return None
             tables.append(tbl)
             qual = (alias or tbl).lower()
+            if qual in quals:
+                # the same alias in two scopes (outer FROM t f ... IN
+                # (SELECT ... FROM u f)) — last-wins typing could fire a
+                # value-changing rewrite on the WRONG column; bail out
+                return None
+            quals.add(qual)
             for f in fields:
                 c = f.name.lower()
                 out[f"{qual}.{c}"] = f.dataType
@@ -4674,7 +4706,7 @@ class SessionContext:
                 out[c] = dts[0]
         return out, tables
 
-    def _rewrite_decimal_avg(self, q: str) -> str:
+    def _rewrite_decimal_avg(self, q: str, rmap=None) -> str:
         """Decimal AVG with the reference's TRUNCATING division
         (functions-aggregate/src/average.rs DecimalAverager: the i128 sum
         is integer-divided by the count, truncating toward zero at result
@@ -4695,7 +4727,7 @@ class SessionContext:
         long before Decimal128 does; such magnitudes keep Spark's avg."""
         if not re.search(r"\bavg\s*\(", q, re.IGNORECASE):
             return q
-        resolved = self._from_schema_map(q)
+        resolved = (rmap or self._from_schema_map)(q)
         if resolved is None:
             return q
         schema, _ = resolved
@@ -4789,7 +4821,7 @@ class SessionContext:
         return None
 
     def _rewrite_deep_array_fns(
-        self, q: str, lits: list[str] | None = None
+        self, q: str, lits: list[str] | None = None, rmap=None
     ) -> str:
         """flatten / array_to_string over NESTED arrays, the reference's
         recursive leaf semantics (functions-array flatten.rs flattens
@@ -4806,7 +4838,7 @@ class SessionContext:
             for s in ("flatten", "to_string", "_join", "cardinality", "dims", "length")
         ):
             return q
-        resolved = self._from_schema_map(q)
+        resolved = (rmap or self._from_schema_map)(q)
         schema = resolved[0] if resolved else None
 
         def flattened(arg: str, times: int) -> str:
@@ -4895,7 +4927,7 @@ class SessionContext:
                 pos = s_i + len(repl)
         return q
 
-    def _rewrite_int_division(self, q: str) -> str:
+    def _rewrite_int_division(self, q: str, rmap=None) -> str:
         """Integer COLUMN division truncates in the reference (Int64/Int64 →
         Int64, like Rust's `/`); Spark's `/` is always fractional. The
         literal/literal pair is folded in _rewrite_sql; this closes the
@@ -4907,7 +4939,7 @@ class SessionContext:
         non-integral operands keep Spark's `/` (documented §1.2 residual)."""
         if "/" not in q:
             return q
-        resolved = self._from_schema_map(q)
+        resolved = (rmap or self._from_schema_map)(q)
         if resolved is None:
             return q
         schema, _ = resolved
@@ -4936,7 +4968,7 @@ class SessionContext:
             seg if i % 2 else pat.sub(repl, seg) for i, seg in enumerate(segs)
         )
 
-    def _rewrite_approx_percentile(self, q: str) -> str:
+    def _rewrite_approx_percentile(self, q: str, rmap=None) -> str:
         """approx_percentile_cont / approx_median /
         approx_percentile_cont_with_weight → the faithful t-digest
         aggregate (functions/tdigest.py — the reference's merging-digest
@@ -4958,7 +4990,7 @@ class SessionContext:
         if not getattr(self, "_tdigest_registered", False):
             register_udafs(self.spark)
             self._tdigest_registered = True
-        resolved = self._from_schema_map(q)
+        resolved = (rmap or self._from_schema_map)(q)
         schema = resolved[0] if resolved else None
 
         def _typed(inner: str, arg: str) -> str:
@@ -5067,7 +5099,7 @@ class SessionContext:
                 pos = s_i + len(repl)
         return q
 
-    def _rewrite_f32_math(self, q: str) -> str:
+    def _rewrite_f32_math(self, q: str, rmap=None) -> str:
         """Float32 math kernels. §1.2 widens f32 compute to f64, and the slt
         comparator absorbs that at ≤9 significant digits — but three corpus
         shapes carry f32 artifacts OUTSIDE that window, where the reference
@@ -5102,7 +5134,7 @@ class SessionContext:
 
         schema: dict | None = None
         if re.search(r"\b(round|sqrt)\s*\(", q, re.IGNORECASE):
-            resolved = self._from_schema_map(q)
+            resolved = (rmap or self._from_schema_map)(q)
             schema = resolved[0] if resolved else None
         if schema is None:
             return q
@@ -5143,7 +5175,7 @@ class SessionContext:
                 pos = s_i + len(repl)
         return q
 
-    def _rewrite_median(self, q: str) -> str:
+    def _rewrite_median(self, q: str, rmap=None) -> str:
         """Type-preserving exact median (median.rs calculate_median): the
         reference returns the INPUT type — for an even count the two middle
         values are averaged in the native type's arithmetic, i.e.
@@ -5172,7 +5204,7 @@ class SessionContext:
         instead of truncating — the documented trade at scale."""
         if not re.search(r"\bmedian\s*\(", q, re.IGNORECASE):
             return q
-        resolved = self._from_schema_map(q)
+        resolved = (rmap or self._from_schema_map)(q)
         if resolved is None:
             return q
         schema, tables = resolved

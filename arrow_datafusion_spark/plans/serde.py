@@ -66,9 +66,18 @@ def _node(ctx, n: dict) -> DataFrame:
             ins = n["in_subquery"]
             hay = _node(ctx, ins["subquery"])
             how = "left_anti" if ins.get("negated") else "left_semi"
-            return df.join(
-                hay, F.expr(ins["needle"]) == hay[hay.columns[0]], how
+            # bind a plain-column needle to the PROBE side explicitly:
+            # `x IN (SELECT x FROM u)` puts the same name on both join
+            # inputs, and a bare F.expr would be AMBIGUOUS_REFERENCE
+            import re as _re
+
+            needle = ins["needle"]
+            ncol = (
+                df[needle]
+                if _re.fullmatch(r"[A-Za-z_]\w*", needle)
+                else F.expr(needle)
             )
+            return df.join(hay, ncol == hay[hay.columns[0]], how)
         return df.filter(F.expr(n["predicate"]))
     if op == "aggregate":
         df = _node(ctx, n["input"])

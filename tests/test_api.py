@@ -736,6 +736,44 @@ def test_type_aware_rewrites_resolve_joined_and_aliased_tables(spark):
         spark.catalog.dropTempView("jr_dim")
 
 
+def test_from_schema_map_bails_on_shadowing_and_alias_reuse(spark):
+    # late-r10 screens: (a) a CTE name shadowing a catalog table must NOT
+    # resolve through spark.table() — the lowering would fire on the
+    # catalog table's type while execution binds the CTE's; (b) the same
+    # alias in two scopes (outer FROM + subquery FROM) would last-wins
+    # overwrite the qualifier map and type the WRONG column
+    ctx = SessionContext(spark)
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(Decimal("1.00"),)], "d decimal(10,2)"
+    ).createOrReplaceTempView("fsm_shadow_t")
+    try:
+        assert (
+            ctx._from_schema_map(
+                "WITH fsm_shadow_t AS (SELECT 1.0 AS d) "
+                "SELECT avg(d) FROM fsm_shadow_t"
+            )
+            is None
+        )
+        assert (
+            ctx._from_schema_map(
+                "SELECT avg(f.d) FROM fsm_shadow_t f WHERE f.d IN "
+                "(SELECT d FROM fsm_shadow_t f)"
+            )
+            is None
+        )
+        # and end-to-end: the CTE's DOUBLE avg keeps Spark semantics (the
+        # truncating decimal lowering must not fire on the shadowed name)
+        row = ctx.sql(
+            "WITH fsm_shadow_t AS (SELECT CAST(1.5 AS DOUBLE) AS d) "
+            "SELECT avg(d) AS a FROM fsm_shadow_t"
+        ).collect()[0]
+        assert row["a"] == 1.5
+    finally:
+        spark.catalog.dropTempView("fsm_shadow_t")
+
+
 def test_from_schema_map_bails_on_unresolvable_shapes(spark):
     # subquery-in-FROM, UDTF calls, and EXTRACT's FROM keyword must all
     # return None (skip lowering) rather than mis-resolve

@@ -254,6 +254,36 @@ def test_roundtrip_in_subquery_filter(spark, sf_dir):
         })
 
 
+def test_roundtrip_in_subquery_same_column_name(spark, sf_dir):
+    # `x IN (SELECT x FROM u)` — the SAME column name on both join sides
+    # (the common IN shape). serde must bind the needle to the probe side
+    # explicitly; a bare F.expr needle is AMBIGUOUS_REFERENCE here.
+    ctx = _ctx(spark, sf_dir, "nation", "region")
+    sub = {
+        "op": "projection",
+        "exprs": ["n_regionkey"],
+        "input": {
+            "op": "filter",
+            "predicate": "n_nationkey < 5",
+            "input": {"op": "scan", "table": "nation"},
+        },
+    }
+    for negated in (False, True):
+        _assert_roundtrip(ctx, {
+            "op": "projection",
+            "exprs": ["n_nationkey", "n_name"],
+            "input": {
+                "op": "filter",
+                "in_subquery": {
+                    "needle": "n_regionkey",  # same name as the haystack
+                    "subquery": sub,
+                    "negated": negated,
+                },
+                "input": {"op": "scan", "table": "nation"},
+            },
+        })
+
+
 def test_roundtrip_union_distinct_and_distinct_aggregates(spark, sf_dir):
     ctx = _ctx(spark, sf_dir, "nation", "lineitem")
     na = {"op": "scan", "table": "nation"}
