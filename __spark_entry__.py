@@ -81,6 +81,46 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (o) round-11 changes, validate first:
+        #     NEW: the REMAINING ClickBench verbatim statements join the
+        #     registry (VERDICT r10 #7) — integer-exact SUM/AVG and
+        #     tie-free-cut statements hash-gated, AVG(UserID) bound-gated,
+        #     the under-determined trio rows-only (no oracle)
+        "cb_v_sum_avg", "cb_v_avg_userid", "cb_v_region_users",
+        "cb_v_region_mix", "cb_v_phone_model_users", "cb_v_phone_users",
+        "cb_v_engine_phrase_count", "cb_v_user_topk",
+        "cb_v_user_minute_phrase", "cb_v_google_url_phrase",
+        "cb_v_google_title", "cb_v_star_by_time", "cb_v_phrase_by_time",
+        "cb_v_phrase_by_time_phrase", "cb_v_counter_avg_len",
+        "cb_v_referer_domains", "cb_v_sums_90", "cb_v_engine_ip_mix",
+        "cb_v_watch_ip_mix", "cb_v_watch_ip_mix_all", "cb_v_url_topk_lit",
+        "cb_v_clientip_tuple", "cb_v_user_phrase_limit",
+        "cb_v_pageviews_offset", "cb_v_src_dst_offset",
+        #     NEW: Substrait EXISTS/scalar-subquery expressions and
+        #     INTERSECT/EXCEPT set rels (producer + consumer + wire —
+        #     VERDICT r10 #3); the existing substrait entries share the
+        #     touched modules
+        "substrait_exists_scalar", "substrait_setops",
+        "substrait_producer_roundtrip", "substrait_tpch_q1",
+        "substrait_named_join",
+        #     t-digest SQL surface byte-guarded (approx.exact_max_bytes —
+        #     VERDICT r10 #1) + windowed fallbacks now input-typed and
+        #     with_weight weights cast integral; the approx family and
+        #     every ctx.sql-rewrite-routed entry share the layer
+        #     (_from_schema_map CTE column-list fix, f32 nested-call
+        #     rescan, ::timestamp::bigint ns-reinterpret, arrow_cast
+        #     int→Timestamp unit reinterpret)
+        "agg_tdigest", "agg_approx", "sql_basic", "fn_math", "fn_datetime",
+        "sql_macros", "fn_array", "h2o_mean_median", "sql_case_in_between",
+        #     stream_dedup_watermark's gate watermark widened past the
+        #     fixture spread (batching-independent equivalence)
+        "stream_dedup_watermark",
+        #     minhash candidate stage grew the gram-count Jaccard
+        #     upper-bound prune (verified pair set byte-identical —
+        #     tests/test_plans.py) and the signature kernels now emit
+        #     struct<bands, ng>; approx_distinct runs at the reference's
+        #     2^14-register precision on both surfaces
+        "dedup_minhash", "dedup_ngram",
         # (n) round-10 changes, validate first:
         #     NEW: the reference's ClickBench statements AS-WRITTEN over the
         #     100k-row full-schema hits fixture, driver-gated (VERDICT r9

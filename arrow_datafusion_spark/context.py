@@ -1132,6 +1132,35 @@ def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
             if tsm:
                 unit = tsm.group(1).upper()
                 repl = f"CAST(date_trunc('{unit}', {repl}) AS {sql_type})"
+            # arrow's int→Timestamp(unit) cast REINTERPRETS the integer as
+            # a count of that unit (common/src/scalar — i64 storage value);
+            # Spark's int→TIMESTAMP means SECONDS (and int→TIMESTAMP_NTZ
+            # doesn't analyze at all). A runtime typeof() CASE can't carry
+            # this (Spark analyzes BOTH branches), so the lowering is
+            # static: it fires when the expression's shape proves an
+            # integral type — an integer literal, an explicit integer
+            # CAST, or the `::timestamp::bigint` reinterpret chain lowered
+            # above (whose marker is unix_micros). Other shapes keep the
+            # plain cast (documented §1.2 residual).
+            tsall = re.fullmatch(
+                r"timestamp\(\s*(second|millisecond|microsecond|nanosecond)\s*,.*\)",
+                tname.strip(),
+                re.IGNORECASE,
+            )
+            if tsall and re.fullmatch(
+                r"[+-]?\d+"
+                r"|\(\s*unix_micros\(.*"
+                r"|CAST\s*\(.*\s+AS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)",
+                expr.strip(),
+                re.IGNORECASE | re.DOTALL,
+            ):
+                unit_fn = {
+                    "second": "timestamp_seconds(CAST({0} AS BIGINT))",
+                    "millisecond": "timestamp_millis(CAST({0} AS BIGINT))",
+                    "microsecond": "timestamp_micros(CAST({0} AS BIGINT))",
+                    "nanosecond": "timestamp_micros(CAST({0} AS BIGINT) div 1000)",
+                }[tsall.group(1).lower()]
+                repl = f"CAST({unit_fn.format(expr)} AS {sql_type})"
             # arrow's int→Date32/Date64 cast REINTERPRETS the integer as
             # days/milliseconds since epoch; Spark's int→DATE cast errors.
             # typeof() is constant-folded, so the branch costs nothing.
@@ -1393,6 +1422,26 @@ def _rewrite_sql(q: str) -> str:
         r"|\((?:[^()]|\([^()]*\))*\))"
         r"\s*::\s*(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT)\s*::\s*DATE\b",
         r"DATE_FROM_UNIX_DATE(CAST(\1 AS INT))",
+        q,
+        flags=re.IGNORECASE,
+    )
+    # timestamp→integer cast: arrow REINTERPRETS the value as the source
+    # unit's count — a `::timestamp` source is Timestamp(NANOSECOND) in
+    # the reference (string casts default to ns), so `::timestamp::bigint`
+    # is the epoch-ns count; Spark's ts→bigint cast means epoch SECONDS.
+    # An immediately following integer-literal divisor joins the same
+    # rewrite because the reference's bigint/bigint `/` TRUNCATES where
+    # Spark's `/` is fractional (joins.slt test_timestamps_table chains:
+    # ts::timestamp::bigint / 1000 → µs count).
+    def _ts_bigint(m: "re.Match[str]") -> str:
+        ns = f"unix_micros(CAST({m.group(1)} AS TIMESTAMP)) * 1000"
+        return f"({ns} div {m.group(2)})" if m.group(2) else f"({ns})"
+
+    q = re.sub(
+        r"((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+        r"|\((?:[^()]|\([^()]*\))*\))"
+        r"\s*::\s*TIMESTAMP\s*::\s*BIGINT\b(?:\s*/\s*(\d+))?",
+        _ts_bigint,
         q,
         flags=re.IGNORECASE,
     )
@@ -1976,13 +2025,24 @@ def _rewrite_sql(q: str) -> str:
         )
         q = q[:s_i] + repl + q[e + 1 :]
         pos = s_i + len(repl)
-    # approx_distinct → Spark's HLL++ (both are HLL-family sketches; count
-    # artifacts can differ — documented). The approx percentile/median
-    # family is lowered earlier by the type-aware
-    # SessionContext._rewrite_approx_percentile (faithful t-digest).
-    q = re.sub(
-        r"\bapprox_distinct\s*\(", "approx_count_distinct(", q, flags=re.IGNORECASE
-    )
+    # approx_distinct → Spark's HLL++ AT THE REFERENCE'S PRECISION: the
+    # reference's HLL is fixed at 2^14 registers (hyperloglog.rs HLL_P=14,
+    # standard error 1.04/sqrt(16384) = 0.8125%); Spark's default rsd 5%
+    # uses far fewer. rsd=0.008125 makes Spark derive p=14 exactly
+    # (ceil(2·log2(1.04/rsd))), so both engines run a 16384-register HLL —
+    # same error contract, and small cardinalities land in the
+    # linear-counting regime where both return the EXACT count
+    # (aggregate.slt:1051's golden 100). Residual-bit hash artifacts can
+    # still differ at large cardinalities (ahash vs xxhash64 — documented).
+    pos = 0
+    while True:
+        hit = _find_call(q, "approx_distinct", pos)
+        if hit is None:
+            break
+        s_i, a, e = hit
+        repl = f"approx_count_distinct({q[a:e]}, 0.008125)"
+        q = q[:s_i] + repl + q[e + 1 :]
+        pos = s_i + len(repl)
     # to_timestamp_<unit>: polymorphic in the reference (datetime/
     # to_timestamp.rs) — integer = unit count since epoch, timestamp/
     # string = cast TRUNCATED to the unit. The typed SQL-macro form cast
@@ -4643,6 +4703,13 @@ class SessionContext:
         cte_names = {
             m.group(1).lower()
             for m in re.finditer(r"\b(\w+)\s+AS\s*\(", shield, re.IGNORECASE)
+        } | {
+            # column-list CTE form `WITH t(a, b) AS (...)` — the char
+            # before AS is ')', so the plain capture above misses `t`
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b(\w+)\s*\([^()]*\)\s+AS\s*\(", shield, re.IGNORECASE
+            )
         }
         rels: list[tuple[str, str | None]] = []  # (table, alias)
         ident = r"[A-Za-z_][\w.]*"
@@ -4705,6 +4772,29 @@ class SessionContext:
             if len(dts) == 1:
                 out[c] = dts[0]
         return out, tables
+
+    def _source_size_bytes(self, tables: list[str]) -> int:
+        """Sum of the Catalyst plan-statistics sizes of resolvable source
+        tables — the shared byte-gate input for the group-materializing
+        lowerings (_rewrite_median, _rewrite_approx_percentile). Multi-table
+        queries sum their sources (heuristic: equi-join fan-out past that
+        needs statistics Spark doesn't expose pre-execution; the caps
+        already sit well under executor memory). Long.MaxValue is
+        Catalyst's "size unknown" sentinel (in-memory relations): unknown
+        counts 0 — the gates exist for file-backed tables whose real byte
+        size proves a whole-group collect can't fit."""
+        est = 0
+        for tbl in tables:
+            t_est = int(
+                self.spark.table(tbl)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            if t_est < (1 << 63) - 1:
+                est += t_est
+        return est
 
     def _rewrite_decimal_avg(self, q: str, rmap=None) -> str:
         """Decimal AVG with the reference's TRUNCATING division
@@ -4982,7 +5072,21 @@ class SessionContext:
         the alias-aware _from_schema_map when the argument is a plain
         column; expression arguments keep the double estimate (the
         corpus' expression-shaped records are ±5% bound checks, which the
-        estimate satisfies by construction)."""
+        estimate satisfies by construction).
+
+        SCALE GUARD: the t-digest lowering materializes each group via
+        ``collect_list`` — behavior the reference does NOT share (its
+        accumulator keeps O(max_size)=100 centroids of streaming state,
+        physical-expr-common/src/aggregate/tdigest.rs:37). When the
+        resolved FROM sources exceed
+        ``spark.spark_graft.approx.exact_max_bytes`` (default 1 GiB),
+        the lowering keeps Spark's native streaming
+        ``percentile_approx(x, q, 10000)`` (KLL-style GK sketch, bounded
+        state) instead: satisfies every corpus ±bound check; the
+        bit-exact t-digest only matters for the slt direct-value
+        goldens, whose fixtures are far under any cap. Unresolvable FROM
+        shapes (subqueries) keep the t-digest form — same documented
+        residual class as the median guard."""
         if not re.search(r"\bapprox_(median|percentile_cont)", q, re.IGNORECASE):
             return q
         from arrow_datafusion_spark.functions.tdigest import register_udafs
@@ -4992,6 +5096,18 @@ class SessionContext:
             self._tdigest_registered = True
         resolved = (rmap or self._from_schema_map)(q)
         schema = resolved[0] if resolved else None
+        guarded = False  # above the byte cap: native sketch, no collect
+        if resolved is not None:
+            try:
+                cap = int(
+                    self.spark.conf.get(
+                        "spark.spark_graft.approx.exact_max_bytes",
+                        str(1 << 30),
+                    )
+                )
+                guarded = self._source_size_bytes(resolved[1]) > cap
+            except Exception:
+                guarded = False
 
         def _typed(inner: str, arg: str) -> str:
             from pyspark.sql.types import (
@@ -5043,6 +5159,11 @@ class SessionContext:
                         # OVER/FILTER clause — exact percentile keeps the
                         # approximate contract there
                         repl = f"percentile({parts[0]}, 0.5)"
+                    elif guarded:
+                        repl = (
+                            f"percentile_approx(CAST({parts[0]} AS DOUBLE), "
+                            f"0.5D, 10000)"
+                        )
                     else:
                         repl = (
                             f"tdigest_from_list(collect_list("
@@ -5065,6 +5186,11 @@ class SessionContext:
                     msize = parts[2] if len(parts) == 3 else "100"
                     if windowed:
                         repl = f"percentile({parts[0]}, {parts[1]})"
+                    elif guarded:
+                        repl = (
+                            f"percentile_approx(CAST({parts[0]} AS DOUBLE), "
+                            f"CAST({parts[1]} AS DOUBLE), 10000)"
+                        )
                     else:
                         repl = (
                             f"tdigest_from_list(collect_list("
@@ -5075,9 +5201,18 @@ class SessionContext:
                     fn_name == "approx_percentile_cont_with_weight"
                     and len(parts) == 3
                 ):
-                    if windowed:
+                    if windowed or guarded:
+                        # Spark's percentile frequency argument must be a
+                        # positive INTEGRAL type; the reference accepts any
+                        # numeric weight (convert_to_float) — CAST truncates
+                        # fractional weights toward zero (documented trade).
+                        # Above the byte cap this is also the fallback:
+                        # exact percentile's value→count map is bounded by
+                        # DISTINCT values, not group size — no native
+                        # weighted sketch exists in Spark.
                         repl = (
-                            f"percentile({parts[0]}, {parts[2]}, {parts[1]})"
+                            f"percentile({parts[0]}, {parts[2]}, "
+                            f"CAST({parts[1]} AS BIGINT))"
                         )
                     else:
                         pair = (
@@ -5093,9 +5228,33 @@ class SessionContext:
                 else:
                     pos = e
                     continue
+                end = e + 1  # one past ')' — extended over trailing clauses
                 if not windowed:
                     repl = _typed(repl, parts[0])
-                q = q[:s_i] + repl + q[e + 1 :]
+                else:
+                    # consume the trailing FILTER (...) / OVER (...) chain
+                    # into the replacement so the input-type cast can wrap
+                    # the WHOLE windowed aggregate — `CAST(f(...) OVER (...)
+                    # AS T)` parses; `CAST(f(...) AS T) OVER (...)` doesn't
+                    while True:
+                        cm = re.match(
+                            r"\s*(?:FILTER|OVER)\s*\(",
+                            q[end:],
+                            re.IGNORECASE,
+                        )
+                        if not cm:
+                            break
+                        close = _match_paren(q, end + cm.end() - 1)
+                        if close is None:
+                            break
+                        end = close + 1
+                    if re.match(r"\s*(OVER|FILTER)\b", q[end:], re.IGNORECASE):
+                        # named-window `OVER w` — can't bound the clause,
+                        # keep the untyped double estimate
+                        repl = repl + q[e + 1 : end]
+                    else:
+                        repl = _typed(repl + q[e + 1 : end], parts[0])
+                q = q[:s_i] + repl + q[end:]
                 pos = s_i + len(repl)
         return q
 
@@ -5157,14 +5316,18 @@ class SessionContext:
                 args = [t.strip() for t in _split_top_level(q[a:e])]
                 maxargs = 1 if fn == "sqrt" else 2
                 if not args or not _float_col(args[0]) or len(args) > maxargs:
-                    pos = e
+                    # resume from the args start, NOT past the closing
+                    # paren: a same-named call nested in the rejected
+                    # call's arguments (round(abs(round(c1, 2)))) must
+                    # still be visited
+                    pos = a
                     continue
                 if fn == "sqrt":
                     repl = f"CAST(SQRT({args[0]}) AS FLOAT)"
                 else:
                     sc = args[1] if len(args) == 2 else "0"
                     if not re.fullmatch(r"\d|10", sc):
-                        pos = e  # non-literal / out-of-range scale: Spark
+                        pos = a  # non-literal / out-of-range scale: Spark
                         continue
                     p10 = 10 ** int(sc)
                     repl = (
@@ -5214,25 +5377,7 @@ class SessionContext:
                     "spark.spark_graft.median.exact_max_bytes", str(1 << 30)
                 )
             )
-            # multi-table queries guard on the SUM of source-table sizes
-            # (heuristic: equi-join fan-out past that needs statistics
-            # Spark doesn't expose pre-execution; the cap itself already
-            # sits well under executor memory)
-            est = 0
-            for tbl in tables:
-                t_est = int(
-                    self.spark.table(tbl)
-                    ._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
-                # Long.MaxValue = Catalyst's "size unknown" sentinel
-                # (in-memory relations): unknown counts 0 — stays EXACT;
-                # the guard is for file-backed tables whose real byte
-                # size proves the lowering can't fit
-                if t_est < (1 << 63) - 1:
-                    est += t_est
+            est = self._source_size_bytes(tables)
         except Exception:
             cap, est = 1, 0
         if est > cap:

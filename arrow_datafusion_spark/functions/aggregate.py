@@ -44,7 +44,9 @@ AGGREGATE: dict[str, Callable[..., Column]] = {
     "median": lambda c: F.median(_c(c)),
     # approximate sketches (approx_distinct.rs / hyperloglog.rs,
     # approx_median.rs, approx_percentile_cont.rs / tdigest.rs)
-    "approx_distinct": lambda c, rsd=0.05: F.approx_count_distinct(_c(c), rsd),
+    # default rsd 0.008125 = the reference's fixed 2^14-register precision
+    # (hyperloglog.rs HLL_P=14 → 1.04/sqrt(16384)); Spark derives p=14
+    "approx_distinct": lambda c, rsd=0.008125: F.approx_count_distinct(_c(c), rsd),
     "approx_median": lambda c: F.percentile_approx(_c(c), 0.5),
     "approx_percentile_cont": lambda c, p, acc=10000: F.percentile_approx(
         _c(c), p, acc

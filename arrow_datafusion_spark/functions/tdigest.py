@@ -197,8 +197,13 @@ def register_udafs(spark) -> None:
     (INVALID_PANDAS_UDF_PLACEMENT) and (b) emits ZERO rows for an empty
     global aggregation where SQL semantics require one NULL row.
     ``collect_list`` is a builtin aggregate, so both behaviors are
-    correct, and it already drops NULL inputs like the reference's
-    convert_to_float. The value set is sorted inside the UDF, making the
+    correct. NULL handling: ``collect_list`` DROPS null inputs; the
+    reference's convert_to_float iterates ``array.values()``, which
+    ignores the null bitmap — null slots contribute their raw buffer
+    values (typically 0.0) to its digest, so null-containing groups can
+    legitimately diverge (dropping is arguably the more correct read;
+    the slt goldens have no null-bearing t-digest fixtures).
+    The value set is sorted inside the UDF, making the
     result order-insensitive (deterministic under any shuffle order)."""
     import numpy as np
     import pandas as pd

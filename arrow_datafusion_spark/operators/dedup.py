@@ -155,7 +155,7 @@ def _fast_band_udf(k: int, num_hashes: int, rows_per_band: int):
         B = rng.integers(0, M, size=num_hashes, dtype=np.uint64)
         crc_cache = batch.__dict__.setdefault("crc_cache", {})
         crc32 = zlib.crc32
-        out = []
+        bands, ngs = [], []
         for t in texts:
             grams = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
             if len(crc_cache) >= 2_000_000:  # bounded under open vocab
@@ -174,15 +174,18 @@ def _fast_band_udf(k: int, num_hashes: int, rows_per_band: int):
             mins = m.min(axis=0).astype(np.uint16)  # low 16 bits
             hb = mins.tobytes()
             w = 2 * rows_per_band
-            out.append(
+            bands.append(
                 [
                     blake2b(hb[b * w : (b + 1) * w], digest_size=8).hexdigest()
                     for b in range(nbands)
                 ]
             )
-        return pd.Series(out)
+            ngs.append(len(grams))  # for the candidate-stage prune
+        return pd.DataFrame({"bands": bands, "ng": ngs})
 
-    udf = _SIG_UDFS[key] = F.pandas_udf(batch, "array<string>")
+    udf = _SIG_UDFS[key] = F.pandas_udf(
+        batch, "struct<bands: array<string>, ng: int>"
+    )
     return udf
 
 
@@ -244,13 +247,13 @@ def _minhash_band_udf(k: int, num_hashes: int, rows_per_band: int):
                 cache[g] = a
             return a
 
-        out = []
+        bands, ngs = [], []
         md5 = hashlib.md5
         for t in texts:
             grams = {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
             mins = np.minimum.reduce([gram_slices(g) for g in grams])
             hexs = [format(v, "04x") for v in mins]
-            out.append(
+            bands.append(
                 [
                     md5(
                         "|".join(
@@ -260,9 +263,14 @@ def _minhash_band_udf(k: int, num_hashes: int, rows_per_band: int):
                     for b in range(nbands)
                 ]
             )
-        return pd.Series(out)
+            # distinct-gram count, free here (the set already exists) —
+            # feeds the candidate stage's Jaccard upper-bound prune
+            ngs.append(len(grams))
+        return pd.DataFrame({"bands": bands, "ng": ngs})
 
-    udf = _SIG_UDFS[key] = F.pandas_udf(batch, "array<string>")
+    udf = _SIG_UDFS[key] = F.pandas_udf(
+        batch, "struct<bands: array<string>, ng: int>"
+    )
     return udf
 
 
@@ -296,9 +304,20 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     kernel: str = "md5",
+    prune_threshold: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) via bucket grouping — the scalable
-    core: docs only meet if a whole band matches."""
+    core: docs only meet if a whole band matches.
+
+    ``prune_threshold``: Jaccard upper-bound prune (round-11; the r10
+    1000×-decade profile put the VERIFY stage at ~100 s/slot — the #2
+    cost). |g(a)∩g(b)| ≤ min(|g(a)|,|g(b)|) and |g(a)∪g(b)| ≥
+    max(|g(a)|,|g(b)|), so J ≤ min/max: a pair whose distinct-gram counts
+    (free in the signature kernel) satisfy min < t·max can NEVER verify at
+    threshold t and is dropped BEFORE the distinct and the text join. The
+    bound is exact, so the verified pair set is byte-identical; the
+    comparison carries a 1e-9 relative slack so float rounding of t·max
+    can only UNDER-prune, never drop a boundary pair."""
     # Signatures are computed in an Arrow-batched pandas UDF: the JVM
     # expression form (array transforms of md5 slices) runs as INTERPRETED
     # higher-order functions — no whole-stage codegen — and allocates one
@@ -313,9 +332,14 @@ def minhash_candidate_pairs(
         if kernel == "fast"
         else _minhash_band_udf(k, num_hashes, rows_per_band)
     )
-    banded = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(band_udf(F.col(text_col))).alias("band", "key"),
+    banded = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), band_udf(F.col(text_col)).alias("s"))
+        .select(
+            "doc",
+            F.col("s.ng").alias("ng"),
+            F.posexplode("s.bands").alias("band", "key"),
+        )
     )
     # Pairs via ONE groupBy(bucket) + in-bucket combination expansion,
     # rather than a bucket self-join: one exchange on the bucket key instead
@@ -331,7 +355,7 @@ def minhash_candidate_pairs(
     # standard MinHash-LSH contract.
     buckets = (
         banded.groupBy("band", "key")
-        .agg(F.collect_list("doc").alias("docs"))
+        .agg(F.collect_list(F.struct("doc", "ng")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
     tail = F.slice(
@@ -339,11 +363,21 @@ def minhash_candidate_pairs(
         F.col("i") + 2,
         F.greatest(F.size("docs") - F.col("i") - 1, F.lit(0)),
     )
+    expanded = buckets.select(
+        "docs", F.posexplode("docs").alias("i", "x")
+    ).select("x", F.explode(tail).alias("y"))
+    if prune_threshold is not None and prune_threshold > 0:
+        # J ≤ min(ng)/max(ng) < t ⇒ can't verify — drop before the
+        # distinct/text join. Slack keeps boundary pairs (under-prune only).
+        t_safe = prune_threshold * (1.0 - 1e-9)
+        expanded = expanded.filter(
+            F.least("x.ng", "y.ng").cast("double")
+            >= F.lit(t_safe) * F.greatest("x.ng", "y.ng")
+        )
     return (
-        buckets.select("docs", F.posexplode("docs").alias("i", "d"))
-        .select(F.col("d").alias("x"), F.explode(tail).alias("y"))
-        .select(
-            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+        expanded.select(
+            F.least("x.doc", "y.doc").alias("doc_a"),
+            F.greatest("x.doc", "y.doc").alias("doc_b"),
         )
         .distinct()
     )
@@ -371,7 +405,8 @@ def minhash_near_duplicates(
     # tiny (LSH collisions only), while its parent subtree (signatures +
     # bucket join over the whole corpus) is the expensive part.
     pairs = minhash_candidate_pairs(
-        df, id_col, text_col, k, num_hashes, rows_per_band, kernel
+        df, id_col, text_col, k, num_hashes, rows_per_band, kernel,
+        prune_threshold=threshold,
     ).localCheckpoint(eager=True)
 
     def gram_fn(t: str):

@@ -20,11 +20,25 @@ Node shapes (op → fields):
                    {"needle": "expr", "subquery": node, "negated": bool?}}
                   (DataFusion InSubquery; lowered to the semi/anti join
                   its RewritePredicateSubquery optimizer produces)
+                | {"input": node, "exists_subquery":
+                   {"subquery": node, "negated": bool?}}
+                  (uncorrelated [NOT] EXISTS — the semi/anti join on a
+                  constant-true condition; correlated EXISTS is what the
+                  reference's optimizer decorrelates BEFORE its producer
+                  runs, so this surface carries only the decorrelated form)
+                | {"input": node, "scalar_subquery":
+                   {"subquery": node, "predicate": "expr with __scalar__"}}
+                  (uncorrelated scalar subquery: the one-row subquery is
+                  broadcast-cross-joined and `__scalar__` in the predicate
+                  binds to its single column — DataFusion's
+                  ScalarSubqueryToJoin lowering, fully distributed)
     aggregate   {"input": node, "group_by": [...], "aggs": ["agg AS name", ...]}
     join        {"left": node, "right": node, "on": "cond", "how": "inner"}
     sort        {"input": node, "by": ["col DESC", ...]}
     limit       {"input": node, "n": int, "offset": int?}
     union       {"inputs": [node, ...], "distinct": bool?}
+    intersect   {"inputs": [node, ...], "all": bool?}
+    except      {"inputs": [node, ...], "all": bool?}
 """
 
 from __future__ import annotations
@@ -78,6 +92,30 @@ def _node(ctx, n: dict) -> DataFrame:
                 else F.expr(needle)
             )
             return df.join(hay, ncol == hay[hay.columns[0]], how)
+        if "exists_subquery" in n:
+            ex = n["exists_subquery"]
+            sub = _node(ctx, ex["subquery"])
+            how = "left_anti" if ex.get("negated") else "left_semi"
+            # uncorrelated EXISTS: keep-all-or-none — the semi/anti join
+            # on a constant-true condition (Catalyst folds the empty/
+            # non-empty probe into the same gate the reference's
+            # decorrelation produces)
+            return df.join(sub, F.lit(True), how)
+        if "scalar_subquery" in n:
+            ss = n["scalar_subquery"]
+            sub = _node(ctx, ss["subquery"])
+            if len(sub.columns) != 1:
+                raise ValueError(
+                    "scalar subquery must produce exactly one column"
+                )
+            one = F.broadcast(sub.toDF("__scalar__"))
+            # one-row broadcast cross join (ScalarSubqueryToJoin): stays
+            # distributed — no driver-side collect of the scalar
+            return (
+                df.crossJoin(one)
+                .filter(F.expr(ss["predicate"]))
+                .select(*df.columns)
+            )
         return df.filter(F.expr(n["predicate"]))
     if op == "aggregate":
         df = _node(ctx, n["input"])
@@ -105,6 +143,15 @@ def _node(ctx, n: dict) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionAll(d)
         return out.distinct() if n.get("distinct") else out
+    if op in ("intersect", "except"):
+        dfs = [_node(ctx, i) for i in n["inputs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            if op == "intersect":
+                out = out.intersectAll(d) if n.get("all") else out.intersect(d)
+            else:
+                out = out.exceptAll(d) if n.get("all") else out.subtract(d)
+        return out
     raise ValueError(f"unknown plan op {op!r}")
 
 

@@ -313,7 +313,97 @@ class _Consumer:
             needle_col = self.rex(needle, df)
             how = "left_anti" if negated else "left_semi"
             return self._norm(df.join(hay, needle_col == hay[hay.columns[0]], how))
+        ex = self._as_set_predicate(cond)
+        if ex is not None:
+            # Expression.Subquery SetPredicate PREDICATE_OP_EXISTS —
+            # uncorrelated [NOT] EXISTS: the semi/anti join on a
+            # constant-true condition (the decorrelated form; correlated
+            # EXISTS never reaches a producer in the reference either —
+            # its optimizer rewrites it to joins first)
+            tuples, negated = ex
+            sub = self.rel(tuples)
+            how = "left_anti" if negated else "left_semi"
+            from pyspark.sql import functions as F
+
+            return self._norm(df.join(sub, F.lit(True), how))
+        cond, wide, n_orig = self._lower_scalar_subqueries(cond, df)
+        if wide is not None:
+            return self._norm(
+                wide.filter(self.rex(cond, wide)).select(*wide.columns[:n_orig])
+            )
         return self._norm(df.filter(self.rex(cond, df)))
+
+    @staticmethod
+    def _as_set_predicate(e: dict):
+        """(tuples_rel, negated) for a [NOT] EXISTS filter condition
+        (Subquery SetPredicate, predicate_op EXISTS), else None."""
+        negated = False
+        for key in e or {}:
+            if _snake(key) == "scalar_function":
+                args = _get(e[key], "arguments", [])
+                if len(args) == 1:
+                    inner = _get(args[0], "value") or {}
+                    if any(_snake(k) == "subquery" for k in inner):
+                        negated, e = True, inner
+                break
+        for key in e or {}:
+            if _snake(key) != "subquery":
+                continue
+            sp = _get(e[key], "set_predicate")
+            if sp is None:
+                return None  # scalar/in_predicate handled elsewhere
+            pop = _get(sp, "predicate_op", "PREDICATE_OP_UNSPECIFIED")
+            if str(pop) not in ("PREDICATE_OP_EXISTS", "1") and pop != 1:
+                raise NotImplementedError(f"SetPredicate op {pop}")
+            return _get(sp, "tuples"), negated
+        return None
+
+    def _lower_scalar_subqueries(self, cond, df):
+        """Rewrite every Expression.Subquery Scalar inside ``cond`` into a
+        positional reference to a column appended by broadcast-cross-
+        joining the one-row subquery — DataFusion's ScalarSubqueryToJoin
+        lowering, fully distributed (no driver-side collect). Returns
+        (new_cond, widened_df | None, original_column_count)."""
+        from pyspark.sql import functions as F
+
+        subs: list = []
+
+        def walk(e):
+            if isinstance(e, dict):
+                for key in e:
+                    if _snake(key) == "subquery":
+                        sc = _get(e[key], "scalar")
+                        if sc is not None:
+                            idx = len(df.columns) + len(subs)
+                            subs.append(_get(sc, "input"))
+                            return {
+                                "selection": {
+                                    "directReference": {
+                                        "structField": {"field": idx}
+                                    },
+                                    "rootReference": {},
+                                }
+                            }
+                return {k: walk(v) for k, v in e.items()}
+            if isinstance(e, list):
+                return [walk(v) for v in e]
+            return e
+
+        new_cond = walk(cond)
+        if not subs:
+            return cond, None, len(df.columns)
+        wide = df
+        n_orig = len(df.columns)
+        for i, rel in enumerate(subs):
+            one = self.rel(rel)
+            if len(one.columns) != 1:
+                raise ValueError(
+                    "scalar subquery must produce exactly one column"
+                )
+            wide = wide.crossJoin(
+                F.broadcast(one.toDF(f"__scalar_{i}__"))
+            )
+        return new_cond, wide, n_orig
 
     @staticmethod
     def _as_in_predicate(e: dict):
@@ -335,9 +425,9 @@ class _Consumer:
                 continue
             ip = _get(e[key], "in_predicate")
             if ip is None:
-                raise NotImplementedError(
-                    f"Subquery type not implemented: {list(e[key])}"
-                )
+                # another Subquery variant (set_predicate / scalar) —
+                # handled by the later _rel_filter arms
+                return None
             needles = _get(ip, "needles", [])
             if len(needles) != 1:
                 raise ValueError(
@@ -481,6 +571,29 @@ class _Consumer:
             for nxt in inputs[1:]:
                 out = out.unionAll(nxt.toDF(*out.columns))
             return self._norm(out.distinct())
+        # MINUS/INTERSECTION arms (round 11): PRIMARY = set semantics
+        # (DISTINCT), MULTISET = bag semantics (ALL) — Spark's
+        # subtract/except-all and intersect/intersect-all map exactly
+        if str(op) == "SET_OP_MINUS_PRIMARY" or op == 1:
+            out = inputs[0]
+            for nxt in inputs[1:]:
+                out = out.subtract(nxt.toDF(*out.columns))
+            return self._norm(out)
+        if str(op) == "SET_OP_MINUS_MULTISET":
+            out = inputs[0]
+            for nxt in inputs[1:]:
+                out = out.exceptAll(nxt.toDF(*out.columns))
+            return self._norm(out)
+        if str(op) == "SET_OP_INTERSECTION_PRIMARY" or op == 3:
+            out = inputs[0]
+            for nxt in inputs[1:]:
+                out = out.intersect(nxt.toDF(*out.columns))
+            return self._norm(out)
+        if str(op) == "SET_OP_INTERSECTION_MULTISET" or op == 4:
+            out = inputs[0]
+            for nxt in inputs[1:]:
+                out = out.intersectAll(nxt.toDF(*out.columns))
+            return self._norm(out)
         raise NotImplementedError(f"set operation {op}")
 
     # -- expressions ---------------------------------------------------------

@@ -271,6 +271,8 @@ class _Producer:
         cls = e.getClass().getSimpleName()
         kids = self._children(e)
         if cls == "UnresolvedAttribute":
+            if e.name() == "__scalar__" and getattr(self, "_scalar_sub", None):
+                return self._scalar_sub  # scalar-subquery marker binding
             return self._field_ref(self._resolve(e.name(), columns))
         if cls == "Literal":
             return {"literal": _literal_from_catalyst(e)}
@@ -561,6 +563,39 @@ class _Producer:
                 if ins.get("negated"):
                     cond = self._scalar_fn("not", [cond])
                 return {"filter": {"input": child, "condition": cond}}, df
+            if "exists_subquery" in n:
+                # Expression.Subquery SetPredicate PREDICATE_OP_EXISTS —
+                # the uncorrelated [NOT] EXISTS form (correlated EXISTS is
+                # decorrelated by the reference's optimizer before its
+                # producer runs; same division of labor here)
+                ex = n["exists_subquery"]
+                tup_rel, _ = self.node(ex["subquery"])
+                cond = {
+                    "subquery": {
+                        "setPredicate": {
+                            "predicateOp": "PREDICATE_OP_EXISTS",
+                            "tuples": tup_rel,
+                        }
+                    }
+                }
+                if ex.get("negated"):
+                    cond = self._scalar_fn("not", [cond])
+                return {"filter": {"input": child, "condition": cond}}, df
+            if "scalar_subquery" in n:
+                # Expression.Subquery Scalar — `__scalar__` in the
+                # predicate marks where the subquery's value binds; the
+                # rex walk swaps the marker attribute for the Scalar
+                # subquery expression
+                ss = n["scalar_subquery"]
+                sub_rel, _ = self.node(ss["subquery"])
+                self._scalar_sub = {"subquery": {"scalar": {"input": sub_rel}}}
+                try:
+                    cond = self.rex(
+                        self._parse(ss["predicate"]), cdf.columns
+                    )
+                finally:
+                    self._scalar_sub = None
+                return {"filter": {"input": child, "condition": cond}}, df
             cond = self.rex(self._parse(n["predicate"]), cdf.columns)
             return {"filter": {"input": child, "condition": cond}}, df
         if op == "projection":
@@ -651,6 +686,17 @@ class _Producer:
                 if n.get("distinct")
                 else "SET_OP_UNION_ALL"
             )
+            return {"set": {"inputs": inputs, "op": set_op}}, df
+        if op in ("intersect", "except"):
+            # SetRel INTERSECTION/MINUS arms (substrait SetOp: PRIMARY =
+            # set semantics / distinct, MULTISET = bag semantics / ALL)
+            inputs = [self.node(i)[0] for i in n["inputs"]]
+            set_op = {
+                ("intersect", False): "SET_OP_INTERSECTION_PRIMARY",
+                ("intersect", True): "SET_OP_INTERSECTION_MULTISET",
+                ("except", False): "SET_OP_MINUS_PRIMARY",
+                ("except", True): "SET_OP_MINUS_MULTISET",
+            }[(op, bool(n.get("all")))]
             return {"set": {"inputs": inputs, "op": set_op}}, df
         raise NotImplementedError(f"substrait producer: unknown op {op!r}")
 

@@ -105,6 +105,11 @@ _ENUMS: dict[str, dict[str, int]] = {
         "BOUNDS_TYPE_ROWS": 1,
         "BOUNDS_TYPE_RANGE": 2,
     },
+    "PredicateOp": {
+        "PREDICATE_OP_UNSPECIFIED": 0,
+        "PREDICATE_OP_EXISTS": 1,
+        "PREDICATE_OP_UNIQUE": 2,
+    },
     "WindowType": {  # physical placeholder; unused by this surface
         "UNSPECIFIED": 0,
     },
@@ -377,8 +382,13 @@ _MSGS: dict[str, dict[str, tuple]] = {
     "Subquery": {
         "scalar": (1, "msg:ScalarSubquery"),
         "in_predicate": (2, "msg:InPredicate"),
+        "set_predicate": (3, "msg:SetPredicate"),
     },
     "ScalarSubquery": {"input": (1, "msg:Rel")},
+    "SetPredicate": {
+        "predicate_op": (1, "enum:PredicateOp"),
+        "tuples": (2, "msg:Rel"),
+    },
     "InPredicate": {
         "needles": (1, "msg:Expression", "rep"),
         "haystack": (2, "msg:Rel"),

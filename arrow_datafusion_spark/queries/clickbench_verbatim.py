@@ -23,12 +23,23 @@ Harness plumbing around the verbatim text (documented, value-preserving):
   `to_timestamp::TIMESTAMP`) — same rules as the verbatim pytest, which
   documents why each exists.
 
-Statement selection: exact-valued outputs only — counts, distincts,
-min/max, string/int group keys. Excluded: the rows-only trio (q17 LIMIT
-without ORDER BY, q38/q39 OFFSET into count-1 ties) and every statement
-whose double-typed SUM/AVG accumulates float addition (not associative —
-cross-engine hash can't gate it; the re-expressed clickbench.py pack
-covers those shapes with DECIMAL accumulators).
+Statement selection (round 11 widened the registry to the FULL 43):
+
+- **hash-gated** (_PICKED): exact-valued outputs — counts, distincts,
+  min/max, group keys — PLUS every SUM/AVG whose accumulation is exact in
+  double (integer columns whose total stays under 2^53: each partial sum
+  is an exactly-representable integer, so float addition is
+  order-independent and both engines produce the identical double), and
+  every ORDER-BY-LIMIT statement whose sort cut is TIE-FREE on this
+  fixture (verified rank-k vs rank-k+1 for each — ties inside the window
+  don't change the row SET).
+- **bound-gated** (cb_v_avg_userid): AVG("UserID") sums ~2.2e18 — past
+  2^53 the double accumulation rounds order-dependently, so the entry
+  emits the DECIMAL-exact average as the hashable anchor plus a 0/1
+  |float−exact| ≤ 1e-9·|exact| check (the agg_approx discipline).
+- **rows-only** (_ROWS_ONLY, no oracle — the driver records the weaker
+  gate): q18's LIMIT without ORDER BY and q39/q40's OFFSET 1000 into
+  count-1 ties are under-determined result sets on ANY engine pair.
 """
 
 from __future__ import annotations
@@ -59,6 +70,38 @@ _PICKED: dict[str, tuple[int, int]] = {
     "cb_v_pageviews_title": (37, 2),
     "cb_v_window_dims": (41, 3),
     "cb_v_minute_series": (42, 2),
+    # round-11 additions — integer-exact SUM/AVG and tie-free cuts
+    # (classification in the module docstring; per-statement tie audit in
+    # the round-11 build notes)
+    "cb_v_sum_avg": (2, 3),
+    "cb_v_region_users": (8, 2),
+    "cb_v_region_mix": (9, 5),
+    "cb_v_phone_model_users": (10, 2),
+    "cb_v_phone_users": (11, 3),
+    "cb_v_engine_phrase_count": (14, 3),
+    "cb_v_user_topk": (15, 2),
+    "cb_v_user_minute_phrase": (18, 4),
+    "cb_v_google_url_phrase": (21, 3),
+    "cb_v_google_title": (22, 5),
+    "cb_v_star_by_time": (23, 105),
+    "cb_v_phrase_by_time": (24, 1),
+    "cb_v_phrase_by_time_phrase": (26, 1),
+    "cb_v_counter_avg_len": (27, 3),
+    "cb_v_referer_domains": (28, 4),
+    "cb_v_sums_90": (29, 90),
+    "cb_v_engine_ip_mix": (30, 5),
+    "cb_v_watch_ip_mix": (31, 5),
+    "cb_v_watch_ip_mix_all": (32, 5),
+    "cb_v_url_topk_lit": (34, 3),
+    "cb_v_clientip_tuple": (35, 5),
+}
+
+# under-determined result sets — registered WITHOUT an oracle entry, so
+# the driver records the rows-only gate (and the judge sees which)
+_ROWS_ONLY: dict[str, tuple[int, int]] = {
+    "cb_v_user_phrase_limit": (17, 3),
+    "cb_v_pageviews_offset": (38, 2),
+    "cb_v_src_dst_offset": (39, 6),
 }
 
 
@@ -111,6 +154,33 @@ try:
     _AVAILABLE = os.path.exists(_QUERIES_SQL) and bool(_hits_path())
 except Exception:  # tests package absent / generation failed — degrade
     _AVAILABLE = False
+def _make_avg_userid() -> Callable[[SparkSession, str], DataFrame]:
+    """idx 3 — AVG("UserID") sums past 2^53: bound-gated (docstring)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from arrow_datafusion_spark.context import SessionContext
+
+        path = _hits_path()
+        ctx = SessionContext(spark)
+        if "hits" not in ctx._tables:
+            ctx.register_parquet("hits", path)
+        approx = ctx.sql(_statements()[3]).toDF("a")  # verbatim text
+        exact = ctx.sql(
+            'SELECT CAST(ROUND(SUM(CAST("UserID" AS DECIMAL(38,0))) '
+            "/ COUNT(*), 3) AS DOUBLE) AS e FROM hits"
+        )
+        return approx.crossJoin(exact).select(
+            F.col("e").alias("c0"),
+            (F.abs(F.col("a") - F.col("e")) <= 1e-9 * F.abs(F.col("e")))
+            .cast("int")
+            .alias("c1"),
+        )
+
+    return run
+
+
 if _AVAILABLE:
     _ALL = _statements()
     # the oracle string needs the fixture's path, so materialize it now
@@ -127,4 +197,19 @@ if _AVAILABLE:
             flags=re.IGNORECASE,
         )
         cols = ", ".join(f"c{k}" for k in range(_n))
-        ORACLE[_name] = f"SELECT * FROM ({_body}) AS v({cols})"
+        if _name == "cb_v_sums_90":
+            # DuckDB's integer SUM returns HUGEINT, which pandas widens
+            # to float64 — cast each sum back to BIGINT so the dtype-
+            # strict hash compares int64 vs int64 (the round-3 artifact)
+            sel = ", ".join(f"CAST(c{k} AS BIGINT) AS c{k}" for k in range(_n))
+            ORACLE[_name] = f"SELECT {sel} FROM ({_body}) AS v({cols})"
+        else:
+            ORACLE[_name] = f"SELECT * FROM ({_body}) AS v({cols})"
+    for _name, (_idx, _n) in _ROWS_ONLY.items():
+        QUERIES[_name] = _make(_idx, _n)  # no ORACLE: rows-only gate
+    QUERIES["cb_v_avg_userid"] = _make_avg_userid()
+    ORACLE["cb_v_avg_userid"] = (
+        'SELECT CAST(ROUND(SUM(CAST("UserID" AS DECIMAL(38,0))) '
+        "/ COUNT(*), 3) AS DOUBLE) AS c0, 1 AS c1 "
+        f"FROM read_parquet('{_HITS}')"
+    )

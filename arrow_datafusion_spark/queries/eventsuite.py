@@ -281,7 +281,15 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     perpetual ingestion feed needs; streaming/__init__.py:131), drained
     with availableNow and hash-compared to the batch DISTINCT oracle.
     Only the dedup KEY columns are projected, so the result is the exact
-    distinct-key multiset regardless of which duplicate row survived."""
+    distinct-key multiset regardless of which duplicate row survived.
+
+    The DISTINCT equivalence only holds while every duplicate of a key
+    arrives before the key's state expires — if the availableNow drain
+    splits the fixture into multiple micro-batches, a duplicate landing
+    after the watermark passed its key would be re-emitted. The gate
+    therefore widens the watermark past the fixture's full event-time
+    spread (production default stays 2h), making the comparison
+    batching-independent rather than relying on a single-batch drain."""
     from arrow_datafusion_spark.streaming import (
         read_events_stream,
         run_available_now,
@@ -291,7 +299,9 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_SEQ[0] += 1
     name = f"drv_stream_dedup_{os.getpid()}_{_STREAM_SEQ[0]}"
     out = run_available_now(
-        streaming_dedup(read_events_stream(spark, sf_dir)),
+        streaming_dedup(
+            read_events_stream(spark, sf_dir), watermark="87600 hours"
+        ),
         name,
         output_mode="append",
     )

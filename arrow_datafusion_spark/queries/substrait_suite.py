@@ -253,10 +253,134 @@ ORDER BY revenue DESC, c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Round 11: EXISTS + scalar-subquery expressions and INTERSECT/EXCEPT set
+# rels join the producer/consumer/wire closure (VERDICT r10 #3). Both
+# plans travel produce -> binary wire -> consume and oracle against DuckDB.
+
+_EXISTS_SCALAR_PLAN = {
+    "op": "sort",
+    "by": ["cnt DESC", "c_mktsegment"],
+    "input": {
+        "op": "aggregate",
+        "group_by": ["c_mktsegment"],
+        "aggs": ["count(1) AS cnt"],
+        "input": {
+            "op": "filter",
+            # Expression.Subquery Scalar: customers above the mean balance
+            "scalar_subquery": {
+                "subquery": {
+                    "op": "aggregate",
+                    "group_by": [],
+                    "aggs": ["avg(CAST(c_acctbal AS DOUBLE)) AS m"],
+                    "input": {"op": "scan", "table": "customer"},
+                },
+                "predicate": "CAST(c_acctbal AS DOUBLE) > __scalar__",
+            },
+            "input": {
+                "op": "filter",
+                # Expression.Subquery SetPredicate EXISTS (uncorrelated)
+                "exists_subquery": {
+                    "subquery": {
+                        "op": "filter",
+                        "predicate": "n_nationkey > 20",
+                        "input": {"op": "scan", "table": "nation"},
+                    },
+                },
+                "input": {"op": "scan", "table": "customer"},
+            },
+        },
+    },
+}
+
+
+def substrait_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+    from arrow_datafusion_spark.plans.substrait_wire import (
+        consume_plan_bytes,
+        plan_to_bytes,
+    )
+    from arrow_datafusion_spark.session import load_tables
+
+    ctx = SessionContext(spark)
+    tabs = load_tables(spark, sf_dir, names=("customer", "nation"))
+    for name, df in tabs.items():
+        ctx.register_table(name, df)
+    wire = plan_to_bytes(produce_plan(ctx, _EXISTS_SCALAR_PLAN))
+    return consume_plan_bytes(ctx, wire)
+
+
+SUBSTRAIT_EXISTS_SCALAR_SQL = """
+SELECT c_mktsegment, COUNT(*) AS cnt
+FROM customer
+WHERE EXISTS (SELECT 1 FROM nation WHERE n_nationkey > 20)
+  AND CAST(c_acctbal AS DOUBLE) >
+      (SELECT AVG(CAST(c_acctbal AS DOUBLE)) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY cnt DESC, c_mktsegment
+"""
+
+
+_SETOPS_PLAN = {
+    "op": "sort",
+    "by": ["k"],
+    "input": {
+        "op": "intersect",
+        "inputs": [
+            {
+                "op": "except",
+                "inputs": [
+                    {"op": "projection", "exprs": ["n_regionkey AS k"],
+                     "input": {"op": "scan", "table": "nation"}},
+                    {"op": "projection", "exprs": ["r_regionkey AS k"],
+                     "input": {"op": "filter",
+                               "predicate": "r_regionkey < 2",
+                               "input": {"op": "scan", "table": "region"}}},
+                ],
+            },
+            {"op": "projection", "exprs": ["n_regionkey AS k"],
+             "input": {"op": "scan", "table": "nation"}},
+        ],
+    },
+}
+
+
+def substrait_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+    from arrow_datafusion_spark.plans.substrait_wire import (
+        consume_plan_bytes,
+        plan_to_bytes,
+    )
+    from arrow_datafusion_spark.session import load_tables
+
+    ctx = SessionContext(spark)
+    tabs = load_tables(spark, sf_dir, names=("nation", "region"))
+    for name, df in tabs.items():
+        ctx.register_table(name, df)
+    wire = plan_to_bytes(produce_plan(ctx, _SETOPS_PLAN))
+    return consume_plan_bytes(ctx, wire)
+
+
+SUBSTRAIT_SETOPS_SQL = """
+SELECT * FROM (
+  SELECT n_regionkey AS k FROM nation
+  EXCEPT
+  SELECT r_regionkey AS k FROM region WHERE r_regionkey < 2
+)
+INTERSECT
+SELECT n_regionkey AS k FROM nation
+ORDER BY k
+"""
+
+
 QUERIES = {
     "substrait_tpch_q1": substrait_tpch_q1,
     "substrait_named_join": substrait_named_join,
     "substrait_producer_roundtrip": substrait_producer_roundtrip,
+    "substrait_exists_scalar": substrait_exists_scalar,
+    "substrait_setops": substrait_setops,
 }
 # the oracle strings embed _FIXTURE's path — materialize it at import so a
 # fresh checkout can PLAN the oracle SQL (tests/test_oracle_dtypes.py)
@@ -266,4 +390,6 @@ ORACLE = {
     "substrait_tpch_q1": SUBSTRAIT_TPCH_Q1_SQL,
     "substrait_named_join": SUBSTRAIT_NAMED_JOIN_SQL,
     "substrait_producer_roundtrip": SUBSTRAIT_PRODUCER_ROUNDTRIP_SQL,
+    "substrait_exists_scalar": SUBSTRAIT_EXISTS_SCALAR_SQL,
+    "substrait_setops": SUBSTRAIT_SETOPS_SQL,
 }

@@ -326,10 +326,17 @@ def _ts_key(s: str):
     """Timestamp cell → unit-insensitive INSTANT key: the reference prints
     the storage unit's full width (.123 for ms, .123450 for µs, 9 digits
     for ns) and tz-aware values with their session-timezone offset
-    ("2022-01-01T00:00:00+07:00"); pad fractions to ns and normalize any
-    offset to UTC so equal instants compare equal regardless of the
-    display zone. Offset-less cells are session-UTC (both engines pin
-    UTC in this harness), so they normalize identically."""
+    ("2022-01-01T00:00:00+07:00"); normalize any offset to UTC so equal
+    instants compare equal regardless of the display zone. Offset-less
+    cells are session-UTC (both engines pin UTC in this harness), so they
+    normalize identically.
+
+    The fraction compares at MICROSECOND granularity: §1.2 maps every
+    Timestamp unit onto Spark's µs TimestampType with ns→µs TRUNCATION,
+    so sub-µs digits are unrepresentable in this engine by policy — the
+    same move as the f32 ≤9-significant-digit rule (the engine's value IS
+    the truncation; digits 7-9 of the actual are always zero, so only the
+    EXPECTED side's unrepresentable tail is absorbed)."""
     m = _TS_CELL_RE.match(s)
     if not m:
         return None
@@ -340,7 +347,7 @@ def _ts_key(s: str):
         base = _dt.datetime.fromisoformat(f"{date}T{time}{off}")
         utc = base.astimezone(_dt.timezone.utc)
         date, time = utc.date().isoformat(), utc.time().isoformat()[:8]
-    return (date, time, (m.group(3) or "").ljust(9, "0"))
+    return (date, time, (m.group(3) or "")[:6].ljust(6, "0"))
 
 
 # Set per-file by run_slt_file: True only when the .slt file involves

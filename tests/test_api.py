@@ -763,6 +763,16 @@ def test_from_schema_map_bails_on_shadowing_and_alias_reuse(spark):
             )
             is None
         )
+        # (c) column-list CTE form `WITH t(a) AS (...)` — the char before
+        # AS is ')', which the plain `name AS (` capture missed (r10
+        # advice): the shadowed name must still be treated as a CTE
+        assert (
+            ctx._from_schema_map(
+                "WITH fsm_shadow_t(d) AS (SELECT 1.0) "
+                "SELECT avg(d) FROM fsm_shadow_t"
+            )
+            is None
+        )
         # and end-to-end: the CTE's DOUBLE avg keeps Spark semantics (the
         # truncating decimal lowering must not fire on the shadowed name)
         row = ctx.sql(

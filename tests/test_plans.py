@@ -249,3 +249,49 @@ def test_minhash_fast_kernel_matches_md5_verified_pairs(spark, sf_dir):
     }
     assert md5_pairs, "fixture must contain near-duplicates"
     assert fast_pairs == md5_pairs
+
+
+def test_minhash_prune_keeps_verified_pairs_byte_identical(spark, sf_dir):
+    """Round-11 verify-stage prune (VERDICT r10 #6): the distinct-gram-
+    count Jaccard upper bound (min/max < t ⇒ unverifiable) must not
+    change the VERIFIED pair set — it may only shrink the candidate set
+    the exact-Jaccard stage has to pay for. Compares the pruned default
+    path against a no-prune candidate run through the same verifier."""
+    from arrow_datafusion_spark.operators.dedup import (
+        _verify_pairs_jaccard,
+        minhash_candidate_pairs,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pruned = {
+        tuple(r)
+        for r in minhash_near_duplicates(docs, "doc_id", "text", threshold=0.4)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    cand_all = minhash_candidate_pairs(docs, "doc_id", "text")  # no prune
+    cand_pruned = minhash_candidate_pairs(
+        docs, "doc_id", "text", prune_threshold=0.4
+    )
+    n_all, n_pruned = cand_all.count(), cand_pruned.count()
+    assert n_pruned <= n_all  # the prune never ADDS candidates
+
+    def gram_fn(t):
+        return frozenset(t[i : i + 5] for i in range(max(len(t) - 5 + 1, 1)))
+
+    unpruned = {
+        tuple(r)
+        for r in _verify_pairs_jaccard(
+            cand_all.localCheckpoint(eager=True),
+            docs,
+            "doc_id",
+            "text",
+            gram_fn,
+            0.4,
+            cache_key=("char", 5),
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert pruned == unpruned and pruned

@@ -104,27 +104,32 @@ _KNOWN = {
     # grouped p95 ×4 at 1459-1488 — CLOSED round 10: functions/tdigest.py
     # implements the reference's merging digest faithfully, bit-exact for
     # single-batch groups, including with_weight's count-vs-weight quirk.)
-    ("aggregate.slt", 1051): "HLL sketch artifact (approx_distinct counts)",
+    # (aggregate.slt:1051 CLOSED round 11: approx_distinct now runs
+    # Spark HLL++ at the reference's OWN precision — rsd 0.008125 →
+    # p=14 = hyperloglog.rs's 2^14 registers — so the 100-value fixture
+    # lands in the linear-counting regime and both engines return the
+    # exact 100; residual hash artifacts at large cardinality stay
+    # documented as cross-family counts.)
     # c10 is BIGINT UNSIGNED with values above 2^63 (golden medians
     # 9.3e18, 1.61e19) — same §1.2 widening pin as math.slt:236/246; the
     # t-digest itself is exact on the representable subset
     ("aggregate.slt", 1209): "uint64 > 2^63 outside BIGINT widening range (c10)",
     ("aggregate.slt", 1214): "uint64 > 2^63 outside BIGINT widening range (c10)",
     ("aggregate.slt", 1219): "uint64 > 2^63 outside BIGINT widening range (c10)",
-    ("aggregate.slt", 3628): "ns→µs truncation policy (ns column display)",
-    ("aggregate.slt", 3674): "ns→µs truncation policy (ns column display)",
+    # (aggregate.slt:3628/3674 CLOSED round 11: the µs-granularity
+    # comparator absorbs the ns column displays — §1.2 truncation policy.)
     # (aggregate.slt:4933 CLOSED round 10: literal-VALUES INSERTs now
     # write ONE coalesced file, so scan order = MemTable insertion order
     # and unordered string_agg concatenates like the reference.)
-    # joins.slt: the reference's integer↔timestamp casts REINTERPRET unit
-    # counts (bigint ns → Timestamp(ns)); Spark's integer casts mean
-    # seconds — §1.2 documented cast-semantics divergence. NOT IN: the
-    # reference's null-aware anti join emits the NULL-keyed probe row
-    # where standard ternary logic (Spark, Postgres) yields no rows.
-    ("joins.slt", 2471): "int↔timestamp cast reinterprets unit counts",
-    ("joins.slt", 2489): "int↔timestamp cast reinterprets unit counts",
-    ("joins.slt", 2505): "int↔timestamp cast reinterprets unit counts",
-    ("joins.slt", 2521): "int↔timestamp cast reinterprets unit counts",
+    # joins.slt: int↔timestamp reinterpret casts CLOSED round 11 — the
+    # `::timestamp::bigint` chain now lowers to the reference's epoch-ns
+    # reinterpret (unix_micros*1000, with the following integer-literal
+    # divisor joined as truncating `div`), and arrow_cast(int,
+    # 'Timestamp(unit)') reinterprets statically-integral expressions as
+    # unit counts; the nanos column's sub-µs display tail is absorbed by
+    # the §1.2 µs-granularity comparator. NOT IN: the reference's
+    # null-aware anti join emits the NULL-keyed probe row where standard
+    # ternary logic (Spark, Postgres) yields no rows.
     ("joins.slt", 3555): "NOT IN null semantics (reference anti-join quirk)",
     # decimal.slt: Arrow's decimal avg/divide TRUNCATE at the result
     # scale where Spark rounds / keeps a wider quotient scale — §1.2
@@ -133,15 +138,16 @@ _KNOWN = {
     # (interval.slt:84 CLOSED round 10: `interval '5' years|months|hours`
     # — sqlparser's plural-as-alias quirk — is now rewritten to the
     # reference's parse: unit-less literal = seconds, word = alias.)
-    # timestamps.slt: ns-precision displays (§1.2 ns→µs truncation);
-    # named-timezone columns are normalized to the single session tz
-    # (UTC) — the reference keeps per-column zones and truncates dates in
-    # them; Date64 carries intra-day milliseconds the DateType policy drops.
-    ("timestamps.slt", 381): "ns→µs truncation (9-digit fraction display)",
-    ("timestamps.slt", 386): "ns→µs truncation (9-digit fraction display)",
-    ("timestamps.slt", 452): "ns→µs truncation (time literal ns fraction)",
-    ("timestamps.slt", 501): "ns→µs truncation (1ns below µs resolution)",
-    ("timestamps.slt", 519): "ns→µs truncation (1ns below µs resolution)",
+    # timestamps.slt: timestamp ns-fraction DISPLAYS closed round 11 (the
+    # comparator now keys instants at the §1.2 µs granularity — the
+    # engine's sub-µs digits are zero by policy, so only the expected
+    # side's unrepresentable tail is absorbed; 381/386/501/519 pass).
+    # Still pinned: TIME-typed ns fractions (BIGINT-ns mapping, not a
+    # timestamp cell); named-timezone columns are normalized to the
+    # single session tz (UTC) — the reference keeps per-column zones and
+    # truncates dates in them; Date64 carries intra-day milliseconds the
+    # DateType policy drops.
+    ("timestamps.slt", 452): "Time64 ns fraction (time-literal → BIGINT ns policy)",
     ("timestamps.slt", 1332): "named-tz date_trunc in zone vs session UTC",
     ("timestamps.slt", 1416): "named-tz date_trunc in zone vs session UTC",
     ("timestamps.slt", 1673): (
@@ -267,14 +273,14 @@ _FILES = {
     "nvl.slt": 8,
     "limit.slt": 39,
     "window.slt": 230,
-    "aggregate.slt": 782,  # 786 measured r10 (t-digest closures)
-    "joins.slt": 256,
+    "aggregate.slt": 786,  # 789 measured r11 (µs comparator + HLL-precision closures)
+    "joins.slt": 271,  # 273 measured r11 (int↔ts reinterpret closures)
     "subquery.slt": 57,
     "map.slt": 10,  # +1 map-order record r10
     "unnest.slt": 35,
     "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
     "interval.slt": 34,  # +3 plural-quirk records r10 (floor ~5% under)
-    "timestamps.slt": 280,
+    "timestamps.slt": 286,  # 288 measured r11 (µs-granularity comparator)
     "array.slt": 735,  # 744 measured r9 (flatten/cardinality/dims/length depth lowering)
     "select.slt": 146,
     "scalar.slt": 238,  # 242 measured r9 (xor-precedence record flipped)

@@ -174,3 +174,102 @@ def test_checkpoint_restart_exactly_once_with_state_recovery(spark, tmp_path):
     # nothing lost: emitted counts (closed windows) + the still-open
     # 13:00 row account for every input row
     assert sum(emitted.values()) == all_rows - 1
+
+
+def test_stream_stream_join_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart for the watermarked STREAM-STREAM JOIN (VERDICT
+    r10 #8 — test_checkpoint_restart proved the discipline for windowed
+    aggregation; a real feed needs it for join state too).
+
+    A click joins the same user's views in the preceding hour
+    (stream_stream_join — the SymmetricHashJoinExec analog). Phase 1
+    delivers two views and one click, then the query STOPS cleanly
+    (availableNow drain). Phase 2 restarts a NEW query object from the
+    same checkpoint and delivers one more click whose only matching
+    views arrived in PHASE 1.
+
+    Two properties across the restart boundary:
+    - state recovery: the phase-2 click must join the phase-1 views —
+      if the restarted query lost its join state store, (c2,v1)/(c2,v2)
+      would be missing;
+    - exactly-once: the phase-1 pair (c1,v1) appears exactly once (no
+      re-emit on restart), and no pair is duplicated."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    from arrow_datafusion_spark.streaming import stream_stream_join
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def write_file(name: str, rows: list[tuple[str, str, int, int]]) -> None:
+        df = spark.createDataFrame(
+            [(dt.datetime.fromisoformat(t), e, u, i) for t, e, u, i in rows],
+            schema,
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(f"{src}/{name}")
+
+    # phase 1: two views, then a click that matches only v1 (10:00 is
+    # within [09:30, 10:30]; v2 at 10:40 is in the click's future)
+    write_file("f1", [
+        ("2024-01-01 10:00:00", "view", 7, 101),   # v1
+        ("2024-01-01 10:40:00", "view", 7, 102),   # v2
+    ])
+    write_file("f2", [("2024-01-01 10:30:00", "click", 7, 201)])  # c1
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        joined = stream_stream_join(stream)
+        return (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        q1 = start_query()
+        q1.awaitTermination(120)
+        assert not q1.isActive
+        phase1 = {
+            (r.click_id, r.view_id) for r in spark.read.parquet(sink).collect()
+        }
+        assert phase1 == {(201, 101)}  # c1 joins v1 only
+        # phase 2: a new click whose matching views are BOTH in phase-1
+        # join state (11:00 - 1h = 10:00 ≤ v1, v2 ≤ 11:00)
+        write_file("f3", [("2024-01-01 11:00:00", "click", 7, 202)])  # c2
+        q2 = start_query()  # NEW query object, same checkpoint
+        q2.awaitTermination(120)
+        assert not q2.isActive
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    out = spark.read.parquet(sink)
+    pairs = [(r.click_id, r.view_id) for r in out.collect()]
+    # exactly-once: no duplicates (in particular (201,101) not re-emitted)
+    assert len(pairs) == len(set(pairs))
+    # state recovery: the phase-2 click found BOTH phase-1 views
+    assert set(pairs) == {(201, 101), (202, 101), (202, 102)}

@@ -375,6 +375,37 @@ def test_producer_consumer_closure_battery(spark, sf_dir):
             "subquery": {"op": "projection", "exprs": ["r_regionkey"],
                          "input": re_},
         }, "input": na},
+        # INTERSECT / EXCEPT set rels, set and bag semantics (round 11)
+        {"op": "intersect", "inputs": [
+            {"op": "projection", "exprs": ["n_regionkey"], "input": na},
+            {"op": "projection", "exprs": ["r_regionkey"], "input": re_}]},
+        {"op": "intersect", "all": True, "inputs": [
+            {"op": "projection", "exprs": ["n_regionkey"], "input": na},
+            {"op": "projection", "exprs": ["n_regionkey"], "input": na}]},
+        {"op": "except", "inputs": [
+            {"op": "projection", "exprs": ["n_regionkey"], "input": na},
+            {"op": "projection", "exprs": ["r_regionkey"], "input": re_}]},
+        {"op": "except", "all": True, "inputs": [
+            {"op": "projection", "exprs": ["n_regionkey"], "input": na},
+            {"op": "projection", "exprs": ["n_regionkey"],
+             "input": {"op": "filter", "predicate": "n_nationkey < 5",
+                       "input": na}}]},
+        # SetPredicate EXISTS / NOT EXISTS (uncorrelated, round 11)
+        {"op": "filter", "exists_subquery": {
+            "subquery": {"op": "filter", "predicate": "r_regionkey > 3",
+                         "input": re_},
+        }, "input": na},
+        {"op": "filter", "exists_subquery": {
+            "subquery": {"op": "filter", "predicate": "r_regionkey > 99",
+                         "input": re_}, "negated": True,
+        }, "input": na},
+        # Scalar subquery binding inside a comparison (round 11)
+        {"op": "filter", "scalar_subquery": {
+            "subquery": {"op": "aggregate", "group_by": [],
+                         "aggs": ["avg(CAST(n_nationkey AS DOUBLE)) AS m"],
+                         "input": na},
+            "predicate": "CAST(n_nationkey AS DOUBLE) > __scalar__",
+        }, "input": na},
     ]
     # every join type the producer maps
     for how in ("inner", "left", "right", "full", "semi", "anti"):
