@@ -697,10 +697,19 @@ def main() -> None:
         help="A/B on the .bench_layout/sf1 layout under ENGINE-default "
         "runtime (AQE on, 32 partitions) — the bench_sf1.py protocol",
     )
+    ap.add_argument(
+        "--sf10",
+        action="store_true",
+        help="A/B on the .bench_layout/sf10_layout (bench_sf1.py --sf 10 "
+        "protocol) — where expand-dominated verdicts can flip vs SF1",
+    )
     args = ap.parse_args()
 
     spark = bench._build_session()
-    if args.sf1:
+    if args.sf10:
+        lay = os.path.join(_REPO, ".bench_layout", "sf10_layout")
+        args.sf1 = True  # same engine-default protocol as --sf1
+    elif args.sf1:
         lay = os.path.join(_REPO, ".bench_layout", "sf1_layout")
     else:
         lay = bench._layout_dir("/root/testdata/sf0.1")
