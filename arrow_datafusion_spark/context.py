@@ -1832,6 +1832,39 @@ def _rewrite_sql(q: str) -> str:
                     repl = f"CAST({repl} AS BIGINT)"
         q = q[:s] + repl + q[e + 1:]
         pos = s + len(repl)
+    # mixed NTZ/TZ date_bin coercion (date_bin.rs argument coercion;
+    # timestamps.slt:1673): when the SOURCE argument is TIMESTAMPTZ and
+    # the ORIGIN a plain TIMESTAMP literal, the reference reinterprets the
+    # origin's WALL time as UTC; Spark would parse it in the session zone.
+    # Append an explicit Z to the shielded origin literal — each literal
+    # occurrence has its own shield slot, so the mutation is local. Runs
+    # BEFORE the TIMESTAMPTZ lowering below erases the TZ marker.
+    pos = 0
+    while True:
+        hit = _find_call(q, "date_bin", pos)
+        if hit is None:
+            break
+        _s, a, e = hit
+        pos = e
+        parts = [p.strip() for p in _split_top_level(q[a:e])]
+        if len(parts) != 3:
+            continue
+        if not re.search(r"\bTIMESTAMPTZ\b", parts[1], re.IGNORECASE):
+            continue
+        om = re.fullmatch(
+            r"TIMESTAMP\s+\x00(\d+)\x00", parts[2], re.IGNORECASE
+        )
+        if not om:
+            continue
+        oi = int(om.group(1))
+        raw = lits[oi].strip("'")
+        if not re.search(r"(?:Z|[+-]\d{2}:?\d{2})\s*$", raw):
+            if re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw.strip()):
+                # a date-only literal needs a time part before the offset
+                # suffix or Spark rejects the typed literal
+                lits[oi] = f"'{raw.strip()} 00:00:00Z'"
+            else:
+                lits[oi] = f"'{raw}Z'"
     # TIMESTAMPTZ literals: Spark has no TIMESTAMPTZ typed-literal syntax —
     # the session is pinned UTC, so a plain TIMESTAMP cast preserves the
     # instant (offsets in the text are applied by the cast)

@@ -326,16 +326,20 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXISTS as inner-join + count(DISTINCT o_orderkey), not left_semi: for
     # LeftSemi Spark can only build the hash side from the RIGHT input, so
     # the (much larger) lineitem became the broadcast build side. The inner
-    # join lets Catalyst build from the date-filtered orders — measured 30%
-    # faster at sf0.1 — and with no forced hint it degrades to a shuffled
-    # join at cluster scale where 3 months of orders outgrows the threshold.
+    # join builds from the date-filtered orders, BYTE-GATED broadcast
+    # (round-11 SF10 A/B, min-of-5 idle: gated broadcast 1.24 s vs the
+    # un-hinted plan's 2.73 s at 60M lineitem rows — Catalyst's static
+    # stats put the 3-month window past the autoBroadcast threshold and
+    # fell back to a sort-merge join; past the gate's budget the hint
+    # degrades to SHUFFLE_HASH, never an OOM-pinned broadcast).
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     o = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    o_est = _source_bytes(sf_dir, "orders") * 0.04 * _BROADCAST_INFLATION
     late = lineitem.select("l_orderkey", "l_shipdate").join(
-        o,
+        _gated_broadcast(o, o_est),
         (F.col("o_orderkey") == F.col("l_orderkey"))
         & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
     )

@@ -150,10 +150,10 @@ _KNOWN = {
     ("timestamps.slt", 452): "Time64 ns fraction (time-literal → BIGINT ns policy)",
     ("timestamps.slt", 1332): "named-tz date_trunc in zone vs session UTC",
     ("timestamps.slt", 1416): "named-tz date_trunc in zone vs session UTC",
-    ("timestamps.slt", 1673): (
-        "mixed NTZ/TZ date_bin coercion: the reference reinterprets the NTZ "
-        "origin's wall time as UTC; Spark parses the literal in session tz"
-    ),
+    # (timestamps.slt:1673 CLOSED round 11: the date_bin rewrite now
+    # reinterprets a plain-TIMESTAMP origin literal's wall time as UTC
+    # when the source argument is TIMESTAMPTZ — the reference's NTZ→TZ
+    # argument coercion.)
     ("timestamps.slt", 2713): "Date64 intra-day ms dropped by DateType policy",
     # array.slt: FixedSizeList NULL rows materialize null-filled fixed-
     # width lists in the reference. (Recursive flatten / nested
@@ -280,7 +280,7 @@ _FILES = {
     "unnest.slt": 35,
     "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
     "interval.slt": 34,  # +3 plural-quirk records r10 (floor ~5% under)
-    "timestamps.slt": 286,  # 288 measured r11 (µs-granularity comparator)
+    "timestamps.slt": 287,  # 289 measured r11 (µs comparator + date_bin NTZ-origin closures)
     "array.slt": 735,  # 744 measured r9 (flatten/cardinality/dims/length depth lowering)
     "select.slt": 146,
     "scalar.slt": 238,  # 242 measured r9 (xor-precedence record flipped)
