@@ -94,7 +94,8 @@ def _registries() -> tuple[dict, dict]:
         "cb_v_phrase_by_time_phrase", "cb_v_counter_avg_len",
         "cb_v_referer_domains", "cb_v_sums_90", "cb_v_engine_ip_mix",
         "cb_v_watch_ip_mix", "cb_v_watch_ip_mix_all", "cb_v_url_topk_lit",
-        "cb_v_clientip_tuple", "cb_v_user_phrase_limit",
+        "cb_v_clientip_tuple", "cb_v_user_phrase_topk",
+        "cb_v_urlhash_offset", "cb_v_user_phrase_limit",
         "cb_v_pageviews_offset", "cb_v_src_dst_offset",
         #     NEW: Substrait EXISTS/scalar-subquery expressions and
         #     INTERSECT/EXCEPT set rels (producer + consumer + wire —
@@ -121,6 +122,9 @@ def _registries() -> tuple[dict, dict]:
         #     struct<bands, ng>; approx_distinct runs at the reference's
         #     2^14-register precision on both surfaces
         "dedup_minhash", "dedup_ngram",
+        #     q4's orders build side is now byte-gated broadcast (SF10 A/B
+        #     2.2x); re-validate the touched TPC-H entry
+        "tpch_q4",
         # (n) round-10 changes, validate first:
         #     NEW: the reference's ClickBench statements AS-WRITTEN over the
         #     100k-row full-schema hits fixture, driver-gated (VERDICT r9

@@ -40,6 +40,10 @@ Statement selection (round 11 widened the registry to the FULL 43):
 - **rows-only** (_ROWS_ONLY, no oracle — the driver records the weaker
   gate): q18's LIMIT without ORDER BY and q39/q40's OFFSET 1000 into
   count-1 ties are under-determined result sets on ANY engine pair.
+
+With the round-11 additions every one of the 43 reference statements is
+registered: 38 hash-gated, 1 bound-gated, 3 rows-only, 1 hash-gated at
+zero rows (q42's OFFSET 100 exceeds the fixture's 70 groups).
 """
 
 from __future__ import annotations
@@ -94,6 +98,8 @@ _PICKED: dict[str, tuple[int, int]] = {
     "cb_v_watch_ip_mix_all": (32, 5),
     "cb_v_url_topk_lit": (34, 3),
     "cb_v_clientip_tuple": (35, 5),
+    "cb_v_user_phrase_topk": (16, 3),
+    "cb_v_urlhash_offset": (40, 3),  # 70 groups < OFFSET 100 → 0 rows
 }
 
 # under-determined result sets — registered WITHOUT an oracle entry, so
