@@ -257,7 +257,9 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is a 0/1 column. The oracle emits the exact ndv cross-engine plus
     constant-1 check columns — a hash match therefore certifies both the
     exact ndv agreement and that every Spark sketch landed inside its
-    documented error bound (HLL++ rsd 0.05 → ±10%; percentile ±5%)."""
+    documented error bound (HLL++ at the reference's 2^14-register
+    precision, rsd 0.008125 — the ±10% gate is comfortably loose;
+    percentile ±5%)."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     g = li.groupBy("l_returnflag").agg(

@@ -203,11 +203,24 @@ if _AVAILABLE:
             flags=re.IGNORECASE,
         )
         cols = ", ".join(f"c{k}" for k in range(_n))
-        if _name == "cb_v_sums_90":
-            # DuckDB's integer SUM returns HUGEINT, which pandas widens
-            # to float64 — cast each sum back to BIGINT so the dtype-
-            # strict hash compares int64 vs int64 (the round-3 artifact)
-            sel = ", ".join(f"CAST(c{k} AS BIGINT) AS c{k}" for k in range(_n))
+        # DuckDB's integer SUM returns HUGEINT, which pandas widens to
+        # float64 — cast each SUM column back to BIGINT so the dtype-
+        # strict hash compares int64 vs int64 (the round-3 artifact;
+        # tests/test_oracle_dtypes.py guards the whole registry)
+        _hugeint_cols = {
+            "cb_v_sum_avg": (0,),
+            "cb_v_region_mix": (1,),
+            "cb_v_engine_ip_mix": (3,),
+            "cb_v_watch_ip_mix": (3,),
+            "cb_v_watch_ip_mix_all": (3,),
+            "cb_v_sums_90": tuple(range(90)),
+        }.get(_name, ())
+        if _hugeint_cols:
+            sel = ", ".join(
+                f"CAST(c{k} AS BIGINT) AS c{k}" if k in _hugeint_cols
+                else f"c{k}"
+                for k in range(_n)
+            )
             ORACLE[_name] = f"SELECT {sel} FROM ({_body}) AS v({cols})"
         else:
             ORACLE[_name] = f"SELECT * FROM ({_body}) AS v({cols})"
