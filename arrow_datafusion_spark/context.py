@@ -2903,7 +2903,14 @@ class SessionContext:
             SessionContext._MACROS_DONE.add(self.spark)
 
     def register_table(self, name: str, df: DataFrame) -> None:
-        df.createOrReplaceTempView(name)
+        try:
+            df.createOrReplaceTempView(name)
+        except Exception:
+            # names that aren't valid single-part view identifiers (e.g.
+            # a Substrait LocalFiles basename like 'region.parquet' —
+            # consumer.rs:692 keeps the extension) resolve through the
+            # dict below only; SQL-side references need a valid name
+            pass
         self._tables[name] = df
 
     def register_object_store(self, path: str, options: dict | None = None) -> str:

@@ -508,19 +508,42 @@ class _Producer:
         op = n["op"]
         df = serde._node(self.ctx, n)
         if op == "scan":
-            if "table" not in n:
-                raise NotImplementedError(
-                    "substrait producer: only catalog-table scans lower to "
-                    "NamedTable (register file scans as tables first)"
-                )
-            rel = {
-                "read": {
-                    "common": {"direct": {}},
-                    "baseSchema": _named_struct(df.schema),
-                    "namedTable": {"names": [n["table"]]},
+            if "table" in n:
+                rel = {
+                    "read": {
+                        "common": {"direct": {}},
+                        "baseSchema": _named_struct(df.schema),
+                        "namedTable": {"names": [n["table"]]},
+                    }
                 }
-            }
-            return rel, df
+                return rel, df
+            if "parquet" in n:
+                # ReadRel LocalFiles (round 11): single-file parquet scans
+                # emit uri_file + the parquet format marker. Consumers —
+                # including the reference's (consumer.rs:692
+                # extract_filename) and this repo's — resolve the file's
+                # BASENAME as a table reference, so a round-trip needs a
+                # table registered under that basename; the uri itself
+                # still names the real file for consumers that read paths.
+                import os as _os
+
+                path = _os.path.abspath(n["parquet"])
+                rel = {
+                    "read": {
+                        "common": {"direct": {}},
+                        "baseSchema": _named_struct(df.schema),
+                        "localFiles": {
+                            "items": [{"uriFile": f"file://{path}",
+                                       "parquet": {}}]
+                        },
+                    }
+                }
+                return rel, df
+            raise NotImplementedError(
+                "substrait producer: only catalog-table and single-file "
+                "parquet scans lower to ReadRel (csv/json scans: register "
+                "as tables first)"
+            )
         if op == "values":
             rows = [
                 {

@@ -69,13 +69,20 @@ def windowed_counts(
     )
 
 
-def stream_stream_join(events: DataFrame, window: str = "1 hour") -> DataFrame:
+def stream_stream_join(
+    events: DataFrame, window: str = "1 hour", how: str = "inner"
+) -> DataFrame:
     """Stream-stream equi join with a time-range condition — the
     SymmetricHashJoinExec analog (joins/symmetric_hash_join.rs:167): the
     watermark + time bound is exactly the interval-based state pruning the
     reference derives with its cp_solver, but declared instead of inferred.
 
     Joins each click to the same user's views in the preceding ``window``.
+    ``how`` extends to the OUTER stream-stream forms the reference's
+    SymmetricHashJoin also supports (left_outer/right_outer/full_outer):
+    Spark emits the NULL-extended row for an unmatched side once the
+    watermark proves no future match can arrive — the same
+    watermark-eviction contract as the reference's pruned build sides.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -100,7 +107,7 @@ def stream_stream_join(events: DataFrame, window: str = "1 hour") -> DataFrame:
         F.expr(
             f"c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL {window} AND c_ts"
         ),
-        "inner",
+        how,
     ).select("click_id", "view_id", "c_user")
 
 

@@ -273,3 +273,83 @@ def test_stream_stream_join_checkpoint_restart(spark, tmp_path):
     assert len(pairs) == len(set(pairs))
     # state recovery: the phase-2 click found BOTH phase-1 views
     assert set(pairs) == {(201, 101), (202, 101), (202, 102)}
+
+
+def test_stream_stream_left_outer_join_watermark_eviction(spark, tmp_path):
+    """OUTER stream-stream join (§2.3 SymmetricHashJoin parity — the
+    reference's symmetric_hash_join.rs supports Left/Right/Full): a click
+    with no view in its preceding hour must be emitted NULL-extended,
+    but only after the watermark proves no matching view can still
+    arrive. A 23:00 spike advances the watermark past every earlier
+    click's join bound so the unmatched row flushes by end of drain."""
+    import datetime as dt
+
+    import pyspark.sql.types as T
+
+    from arrow_datafusion_spark.streaming import stream_stream_join
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    # three files → three micro-batches (maxFilesPerTrigger=1): the
+    # GLOBAL watermark is the MIN across both branch watermarks (clicks
+    # and views each carry one), advances at BATCH BOUNDARIES, and
+    # unmatched-side rows are emitted by the batch AFTER the one whose
+    # events moved it past their join bound — hence spikes on BOTH event
+    # types and a trailing flush batch (the user-9 spike click never
+    # matches and never becomes evictable, so it stays in state unemitted)
+    batches = [
+        [
+            ("2024-01-01 10:00:00", "view", 7, 101),   # v1: matched by c1
+            ("2024-01-01 10:30:00", "click", 7, 201),  # c1 -> (201, 101)
+            ("2024-01-01 12:00:00", "click", 7, 202),  # c2: NO view in window
+        ],
+        [("2024-01-01 23:00:00", "view", 8, 998),      # both wms -> 21:00
+         ("2024-01-01 23:00:00", "click", 9, 901)],
+        [("2024-01-01 23:30:00", "view", 8, 999),      # flush batch
+         ("2024-01-01 23:30:00", "click", 9, 902)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(dt.datetime.fromisoformat(t), e, u, i_) for t, e, u, i_ in rows],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        out = (
+            stream_stream_join(stream, how="left_outer")
+            .writeStream.format("memory")
+            .queryName("ssj_outer")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        out.awaitTermination(120)
+        got = {
+            (r.click_id, r.view_id)
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # c1 matched; c2 NULL-extended after its bound passed the watermark;
+    # the user-8 views are unmatched LEFT-side-less (views are the RIGHT
+    # side, so they never appear in a left_outer result)
+    assert got == {(201, 101), (202, None)}

@@ -406,7 +406,16 @@ def test_producer_consumer_closure_battery(spark, sf_dir):
                          "input": na},
             "predicate": "CAST(n_nationkey AS DOUBLE) > __scalar__",
         }, "input": na},
+        # ReadRel LocalFiles: single-file parquet scan (round 11) — the
+        # consumer resolves the file's basename as a table reference, so
+        # the battery registers the fixture under that name below
+        {"op": "sort", "by": ["r_regionkey"], "input": {
+            "op": "projection", "exprs": ["r_regionkey", "r_name"],
+            "input": {"op": "scan", "parquet": f"{sf_dir}/region.parquet"}}},
     ]
+    ctx.register_table(
+        "region.parquet", ctx.spark.read.parquet(f"{sf_dir}/region.parquet")
+    )
     # every join type the producer maps
     for how in ("inner", "left", "right", "full", "semi", "anti"):
         proj = ["n_name"] if how in ("semi", "anti") else ["n_name", "r_name"]
