@@ -369,6 +369,11 @@ class _Producer:
             raise NotImplementedError(
                 f"substrait producer: unsupported window function {name!r}"
             )
+        if not fn.filter().isEmpty():
+            raise NotImplementedError(
+                "substrait producer: FILTER on a window function "
+                "(Expression.WindowFunction has no filter field)"
+            )
         spec = e.windowSpec()
         parts = spec.partitionSpec()
         orders = spec.orderSpec()
@@ -452,7 +457,7 @@ class _Producer:
                 if "Literal" not in k.getClass().getSimpleName()
                 or name != "any_value"  # drop any_value's ignoreNulls flag
             ]
-            return {
+            out: dict = {
                 "measure": {
                     "functionReference": self._anchor(name),
                     "arguments": [{"value": a} for a in args],
@@ -465,6 +470,10 @@ class _Producer:
                     ),
                 }
             }
+            flt = e.filter()
+            if not flt.isEmpty():
+                out["filter"] = self.rex(flt.get(), columns)
+            return out
         if cls != "UnresolvedFunction":
             raise NotImplementedError(
                 "aggregate measures must be bare aggregate calls "
@@ -477,10 +486,15 @@ class _Producer:
             raise NotImplementedError(
                 f"substrait producer: unsupported aggregate {name!r}"
             )
-        args = [self.rex(k, columns) for k in self._children(e)]
+        # arguments(), not children(): a FILTER clause rides children as an
+        # extra trailing expression and must NOT become an argument
+        jargs = e.arguments()
+        args = [
+            self.rex(jargs.apply(i), columns) for i in range(jargs.size())
+        ]
         if name == "count" and len(args) == 1 and "literal" in args[0]:
             args = []  # count(*) / count(1) -> zero-arg COUNT
-        return {
+        out: dict = {
             "measure": {
                 "functionReference": self._anchor(name),
                 "arguments": [{"value": a} for a in args],
@@ -493,6 +507,12 @@ class _Producer:
                 ),
             }
         }
+        flt = e.filter()
+        if not flt.isEmpty():
+            # Measure.filter (round 11 — the consumer already reads it;
+            # producer.rs to_substrait_agg_measure emits the same field)
+            out["filter"] = self.rex(flt.get(), columns)
+        return out
 
     # -- relations (producer.rs to_substrait_rel) -----------------------------
 

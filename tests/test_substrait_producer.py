@@ -350,6 +350,13 @@ def test_producer_consumer_closure_battery(spark, sf_dir):
             "min(DISTINCT n_nationkey) AS dmn",
             "max(DISTINCT n_nationkey) AS dmx",
         ], "input": na},
+        # FILTERed measures (round 11 — Measure.filter; the consumer read
+        # it since r8, now the producer emits it)
+        {"op": "aggregate", "group_by": ["n_regionkey"], "aggs": [
+            "count(1) AS all_c",
+            "sum(n_nationkey) FILTER (WHERE n_nationkey > 10) AS s10",
+            "count(n_name) FILTER (WHERE n_nationkey % 2 = 0) AS even_c",
+        ], "input": na},
         # sorts (both directions), fetch with offset
         {"op": "limit", "n": 5, "offset": 2, "input": {
             "op": "sort", "by": ["n_regionkey DESC", "n_nationkey ASC"],
