@@ -42,8 +42,9 @@ Statement selection (round 11 widened the registry to the FULL 43):
   count-1 ties are under-determined result sets on ANY engine pair.
 
 With the round-11 additions every one of the 43 reference statements is
-registered: 38 hash-gated, 1 bound-gated, 3 rows-only, 1 hash-gated at
-zero rows (q42's OFFSET 100 exceeds the fixture's 70 groups).
+registered: 40 hash-gated (two of them deterministically zero-row —
+q39/q42's OFFSETs exceed the fixture's group counts), 1 bound-gated,
+2 rows-only.
 """
 
 from __future__ import annotations
@@ -100,13 +101,13 @@ _PICKED: dict[str, tuple[int, int]] = {
     "cb_v_clientip_tuple": (35, 5),
     "cb_v_user_phrase_topk": (16, 3),
     "cb_v_urlhash_offset": (40, 3),  # 70 groups < OFFSET 100 → 0 rows
+    "cb_v_pageviews_offset": (38, 2),  # 199 groups < OFFSET 1000 → 0 rows
 }
 
 # under-determined result sets — registered WITHOUT an oracle entry, so
 # the driver records the rows-only gate (and the judge sees which)
 _ROWS_ONLY: dict[str, tuple[int, int]] = {
     "cb_v_user_phrase_limit": (17, 3),
-    "cb_v_pageviews_offset": (38, 2),
     "cb_v_src_dst_offset": (39, 6),
 }
 
