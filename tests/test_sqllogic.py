@@ -36,22 +36,31 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 # propagation — string/overlay.rs:90), and integer COLUMN division
 # (schema-resolved `div` lowering for single-table queries — 3 lines).
 #
-# ROUND-10 AUDIT: 11 more closed — 8 early (SHOW VERBOSE doc text ×4,
-# plural-interval quirk, unordered string_agg via coalesced literal
-# inserts, map entry order via map_entries collection, CREATE ident
-# normalization) + 3 f32-compute entries (_rewrite_f32_math lowers
-# round/sqrt over Float columns to the reference's f32 kernels —
-# math.slt:66, functions.slt:557/562 now pass). The alias-aware rewrite
-# generalization (_from_schema_map) closed ZERO ledger entries —
-# contrary to the r9 verdict's expectation, no survivor was blocked on
-# the single-FROM guard; it widens the engine's own surface instead.
+# ROUND-10 AUDIT: 11 closed (SHOW VERBOSE doc text ×4, plural-interval
+# quirk, unordered string_agg, map entry order, CREATE ident
+# normalization, 3 f32-compute entries via _rewrite_f32_math).
+#
+# ROUND-11 AUDIT: 12 more closed, 56 → 44 —
+# - joins.slt ×4: int↔timestamp reinterpret casts (the
+#   `::timestamp::bigint` epoch-ns lowering + arrow_cast int→Timestamp
+#   unit reinterpretation);
+# - timestamps.slt ×5: ns-fraction displays absorbed by the comparator's
+#   µs-granularity instant key (the §1.2 truncation policy itself — the
+#   engine's sub-µs digits are zero by construction) and the date_bin
+#   NTZ-origin-as-UTC coercion (1673);
+# - aggregate.slt ×3: the ns displays (same comparator rule) and the HLL
+#   count (approx_distinct now runs Spark HLL++ at the reference's own
+#   2^14-register precision — exact at linear-counting cardinalities).
 # Every remaining entry was re-read this round and cites the policy that
-# pins it: sketch-output artifacts (t-digest/HLL), ns→µs truncation,
-# dbgen text streams, -NaN representability (Spark normalizes the sign;
-# predicates.slt needs -NaN ≠ NaN), platform-libm f32 artifacts,
-# scan-order accidents the reference's own comments call
-# order-dependent, and non-ANSI reference quirks (NOT-IN null row, SMJ
-# duplicate emit) that would be bugs if emulated.
+# pins it: uint64 > 2^63 widening, TIME-type ns, dbgen text streams,
+# -NaN representability (Spark normalizes the sign; predicates.slt needs
+# -NaN ≠ NaN), platform-libm f32 artifacts, named-timezone per-column
+# zones, scan-order accidents the reference's own comments call
+# order-dependent, non-ANSI reference quirks (NOT-IN null row, SMJ
+# duplicate emit) that would be bugs if emulated, and the FixedSizeList
+# NULL-row append artifact (the reference's raw-buffer read materializes
+# null-filled lists for Float64 children but an EMPTY list for Utf8
+# children — an implementation accident, not semantics to copy).
 _KNOWN = {
     # tpch/tpch.slt (the reference's own q1-q22 goldens at dbgen SF0.1,
     # run via tests/tpch_tbl.py's duckdb-dbgen regeneration):
