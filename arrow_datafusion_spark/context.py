@@ -1437,10 +1437,42 @@ def _rewrite_sql(q: str) -> str:
         ns = f"unix_micros(CAST({m.group(1)} AS TIMESTAMP)) * 1000"
         return f"({ns} div {m.group(2)})" if m.group(2) else f"({ns})"
 
+    # typed-literal spellings FIRST (they contain the TIMESTAMP keyword the
+    # generic chain regex below would otherwise half-consume):
+    #   TIMESTAMP '...'::bigint  — the literal is already Timestamp(ns) in
+    #   the reference, so a direct ::bigint is the same ns reinterpret
+    #   (an optional redundant ::timestamp hop joins the match);
+    #   CAST(TIMESTAMP '...' AS BIGINT) — same kernel, CAST spelling.
     q = re.sub(
-        r"((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+        r"\bTIMESTAMP\s+(\x00\d+\x00)\s*(?:::\s*TIMESTAMP\s*)?"
+        r"::\s*BIGINT\b(?:\s*/\s*(\d+))?",
+        _ts_bigint,
+        q,
+        flags=re.IGNORECASE,
+    )
+    q = re.sub(
+        r"\bCAST\s*\(\s*TIMESTAMP\s+(\x00\d+\x00)\s+AS\s+BIGINT\s*\)()",
+        _ts_bigint,
+        q,
+        flags=re.IGNORECASE,
+    )
+    # generic chain: any source whose TEXT proves a timestamp — a shielded
+    # string literal, an identifier, or a parenthesized expression — cast
+    # ::timestamp::bigint.  CAST(<src>::timestamp AS BIGINT) is the same
+    # statically-typed shape in CAST spelling.
+    _TS_SRC = (
+        r"(\x00\d+\x00"
+        r"|(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
         r"|\((?:[^()]|\([^()]*\))*\))"
-        r"\s*::\s*TIMESTAMP\s*::\s*BIGINT\b(?:\s*/\s*(\d+))?",
+    )
+    q = re.sub(
+        _TS_SRC + r"\s*::\s*TIMESTAMP\s*::\s*BIGINT\b(?:\s*/\s*(\d+))?",
+        _ts_bigint,
+        q,
+        flags=re.IGNORECASE,
+    )
+    q = re.sub(
+        r"\bCAST\s*\(\s*" + _TS_SRC + r"\s*::\s*TIMESTAMP\s+AS\s+BIGINT\s*\)()",
         _ts_bigint,
         q,
         flags=re.IGNORECASE,
@@ -2061,9 +2093,10 @@ def _rewrite_sql(q: str) -> str:
     # approx_distinct → Spark's HLL++ AT THE REFERENCE'S PRECISION: the
     # reference's HLL is fixed at 2^14 registers (hyperloglog.rs HLL_P=14,
     # standard error 1.04/sqrt(16384) = 0.8125%); Spark's default rsd 5%
-    # uses far fewer. rsd=0.008125 makes Spark derive p=14 exactly
-    # (ceil(2·log2(1.04/rsd))), so both engines run a 16384-register HLL —
-    # same error contract, and small cardinalities land in the
+    # uses far fewer. Spark derives p = ceil(2·log2(1.106/rsd)) — constant
+    # 1.106, NOT the textbook 1.04 (HyperLogLogPlusPlus.scala) — so
+    # rsd=0.00865 ∈ [1.106/2^7, 1.106/2^6.75) lands p=14 exactly and both
+    # engines run a 16384-register HLL. Small cardinalities land in the
     # linear-counting regime where both return the EXACT count
     # (aggregate.slt:1051's golden 100). Residual-bit hash artifacts can
     # still differ at large cardinalities (ahash vs xxhash64 — documented).
@@ -2073,7 +2106,7 @@ def _rewrite_sql(q: str) -> str:
         if hit is None:
             break
         s_i, a, e = hit
-        repl = f"approx_count_distinct({q[a:e]}, 0.008125)"
+        repl = f"approx_count_distinct({q[a:e]}, 0.00865)"
         q = q[:s_i] + repl + q[e + 1 :]
         pos = s_i + len(repl)
     # to_timestamp_<unit>: polymorphic in the reference (datetime/
@@ -2903,14 +2936,16 @@ class SessionContext:
             SessionContext._MACROS_DONE.add(self.spark)
 
     def register_table(self, name: str, df: DataFrame) -> None:
-        try:
+        # names that aren't valid single-part view identifiers (e.g. a
+        # Substrait LocalFiles basename like 'region.parquet' —
+        # consumer.rs:692 keeps the extension) resolve through the dict
+        # below only; SQL-side references need a valid name. Pre-validate
+        # instead of swallowing createOrReplaceTempView errors wholesale:
+        # a registration that fails for a DIFFERENT reason must propagate,
+        # or a stale prior view under the same name would keep serving
+        # old data to SQL while the dict holds the new DataFrame.
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             df.createOrReplaceTempView(name)
-        except Exception:
-            # names that aren't valid single-part view identifiers (e.g.
-            # a Substrait LocalFiles basename like 'region.parquet' —
-            # consumer.rs:692 keeps the extension) resolve through the
-            # dict below only; SQL-side references need a valid name
-            pass
         self._tables[name] = df
 
     def register_object_store(self, path: str, options: dict | None = None) -> str:

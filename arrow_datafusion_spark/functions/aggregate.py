@@ -44,9 +44,11 @@ AGGREGATE: dict[str, Callable[..., Column]] = {
     "median": lambda c: F.median(_c(c)),
     # approximate sketches (approx_distinct.rs / hyperloglog.rs,
     # approx_median.rs, approx_percentile_cont.rs / tdigest.rs)
-    # default rsd 0.008125 = the reference's fixed 2^14-register precision
-    # (hyperloglog.rs HLL_P=14 → 1.04/sqrt(16384)); Spark derives p=14
-    "approx_distinct": lambda c, rsd=0.008125: F.approx_count_distinct(_c(c), rsd),
+    # default rsd 0.00865 lands Spark's p = ceil(2·log2(1.106/rsd)) at 14 —
+    # the reference's fixed 2^14-register precision (hyperloglog.rs
+    # HLL_P=14); Spark's derivation constant is 1.106, not the textbook
+    # 1.04, so the naive 0.008125 would over-provision p=15
+    "approx_distinct": lambda c, rsd=0.00865: F.approx_count_distinct(_c(c), rsd),
     "approx_median": lambda c: F.percentile_approx(_c(c), 0.5),
     "approx_percentile_cont": lambda c, p, acc=10000: F.percentile_approx(
         _c(c), p, acc

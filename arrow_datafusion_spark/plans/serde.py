@@ -56,6 +56,30 @@ def run_json_plan(ctx, plan: dict | str) -> DataFrame:
     return _node(ctx, plan)
 
 
+def scalar_subquery_one_row(sub: DataFrame, name: str) -> DataFrame:
+    """Shape a scalar subquery onto the reference's one-row contract
+    (optimizer/src/scalar_subquery_to_join + physical eval: 'more than one
+    row returned by a subquery used as an expression' — DataFusion raises;
+    an EMPTY subquery binds NULL, not zero rows). A global aggregate always
+    yields exactly one row, so the cross join below can never fan out or
+    drop rows; the row-count guard rides the projection (inside the value
+    expression, so column pruning can't discard it) and raises lazily at
+    execution, exactly like the reference's runtime check."""
+    if len(sub.columns) != 1:
+        raise ValueError("scalar subquery must produce exactly one column")
+    agg = sub.toDF("__v__").agg(
+        F.first("__v__").alias("__v__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    guard = F.assert_true(
+        F.col("__n__") <= 1,
+        F.lit("more than one row returned by a subquery used as an expression"),
+    )
+    return agg.select(
+        F.when(guard.isNull(), F.col("__v__")).alias(name)
+    )
+
+
 def _node(ctx, n: dict) -> DataFrame:
     op = n["op"]
     if op == "scan":
@@ -104,11 +128,7 @@ def _node(ctx, n: dict) -> DataFrame:
         if "scalar_subquery" in n:
             ss = n["scalar_subquery"]
             sub = _node(ctx, ss["subquery"])
-            if len(sub.columns) != 1:
-                raise ValueError(
-                    "scalar subquery must produce exactly one column"
-                )
-            one = F.broadcast(sub.toDF("__scalar__"))
+            one = F.broadcast(scalar_subquery_one_row(sub, "__scalar__"))
             # one-row broadcast cross join (ScalarSubqueryToJoin): stays
             # distributed — no driver-side collect of the scalar
             return (

@@ -394,14 +394,15 @@ class _Consumer:
             return cond, None, len(df.columns)
         wide = df
         n_orig = len(df.columns)
+        from .serde import scalar_subquery_one_row
+
         for i, rel in enumerate(subs):
             one = self.rel(rel)
-            if len(one.columns) != 1:
-                raise ValueError(
-                    "scalar subquery must produce exactly one column"
-                )
+            # one-row contract + empty→NULL binding (shared with the JSON
+            # plan surface; advice r11: a >1-row subquery must raise, not
+            # fan out the cross join)
             wide = wide.crossJoin(
-                F.broadcast(one.toDF(f"__scalar_{i}__"))
+                F.broadcast(scalar_subquery_one_row(one, f"__scalar_{i}__"))
             )
         return new_cond, wide, n_orig
 

@@ -258,8 +258,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-1 check columns — a hash match therefore certifies both the
     exact ndv agreement and that every Spark sketch landed inside its
     documented error bound (HLL++ at the reference's 2^14-register
-    precision, rsd 0.008125 — the ±10% gate is comfortably loose;
-    percentile ±5%)."""
+    precision, rsd 0.00865 → p=14 under Spark's ceil(2·log2(1.106/rsd)) —
+    the ±10% gate is comfortably loose; percentile ±5%)."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     g = li.groupBy("l_returnflag").agg(

@@ -331,12 +331,19 @@ def _ts_key(s: str):
     cells are session-UTC (both engines pin UTC in this harness), so they
     normalize identically.
 
-    The fraction compares at MICROSECOND granularity: §1.2 maps every
-    Timestamp unit onto Spark's µs TimestampType with ns→µs TRUNCATION,
-    so sub-µs digits are unrepresentable in this engine by policy — the
-    same move as the f32 ≤9-significant-digit rule (the engine's value IS
-    the truncation; digits 7-9 of the actual are always zero, so only the
-    EXPECTED side's unrepresentable tail is absorbed)."""
+    The fraction carries the full NANOSECOND width; _values_equal absorbs
+    the EXPECTED side's sub-µs tail only when the ACTUAL side's value is a
+    true µs instant (zero sub-µs tail — §1.2 maps every Timestamp unit
+    onto Spark's µs TimestampType, so digits 7-9 of the engine's cells are
+    always zero). An actual cell that somehow carried nonzero sub-µs
+    digits compares at full 9-digit strictness instead of silently
+    truncating both sides (round-11 advice). Residual (documented): for
+    PRE-EPOCH ns values the §1.2 ns→µs conversion truncates toward zero —
+    the same i64 `/` the reference's own arrow cast kernel uses — while
+    display-digit truncation of the expected cell corresponds to flooring
+    the instant, so a pre-epoch golden with a nonzero ns tail can diverge
+    from the absorbed expectation by exactly 1 µs; no current corpus
+    golden exercises that corner."""
     m = _TS_CELL_RE.match(s)
     if not m:
         return None
@@ -347,7 +354,19 @@ def _ts_key(s: str):
         base = _dt.datetime.fromisoformat(f"{date}T{time}{off}")
         utc = base.astimezone(_dt.timezone.utc)
         date, time = utc.date().isoformat(), utc.time().isoformat()[:8]
-    return (date, time, (m.group(3) or "")[:6].ljust(6, "0"))
+    return (date, time, (m.group(3) or "")[:9].ljust(9, "0"))
+
+
+def _ts_keys_equal(tk_e, tk_a) -> bool:
+    """Equal instants under the µs-policy absorb rule (see _ts_key)."""
+    if tk_e[:2] != tk_a[:2]:
+        return False
+    fe, fa = tk_e[2], tk_a[2]
+    if fe == fa:
+        return True
+    # absorb the expected's unrepresentable ns tail only when the actual
+    # is a true µs value AND the representable µs digits agree
+    return fa.endswith("000") and fe[:6] == fa[:6]
 
 
 # Set per-file by run_slt_file: True only when the .slt file involves
@@ -362,7 +381,7 @@ def _values_equal(exp: str, act: str, code: str) -> bool:
         return True
     tk_e, tk_a = _ts_key(exp), _ts_key(act)
     if tk_e is not None and tk_a is not None:
-        return tk_e == tk_a
+        return _ts_keys_equal(tk_e, tk_a)
     if exp.startswith("{") and exp.endswith("}") and act.startswith("{") and (
         act.endswith("}")
     ):

@@ -918,3 +918,48 @@ def test_ctas_keeps_select_nullability_for_introspection(spark):
         assert desc == {"a": "NO", "b": "YES"}, desc
     finally:
         ctx.sql("DROP TABLE ctas_nn_t")
+
+
+def test_scalar_subquery_one_row_contract(spark):
+    """Round-11 advice: a scalar subquery yielding >1 row must RAISE (the
+    reference: 'more than one row returned by a subquery used as an
+    expression'), and an EMPTY subquery binds NULL — it must not silently
+    fan out the cross join or drop rows satisfiable on NULL."""
+    import pytest as _pytest
+
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.serde import run_json_plan
+
+    ctx = SessionContext(spark)
+    base = {"op": "values", "rows": [[1], [2], [3]], "schema": "x int"}
+
+    def plan(sub_rows):
+        return {
+            "op": "filter",
+            "scalar_subquery": {
+                "subquery": {
+                    "op": "values", "rows": sub_rows, "schema": "v int",
+                } if sub_rows else {
+                    "op": "filter", "predicate": "v < 0",
+                    "input": {"op": "values", "rows": [[9]], "schema": "v int"},
+                },
+                "predicate": "x > __scalar__ OR __scalar__ IS NULL",
+            },
+            "input": base,
+        }
+
+    # exactly one row: normal bind, no fan-out (3 input rows, x>2 → 1 row)
+    one = run_json_plan(ctx, {
+        "op": "filter",
+        "scalar_subquery": {
+            "subquery": {"op": "values", "rows": [[2]], "schema": "v int"},
+            "predicate": "x > __scalar__",
+        },
+        "input": base,
+    })
+    assert [r.x for r in one.collect()] == [3]
+    # empty subquery: binds NULL — the IS NULL arm keeps all rows
+    assert run_json_plan(ctx, plan(None)).count() == 3
+    # >1 rows: raises at execution like the reference
+    with _pytest.raises(Exception, match="more than one row"):
+        run_json_plan(ctx, plan([[1], [2]])).collect()

@@ -114,8 +114,9 @@ _KNOWN = {
     # implements the reference's merging digest faithfully, bit-exact for
     # single-batch groups, including with_weight's count-vs-weight quirk.)
     # (aggregate.slt:1051 CLOSED round 11: approx_distinct now runs
-    # Spark HLL++ at the reference's OWN precision — rsd 0.008125 →
-    # p=14 = hyperloglog.rs's 2^14 registers — so the 100-value fixture
+    # Spark HLL++ at the reference's OWN precision — rsd 0.00865 →
+    # p=14 = hyperloglog.rs's 2^14 registers under Spark's
+    # ceil(2·log2(1.106/rsd)) derivation — so the 100-value fixture
     # lands in the linear-counting regime and both engines return the
     # exact 100; residual hash artifacts at large cardinality stay
     # documented as cross-family counts.)
