@@ -37,14 +37,19 @@ Statement selection (round 11 widened the registry to the FULL 43):
   2^53 the double accumulation rounds order-dependently, so the entry
   emits the DECIMAL-exact average as the hashable anchor plus a 0/1
   |float−exact| ≤ 1e-9·|exact| check (the agg_approx discipline).
-- **rows-only** (_ROWS_ONLY, no oracle — the driver records the weaker
-  gate): q18's LIMIT without ORDER BY and q39/q40's OFFSET 1000 into
-  count-1 ties are under-determined result sets on ANY engine pair.
+- **derived-gated** (_DERIVED — round 12): q18's LIMIT without ORDER BY
+  and q39's OFFSET 1000 into count-1 ties are under-determined result
+  sets on ANY engine pair, so the entries hash a DETERMINISTIC derivation
+  instead: row count, a membership bit (every returned row appears in the
+  un-LIMITed result), and — for q39, which orders by PageViews — the sum
+  of the returned PageViews values (the rank-1001..1010 value multiset is
+  fixed by the ORDER BY even when the carrying rows are not). The
+  verbatim statement still executes unmodified inside each entry.
 
-With the round-11 additions every one of the 43 reference statements is
-registered: 40 hash-gated (two of them deterministically zero-row —
-q39/q42's OFFSETs exceed the fixture's group counts), 1 bound-gated,
-2 rows-only.
+With the round-12 promotion every one of the 43 reference statements is
+hash-gated: 40 directly (two of them deterministically zero-row — q39/
+q42's OFFSETs exceed the fixture's group counts), 1 bound-gated, 2
+derived-gated.
 """
 
 from __future__ import annotations
@@ -104,12 +109,97 @@ _PICKED: dict[str, tuple[int, int]] = {
     "cb_v_pageviews_offset": (38, 2),  # 199 groups < OFFSET 1000 → 0 rows
 }
 
-# under-determined result sets — registered WITHOUT an oracle entry, so
-# the driver records the rows-only gate (and the judge sees which)
-_ROWS_ONLY: dict[str, tuple[int, int]] = {
+# under-determined result sets (q18's LIMIT without ORDER BY; q39's
+# OFFSET 1000 into count-1 ties) — the verbatim statement still executes
+# unmodified, but the ENTRY derives a deterministic gate from it
+# (round-11 verdict #2, the agg_approx discipline): row count +
+# every-returned-row-is-a-member-of-the-unlimited-result as hashable
+# columns, plus (q39) the SUM of the returned sort-key values — the
+# multiset of PageViews at ranks 1001-1010 is determined by the ORDER BY
+# even when the carrying group rows are not. Both sides now hash-gate.
+_DERIVED: dict[str, tuple[int, int]] = {
     "cb_v_user_phrase_limit": (17, 3),
     "cb_v_src_dst_offset": (39, 6),
 }
+
+_LIMIT_TAIL_RE = re.compile(
+    r"\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*$", re.IGNORECASE
+)
+
+
+def _make_derived(idx: int, ncols: int, sum_col: int | None):
+    """Deterministic gate over an under-determined LIMIT/OFFSET statement:
+    run the verbatim text, then emit (c0=row count, c1=all rows appear in
+    the un-LIMITed result, [c2=sum of the sort-key column — deterministic
+    because the ORDER BY sorts by that very column])."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from arrow_datafusion_spark.context import SessionContext
+
+        path = _hits_path()
+        ctx = SessionContext(spark)
+        if "hits" not in ctx._tables:
+            ctx.register_parquet("hits", path)
+        text = _statements()[idx]
+        names = [f"k{k}" for k in range(ncols)]
+        lim = ctx.sql(text).toDF(*names)  # the reference's text, unmodified
+        full = ctx.sql(_LIMIT_TAIL_RE.sub("", text)).toDF(*names)
+        member = lim.join(full, names, "left_semi")
+        aggs = [
+            F.count(F.lit(1)).alias("__n__"),
+        ]
+        if sum_col is not None:
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col(names[sum_col]).cast("long")), F.lit(0)
+                ).alias("__s__")
+            )
+        a = lim.agg(*aggs)
+        b = member.agg(F.count(F.lit(1)).alias("__m__"))
+        out = a.crossJoin(b).select(
+            F.col("__n__").alias("c0"),
+            (F.col("__n__") == F.col("__m__")).cast("int").alias("c1"),
+            *(
+                [F.col("__s__").alias("c2")]
+                if sum_col is not None
+                else []
+            ),
+        )
+        return out
+
+    return run
+
+
+def _derived_oracle(idx: int, hits: str, sum_col_name: str | None) -> str:
+    """DuckDB side of the derived gate: the deterministic row count
+    (LEAST(limit, total-offset) floored at 0), the membership bit
+    (trivially 1 — any LIMIT subset is a subset), and the deterministic
+    sort-key sum at the OFFSET window when the statement orders by it."""
+    text = _statements()[idx]
+    m = re.search(
+        r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s*$", text, re.IGNORECASE
+    )
+    limit, offset = int(m.group(1)), int(m.group(2) or 0)
+    body = re.sub(
+        r"\bFROM\s+hits\b",
+        f"FROM read_parquet('{hits}') AS hits",
+        _duckdb_dialect(_LIMIT_TAIL_RE.sub("", text)),
+        flags=re.IGNORECASE,
+    )
+    cnt = (
+        f"CAST(GREATEST(0, LEAST({limit}, "
+        f"(SELECT COUNT(*) FROM _fullres) - {offset})) AS BIGINT)"
+    )
+    cols = f"{cnt} AS c0, 1 AS c1"
+    if sum_col_name is not None:
+        cols += (
+            f", CAST(COALESCE((SELECT SUM(__v) FROM (SELECT {sum_col_name}"
+            f" AS __v FROM _fullres ORDER BY {sum_col_name} DESC"
+            f" LIMIT {limit} OFFSET {offset}) w), 0) AS BIGINT) AS c2"
+        )
+    return f"WITH _fullres AS ({body}) SELECT {cols}"
 
 
 def _statements() -> list[str]:
@@ -225,8 +315,13 @@ if _AVAILABLE:
             ORACLE[_name] = f"SELECT {sel} FROM ({_body}) AS v({cols})"
         else:
             ORACLE[_name] = f"SELECT * FROM ({_body}) AS v({cols})"
-    for _name, (_idx, _n) in _ROWS_ONLY.items():
-        QUERIES[_name] = _make(_idx, _n)  # no ORACLE: rows-only gate
+    # derived deterministic gates over the two under-determined statements
+    # (q39 orders by PageViews — the 6th output column — so its window sum
+    # is deterministic; q18 has no ORDER BY, so count+membership only)
+    QUERIES["cb_v_user_phrase_limit"] = _make_derived(17, 3, None)
+    ORACLE["cb_v_user_phrase_limit"] = _derived_oracle(17, _HITS, None)
+    QUERIES["cb_v_src_dst_offset"] = _make_derived(39, 6, 5)
+    ORACLE["cb_v_src_dst_offset"] = _derived_oracle(39, _HITS, "PageViews")
     QUERIES["cb_v_avg_userid"] = _make_avg_userid()
     ORACLE["cb_v_avg_userid"] = (
         'SELECT CAST(ROUND(SUM(CAST("UserID" AS DECIMAL(38,0))) '
