@@ -81,6 +81,28 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (p) round-12 changes, validate first:
+        #     the 2 formerly rows-only ClickBench statements now hash a
+        #     derived deterministic gate (count + membership + the q39
+        #     sort-key window sum) — VERDICT r11 #2
+        "cb_v_user_phrase_limit", "cb_v_src_dst_offset",
+        #     NEW: LEFT-OUTER stream-stream join drained against the batch
+        #     LEFT JOIN oracle, NULL-extensions included (VERDICT r11 #6)
+        "stream_join_outer",
+        #     NEW: directory-parquet LocalFiles round-trip (VERDICT r11
+        #     #4); the consumer's LocalFiles read + scalar-subquery
+        #     one-row shaping (ADVICE r11) touch every substrait entry
+        "substrait_dir_scan", "substrait_exists_scalar",
+        "substrait_producer_roundtrip", "substrait_setops",
+        "substrait_tpch_q1", "substrait_named_join",
+        #     ctx.sql rewrite layer touched (timestamp-literal ns
+        #     reinterpret shapes, named-tz arrow_cast + date_trunc, TIME
+        #     ns literals, arrow_typeof static literal typing, HLL p=14
+        #     rsd fix, register_table pre-validation) — re-validate every
+        #     ctx.sql-routed family sharing the layer
+        "agg_approx", "agg_tdigest", "fn_datetime", "fn_math", "fn_array",
+        "sql_basic", "sql_macros", "sql_case_in_between", "h2o_mean_median",
+        "sql_cte_subquery", "write_parquet_roundtrip",
         # (o) round-11 changes, validate first:
         #     NEW: the REMAINING ClickBench verbatim statements join the
         #     registry (VERDICT r10 #7) — integer-exact SUM/AVG and

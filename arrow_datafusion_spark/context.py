@@ -1098,10 +1098,34 @@ _TIME_UNIT_NS_SQL = {"second": 1_000_000_000, "millisecond": 1_000_000,
                      "microsecond": 1_000, "nanosecond": 1}
 
 
-def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
+def _validate_arrow_tz(tz: str) -> None:
+    """Reject timezones arrow's parser rejects (arrow_typeof.slt:338's
+    +25:00 'statement error' golden) — and anything Java's ZoneId would
+    refuse at execution, so the failure is loud and parse-time like the
+    reference's."""
+    m = re.fullmatch(r"[+-](\d{2}):(\d{2})", tz)
+    if m:
+        if int(m.group(1)) > 18 or int(m.group(2)) > 59:
+            raise ValueError(
+                f'Invalid timezone "{tz}": failed to parse timezone'
+            )
+        return
+    try:
+        import zoneinfo
+
+        zoneinfo.ZoneInfo(tz)
+    except Exception:
+        raise ValueError(
+            f'Invalid timezone "{tz}": failed to parse timezone'
+        ) from None
+
+
+def _rewrite_arrow_calls(q: str, lits: list[str], pfad: bool = False) -> str:
     """arrow_cast(expr, 'Type') → CAST / expression; arrow_typeof(expr) →
     Arrow-name lookup over typeof(). Runs on a string-shielded query;
-    ``lits`` resolves the shielded type-name literal."""
+    ``lits`` resolves the shielded type-name literal. ``pfad`` carries the
+    session's sql_parser.parse_float_as_decimal setting (it changes the
+    reference's LITERAL typing, which arrow_typeof resolves statically)."""
     pos = 0
     while True:
         hit = _find_call(q, "arrow_cast", pos)
@@ -1123,6 +1147,50 @@ def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
         else:
             sql_type = _arrow_type_to_sql(tname)
             repl = f"CAST({expr} AS {sql_type})" if sql_type else f"CAST({expr} AS {tname})"
+            # NAMED/OFFSET timezone target (Timestamp(unit, Some("tz"))):
+            # arrow's NTZ→TZ cast is WALL-CLOCK-PRESERVING — the stored
+            # value shifts so the wall time reads the same in the target
+            # zone (cast kernel; arrow_typeof.slt:325-337 goldens) — while
+            # TZ→TZ is instant-preserving (metadata relabel). Spark holds
+            # one session zone (UTC), so the lowering converts the wall
+            # clock to the UTC instant via to_utc_timestamp; the display
+            # zone is absorbed by the instant-keyed slt comparator.
+            # Statically-NTZ sources (string/timestamp literals) convert
+            # directly; other shapes branch on typeof() at runtime (NTZ/
+            # string → wall-preserving, LTZ → instant-preserving).
+            tzs = re.fullmatch(
+                r"timestamp\(\s*\w+\s*,\s*some\(\s*\"([^\"]+)\"\s*\)\s*\)",
+                tname.strip(),
+                re.IGNORECASE,
+            )
+            _int_shape = re.fullmatch(
+                r"[+-]?\d+"
+                r"|\(\s*unix_micros\(.*"
+                r"|CAST\s*\(.*\s+AS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)",
+                expr.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if tzs and not _int_shape:
+                tz = re.sub(
+                    r"^([+-])(\d{2})(?::?(\d{2}))?$",
+                    lambda mm: f"{mm.group(1)}{mm.group(2)}:{mm.group(3) or '00'}",
+                    tzs.group(1).strip(),
+                )
+                if tz.upper() not in ("UTC", "+00:00", "Z"):
+                    _validate_arrow_tz(tz)
+                    wall = f"to_utc_timestamp(CAST({expr} AS TIMESTAMP_NTZ), '{tz}')"
+                    if re.fullmatch(
+                        r"(?:TIMESTAMP\s+)?\x00\d+\x00(?:\s*::\s*TIMESTAMP)?",
+                        expr.strip(),
+                        re.IGNORECASE,
+                    ):
+                        repl = wall
+                    else:
+                        repl = (
+                            f"(CASE WHEN typeof({expr}) IN "
+                            "('string','timestamp_ntz','date') "
+                            f"THEN {wall} ELSE CAST({expr} AS TIMESTAMP) END)"
+                        )
             # second/millisecond timestamps TRUNCATE to their unit in the
             # reference (arrow cast); Spark's µs timestamp keeps sub-unit
             # digits, so a µs-precision source would survive the cast
@@ -1187,6 +1255,26 @@ def _rewrite_arrow_calls(q: str, lits: list[str]) -> str:
             break
         s, a, e = hit
         expr = q[a:e].strip()
+        # INTEGER LITERAL argument: resolve the reference's literal typing
+        # STATICALLY (sql/planner: all in-range integer literals are Int64
+        # — never Int32 like Spark's parser; i64-overflow → UInt64 when it
+        # fits u64; beyond u64 → Float64 by default, Decimal128(digits, 0)
+        # under sql_parser.parse_float_as_decimal — options.slt:106/134)
+        mint = re.fullmatch(r"[+-]?\d+", expr)
+        if mint:
+            v = int(expr)
+            if -(2**63) <= v < 2**63:
+                tname_lit = "Int64"
+            elif 0 <= v < 2**64:
+                tname_lit = "UInt64"
+            elif pfad:
+                tname_lit = f"Decimal128({len(str(abs(v)))}, 0)"
+            else:
+                tname_lit = "Float64"
+            repl = f"'{tname_lit}'"
+            q = q[:s] + repl + q[e + 1:]
+            pos = s + len(repl)
+            continue
         # exact-name map first; parameterized decimals fall through to a
         # regexp rename (decimal(p,s) → Decimal128(p, s)); anything else
         # keeps its Spark name (documented §1.2 display fallback)
@@ -1274,7 +1362,7 @@ def _rewrite_bracket_literals(q: str) -> str:
     return q
 
 
-def _rewrite_sql(q: str) -> str:
+def _rewrite_sql(q: str, pfad: bool = False) -> str:
     """Rewrite the PostgreSQL-isms DataFusion accepts but Spark SQL rejects.
 
     Spark 4 already handles ``::`` casts, ``||`` concat, and ANSI intervals,
@@ -1437,8 +1525,20 @@ def _rewrite_sql(q: str) -> str:
         ns = f"unix_micros(CAST({m.group(1)} AS TIMESTAMP)) * 1000"
         return f"({ns} div {m.group(2)})" if m.group(2) else f"({ns})"
 
-    # typed-literal spellings FIRST (they contain the TIMESTAMP keyword the
-    # generic chain regex below would otherwise half-consume):
+    # TIME literal with NANOSECOND-precision fraction (7-9 digits): the
+    # reference types it Time64(Nanosecond) by written precision; Spark's
+    # TIME is capped at µs, which would silently drop the ns digits. The
+    # §1.2 policy maps Time64(ns) COLUMNS to BIGINT ns; for a bare literal
+    # the lossless form is its own Display text (timestamps.slt:452 —
+    # corpus surface is display-only; sub-µs time arithmetic remains
+    # unrepresentable, documented)
+    def _time_ns_lit(m: "re.Match[str]") -> str:
+        text = lits[int(m.group(2))].strip("'")
+        if re.fullmatch(r"\d{1,2}:\d{2}:\d{2}\.\d{7,9}", text):
+            return m.group(1)  # keep only the shielded string literal
+        return m.group(0)
+
+    q = re.sub(r"\bTIME\s+(\x00(\d+)\x00)", _time_ns_lit, q, flags=re.IGNORECASE)
     #   TIMESTAMP '...'::bigint  — the literal is already Timestamp(ns) in
     #   the reference, so a direct ::bigint is the same ns reinterpret
     #   (an optional redundant ::timestamp hop joins the match);
@@ -1598,7 +1698,7 @@ def _rewrite_sql(q: str) -> str:
     # array[...] literals; arrow_cast / arrow_typeof as SQL functions
     q = _rewrite_array_literals(q)
     q = _rewrite_bracket_literals(q)
-    q = _rewrite_arrow_calls(q, lits)
+    q = _rewrite_arrow_calls(q, lits, pfad=pfad)
 
     # string concat skips NULLs in the reference (Postgres semantics;
     # string/concat.rs) where Spark's concat propagates them — concat_ws('')
@@ -2773,6 +2873,10 @@ class SessionContext:
         self._prepared: dict[str, str] = {}
         # view name → defining SQL, for information_schema.views
         self._view_defs: dict[str, str] = {}
+        # view → {column → named time zone} declared via arrow_cast in
+        # the view body (per-column Timestamp(_, Some("tz")) — §2.2
+        # named-tz columns; consumed by _rewrite_tz_date_trunc)
+        self._column_tz: dict[str, dict[str, str]] = {}
         # external tables that can act as INSERT sinks (FileSinkExec /
         # insert_to_external: name → format/path/schema/partitioning)
         self._external_sinks: dict[str, dict] = {}
@@ -3093,6 +3197,24 @@ class SessionContext:
     def register_view(self, name: str, sql: str) -> None:
         self.register_table(name, self.sql(sql))
         self._view_defs[name] = sql
+        # per-column NAMED TIME ZONES (timestamps.slt:1289-1435, issue
+        # #8899): the reference's Timestamp(unit, Some("tz")) rides the
+        # column type; Spark holds a single session zone, so record the
+        # zone declared by a view-body `arrow_cast(col, '...Some("tz")')
+        # AS alias` here and let zone-aware rewrites (date_trunc) consult
+        # it. Values are stored as the same UTC instants either way.
+        self._column_tz.pop(name.lower(), None)
+        for m in re.finditer(
+            r"arrow_cast\s*\(\s*[^,()]+,\s*'Timestamp\(\s*\w+\s*,\s*"
+            r"Some\(\s*\"([^\"]+)\"\s*\)\s*\)'\s*\)\s+AS\s+(\w+)",
+            sql,
+            re.IGNORECASE,
+        ):
+            tz = m.group(1).strip()
+            if tz.upper() not in ("UTC", "+00:00", "Z"):
+                self._column_tz.setdefault(name.lower(), {})[
+                    m.group(2).lower()
+                ] = tz
 
     def register_testdata(self, sf_dir: str = DEFAULT_SF_DIR) -> None:
         """Register the driver's fixture tables (TESTDATA.md)."""
@@ -3103,6 +3225,7 @@ class SessionContext:
         self.spark.catalog.dropTempView(name)
         self._tables.pop(name, None)
         self._view_defs.pop(name, None)
+        self._column_tz.pop(name.lower(), None)
         self._path_tables.pop(name, None)
         # per-table DDL state must die with the table, or a later
         # CREATE TABLE of the same name inherits stale DEFAULT/NOT NULL
@@ -3827,14 +3950,41 @@ class SessionContext:
 
     def _sql_describe(self, name: str) -> DataFrame:
         """DataFusion's DESCRIBE: (column_name, data_type, is_nullable)
-        with Arrow Debug type display and YES/NO nullability."""
+        with Arrow Debug type display and YES/NO nullability.
+
+        Path-registered parquet tables read the FOOTER schema (pyarrow)
+        instead of Spark's catalog schema: Spark's parquet reader relaxes
+        all nullability to true (map values, required columns), while the
+        reference's DESCRIBE reports the file's own declared nullability
+        (map.slt:24 — `value Int64 nullable: false`, `timestamp Utf8 NO`)."""
+        fields = None
+        info = self._path_tables.get(name)
+        if info:
+            try:
+                import glob as _glob
+                import os as _os
+
+                import pyarrow.parquet as _pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                base = info[0]
+                f = base
+                if _os.path.isdir(base):
+                    cands = sorted(_glob.glob(_os.path.join(base, "*.parquet")))
+                    f = cands[0] if cands else base
+                if f.endswith(".parquet") or _os.path.isfile(f):
+                    fields = from_arrow_schema(_pq.read_schema(f)).fields
+            except Exception:
+                fields = None
+        if fields is None:
+            fields = self.spark.table(name).schema.fields
         rows = [
             (
                 f.name,
                 _arrow_type_display(f.dataType),
-                "YES" if self._is_nullable(name, f) else "NO",
+                "YES" if f.nullable and self._is_nullable(name, f) else "NO",
             )
-            for f in self.spark.table(name).schema.fields
+            for f in fields
         ]
         return self.spark.createDataFrame(
             rows, "column_name string, data_type string, is_nullable string"
@@ -4731,6 +4881,7 @@ class SessionContext:
                 _rmap_memo.append(self._from_schema_map(q))
             return _rmap_memo[0]
 
+        query = self._rewrite_tz_date_trunc(query, _lits, rmap=_rmap)
         query = self._rewrite_median(query, rmap=_rmap)
         query = self._rewrite_decimal_avg(query, rmap=_rmap)
         query = self._rewrite_deep_array_fns(query, _lits, rmap=_rmap)
@@ -4738,9 +4889,12 @@ class SessionContext:
         query = self._rewrite_f32_math(query, rmap=_rmap)
         query = self._rewrite_approx_percentile(query, rmap=_rmap)
         query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
+        pfad = self.settings.get_bool(
+            "datafusion.sql_parser.parse_float_as_decimal"
+        )
         if args:
-            return self.spark.sql(_rewrite_sql(query), args=args)
-        return self.spark.sql(_rewrite_sql(query))
+            return self.spark.sql(_rewrite_sql(query, pfad=pfad), args=args)
+        return self.spark.sql(_rewrite_sql(query, pfad=pfad))
 
     # relation-alias stopwords: a word here after `FROM t` is a clause
     # keyword, not an alias
@@ -4870,6 +5024,36 @@ class SessionContext:
             if t_est < (1 << 63) - 1:
                 est += t_est
         return est
+
+    def _loose_source_tables(self, q: str) -> list[str]:
+        """Best-effort base-table extraction for the BYTE GUARDS when the
+        typed resolver bails (subquery-shaped FROMs — VERDICT r11 #5):
+        every catalog-resolvable identifier following FROM/JOIN anywhere
+        in the string-shielded text, CTE names excluded (a CTE re-derives
+        from base tables named elsewhere in the same statement). Used for
+        SIZING only, never typing; table-function sources (range(...),
+        UDTFs) stay unsized — the guard fails open there, documented."""
+        shield = _strip_strings(q)
+        cte = {
+            m.group(1).lower()
+            for m in re.finditer(r"\b(\w+)\s+AS\s*\(", shield, re.IGNORECASE)
+        }
+        names: list[str] = []
+        for m in re.finditer(
+            r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)", shield, re.IGNORECASE
+        ):
+            t = m.group(1)
+            tl = t.lower()
+            if tl in cte or tl in self._ALIAS_STOP or tl in (
+                n.lower() for n in names
+            ):
+                continue
+            try:
+                self.spark.table(t)
+            except Exception:
+                continue
+            names.append(t)
+        return names
 
     def _rewrite_decimal_avg(self, q: str, rmap=None) -> str:
         """Decimal AVG with the reference's TRUNCATING division
@@ -5159,9 +5343,11 @@ class SessionContext:
         ``percentile_approx(x, q, 10000)`` (KLL-style GK sketch, bounded
         state) instead: satisfies every corpus ±bound check; the
         bit-exact t-digest only matters for the slt direct-value
-        goldens, whose fixtures are far under any cap. Unresolvable FROM
-        shapes (subqueries) keep the t-digest form — same documented
-        residual class as the median guard."""
+        goldens, whose fixtures are far under any cap. Subquery-shaped
+        FROMs (round 12) size through _loose_source_tables — the
+        statement's catalog-resolvable base tables — so the guard fires
+        there too; only table-function sources (range(...), UDTFs) stay
+        unsized and fail open, documented."""
         if not re.search(r"\bapprox_(median|percentile_cont)", q, re.IGNORECASE):
             return q
         from arrow_datafusion_spark.functions.tdigest import register_udafs
@@ -5172,17 +5358,23 @@ class SessionContext:
         resolved = (rmap or self._from_schema_map)(q)
         schema = resolved[0] if resolved else None
         guarded = False  # above the byte cap: native sketch, no collect
-        if resolved is not None:
-            try:
-                cap = int(
-                    self.spark.conf.get(
-                        "spark.spark_graft.approx.exact_max_bytes",
-                        str(1 << 30),
-                    )
+        try:
+            cap = int(
+                self.spark.conf.get(
+                    "spark.spark_graft.approx.exact_max_bytes",
+                    str(1 << 30),
                 )
-                guarded = self._source_size_bytes(resolved[1]) > cap
-            except Exception:
-                guarded = False
+            )
+            # subquery-shaped FROMs (typed resolver bails) size through
+            # the loose base-table extraction — a subquery's rows can only
+            # come from base tables named in the same statement (r11 #5)
+            tables = (
+                resolved[1] if resolved is not None
+                else self._loose_source_tables(q)
+            )
+            guarded = bool(tables) and self._source_size_bytes(tables) > cap
+        except Exception:
+            guarded = False
 
         def _typed(inner: str, arg: str) -> str:
             from pyspark.sql.types import (
@@ -5411,6 +5603,64 @@ class SessionContext:
                     )
                 q = q[:s_i] + repl + q[e + 1 :]
                 pos = s_i + len(repl)
+        return q
+
+    def _rewrite_tz_date_trunc(self, q: str, lits: list[str], rmap=None) -> str:
+        """Zone-aware date_trunc over NAMED-TZ columns (timestamps.slt
+        #8899 battery; datetime/date_trunc.rs truncates in the value's own
+        time zone): when the argument column's view declared a
+        Timestamp(_, Some("tz")) type (register_view records it), truncate
+        the WALL CLOCK in that zone — from_utc_timestamp → date_trunc →
+        to_utc_timestamp, whose Java gap/ambiguity resolution (shift
+        forward through DST gaps, earlier offset on ambiguity) matches the
+        reference's chrono-tz behavior on the corpus. Only units COARSER
+        than hour convert: hour/minute/second truncation is instant
+        arithmetic in the reference (the Berlin DST hour repeats in its
+        golden — a wall-clock path could not produce that), and instants
+        are zone-independent. Unresolvable shapes keep Spark's UTC trunc
+        (§1.2 residual)."""
+        if not self._column_tz or not re.search(
+            r"\bdate_trunc\s*\(", q, re.IGNORECASE
+        ):
+            return q
+        got = rmap(q) if rmap else None
+        if not got:
+            return q
+        _, tables = got
+        pos = 0
+        while True:
+            hit = _find_call(q, "date_trunc", pos)
+            if hit is None:
+                break
+            s, a, e = hit
+            parts = [p.strip() for p in _split_top_level(q[a:e])]
+            if len(parts) != 2:
+                pos = e
+                continue
+            mlit = re.fullmatch(r"\x00(\d+)\x00", parts[0])
+            unit = lits[int(mlit.group(1))].strip("'").lower() if mlit else ""
+            mcol = re.fullmatch(
+                r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)", parts[1]
+            )
+            if unit not in ("day", "week", "month", "quarter", "year") or (
+                mcol is None
+            ):
+                pos = e
+                continue
+            col = mcol.group(2).lower()
+            tzs = {
+                self._column_tz.get(t.lower(), {}).get(col) for t in tables
+            } - {None}
+            if len(tzs) != 1:
+                pos = e
+                continue
+            tz = next(iter(tzs))
+            repl = (
+                f"to_utc_timestamp(date_trunc({parts[0]}, "
+                f"from_utc_timestamp({parts[1]}, '{tz}')), '{tz}')"
+            )
+            q = q[:s] + repl + q[e + 1:]
+            pos = s + len(repl)
         return q
 
     def _rewrite_median(self, q: str, rmap=None) -> str:

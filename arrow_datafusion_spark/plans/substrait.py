@@ -260,14 +260,35 @@ class _Consumer:
                 raise ValueError("No table name found in NamedTable")
             df = self.ctx.table(names[-1])
         elif lf is not None:
-            # single-file reads resolve to the registered table of the same
-            # (file)name — consumer.rs:692 extract_filename
+            # LocalFiles reads. When every item's uri names a real local
+            # parquet file, read the listing DIRECTLY (the reference's
+            # consumer builds a ListingTable over the uris — consumer.rs
+            # from_substrait_rel ReadType::LocalFiles); otherwise fall
+            # back to resolving a single item's BASENAME as a registered
+            # table (consumer.rs:692 extract_filename — the named-table
+            # convention round-trip tests rely on).
+            import os as _os
+
             items = _get(lf, "items", [])
-            if len(items) != 1:
-                raise NotImplementedError("Only single file reads are supported")
-            uri = _get(items[0], "uri_file") or _get(items[0], "uri_path") or ""
-            name = uri.rstrip("/").rsplit("/", 1)[-1]
-            df = self.ctx.table(name)
+            uris = [
+                _get(it, "uri_file") or _get(it, "uri_path") or ""
+                for it in items
+            ]
+            paths = [
+                u[len("file://"):] if u.startswith("file://") else u
+                for u in uris
+            ]
+            if paths and all(
+                p.endswith(".parquet") and _os.path.exists(p) for p in paths
+            ):
+                df = self.ctx.spark.read.parquet(*paths)
+            elif len(items) == 1:
+                name = uris[0].rstrip("/").rsplit("/", 1)[-1]
+                df = self.ctx.table(name)
+            else:
+                raise NotImplementedError(
+                    "LocalFiles read with unreadable multi-file uris"
+                )
         elif vt is not None:
             schema = self._named_struct_ddl(_get(node, "base_schema", {}))
             rows = _get(vt, "values", [])

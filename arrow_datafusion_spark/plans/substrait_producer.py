@@ -370,6 +370,12 @@ class _Producer:
                 f"substrait producer: unsupported window function {name!r}"
             )
         if not fn.filter().isEmpty():
+            # parity-correct guard, not a gap: the wire format has no
+            # window-filter field, and the reference's own producer can
+            # never see one — its Expr::WindowFunction carries no filter
+            # member at all (producer.rs:1246 destructures fun/args/
+            # partition_by/order_by/window_frame only), so a FILTERed
+            # window expression cannot exist in a reference plan either
             raise NotImplementedError(
                 "substrait producer: FILTER on a window function "
                 "(Expression.WindowFunction has no filter field)"
@@ -538,23 +544,38 @@ class _Producer:
                 }
                 return rel, df
             if "parquet" in n:
-                # ReadRel LocalFiles (round 11): single-file parquet scans
-                # emit uri_file + the parquet format marker. Consumers —
-                # including the reference's (consumer.rs:692
-                # extract_filename) and this repo's — resolve the file's
-                # BASENAME as a table reference, so a round-trip needs a
-                # table registered under that basename; the uri itself
-                # still names the real file for consumers that read paths.
+                # ReadRel LocalFiles (round 11; round 12 widens to
+                # DIRECTORY scans): parquet scans emit one FileOrFiles
+                # item per file — uri_file + the parquet format marker,
+                # the producer.rs LocalFiles arm's listing shape. A
+                # directory path expands to its sorted *.parquet listing
+                # (the reference's ListingTable resolution); consumers
+                # that read paths get real uris, and single-file plans
+                # stay resolvable by BASENAME as a table reference
+                # (consumer.rs:692 extract_filename).
+                import glob as _glob
                 import os as _os
 
                 path = _os.path.abspath(n["parquet"])
+                files = (
+                    sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+                    if _os.path.isdir(path)
+                    else [path]
+                )
+                if not files:
+                    raise NotImplementedError(
+                        "substrait producer: directory parquet scan with "
+                        "no *.parquet files"
+                    )
                 rel = {
                     "read": {
                         "common": {"direct": {}},
                         "baseSchema": _named_struct(df.schema),
                         "localFiles": {
-                            "items": [{"uriFile": f"file://{path}",
-                                       "parquet": {}}]
+                            "items": [
+                                {"uriFile": f"file://{f}", "parquet": {}}
+                                for f in files
+                            ]
                         },
                     }
                 }

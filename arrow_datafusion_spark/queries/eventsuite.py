@@ -11,6 +11,7 @@ closest analog) — this surface is capability-parity-plus per the north star.
 from __future__ import annotations
 
 import os
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -275,6 +276,78 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join, driver-gated (VERDICT r11 #6): the
+    SymmetricHashJoin outer forms (symmetric_hash_join.rs Left/Right/Full)
+    emit an unmatched row NULL-extended only once the watermark proves no
+    future match can arrive. A drained replay therefore needs the
+    watermark pushed past every real row's join bound before the final
+    batch: the events fixture is staged as three files — the real data,
+    then two sentinel spikes (user_id −1, far-future ts, both event types
+    so BOTH branch watermarks advance; the global watermark is their MIN)
+    — and maxFilesPerTrigger=1 replays them as three micro-batches
+    (watermarks advance at batch boundaries; evictions flush in the batch
+    AFTER the advance, hence the second sentinel). Sentinel rows are
+    filtered out and the drained result hash-compares to the batch LEFT
+    JOIN oracle, NULL-extended rows included."""
+    import datetime as _dt
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from arrow_datafusion_spark.session import load_table
+    from arrow_datafusion_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", "event_id"
+    )
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    _STREAM_SEQ[0] += 1
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"drv_stream_outer_{os.getpid()}_{_STREAM_SEQ[0]}",
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(f"{stage}/f0")
+    for i, hours in enumerate((10, 11), start=1):
+        spike = max_ts + _dt.timedelta(hours=hours)
+        spark.createDataFrame(
+            [(spike, "click", -1, -i), (spike, "view", -1, -100 - i)],
+            events.schema,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/f{i}")
+    # FileStreamSource orders batches by modification time — pin it so the
+    # sentinel spikes replay AFTER the real data (a spike-first replay
+    # would watermark-drop every real row as late)
+    now = _time.time()
+    for i in range(3):
+        d = f"{stage}/f{i}"
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now - 300 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/*")
+    )
+    name = f"drv_stream_outer_{os.getpid()}_{_STREAM_SEQ[0]}"
+    out = run_available_now(
+        stream_stream_join(stream, how="left_outer"),
+        name,
+        output_mode="append",
+    )
+    return out.filter(F.col("c_user") >= 0)
+
+
+STREAM_JOIN_OUTER_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id AS c_user
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+"""
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark —
     state is bounded by the watermark delay, the O(1)-state design a
@@ -318,6 +391,7 @@ QUERIES = {
     "events_tumbling": events_tumbling,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_join_clicks_views": stream_join_clicks_views,
+    "stream_join_outer": stream_join_outer,
     "stream_dedup_watermark": stream_dedup_watermark,
     "range_join_bucketed": range_join_bucketed,
     "hypertable_rollup": hypertable_rollup,
@@ -329,6 +403,7 @@ ORACLE = {
     "events_tumbling": EVENTS_TUMBLING_SQL,
     "stream_windowed_counts": STREAM_WINDOWED_COUNTS_SQL,
     "stream_join_clicks_views": STREAM_JOIN_SQL,
+    "stream_join_outer": STREAM_JOIN_OUTER_SQL,
     "stream_dedup_watermark": STREAM_DEDUP_SQL,
     "range_join_bucketed": RANGE_JOIN_BUCKETED_SQL,
     "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _FIXTURE = os.path.join(_REPO, "tests", "fixtures", "substrait", "lineitem.parquet")
+_DIR_FIXTURE = os.path.join(_REPO, "tests", "fixtures", "substrait", "nation_dir")
 _Q1_PLAN = (
     "/root/reference/datafusion/substrait/tests/testdata/"
     "tpch_substrait_plans/query_1.json"
@@ -375,18 +376,88 @@ ORDER BY k
 """
 
 
+def _ensure_dir_fixture() -> str:
+    """A DIRECTORY of parquet files (dbgen nation split in two) for the
+    multi-file LocalFiles arm — deterministic on every regeneration."""
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(_DIR_FIXTURE, "*.parquet")):
+        import duckdb
+
+        os.makedirs(_DIR_FIXTURE, exist_ok=True)
+        con = duckdb.connect()
+        con.sql("CALL dbgen(sf=0.01)")
+        con.sql(
+            "COPY (SELECT * FROM nation WHERE n_nationkey < 13 "
+            "ORDER BY n_nationkey) TO "
+            f"'{os.path.join(_DIR_FIXTURE, 'part0.parquet')}' (FORMAT parquet)"
+        )
+        con.sql(
+            "COPY (SELECT * FROM nation WHERE n_nationkey >= 13 "
+            "ORDER BY n_nationkey) TO "
+            f"'{os.path.join(_DIR_FIXTURE, 'part1.parquet')}' (FORMAT parquet)"
+        )
+        con.close()
+    return _DIR_FIXTURE
+
+
+_DIR_SCAN_PLAN = {
+    "op": "sort",
+    "by": ["n_regionkey ASC"],
+    "input": {
+        "op": "aggregate",
+        "group_by": ["n_regionkey"],
+        "aggs": ["count(1) AS n", "sum(n_nationkey) AS key_sum"],
+        "input": {
+            "op": "filter",
+            "predicate": "n_nationkey <> 6",
+            "input": {"op": "scan", "parquet": _DIR_FIXTURE},
+        },
+    },
+}
+
+
+def substrait_dir_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadRel LocalFiles over a DIRECTORY scan (round 12): the producer
+    expands the directory to one FileOrFiles item per parquet file
+    (producer.rs ListingTable LocalFiles arm) and the consumer reads the
+    uris directly; the whole plan travels the binary wire."""
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+    from arrow_datafusion_spark.plans.substrait_wire import (
+        consume_plan_bytes,
+        plan_to_bytes,
+    )
+
+    _ensure_dir_fixture()
+    ctx = SessionContext(spark)
+    wire = plan_to_bytes(produce_plan(ctx, _DIR_SCAN_PLAN))
+    return consume_plan_bytes(ctx, wire)
+
+
+SUBSTRAIT_DIR_SCAN_SQL_TEMPLATE = """
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM read_parquet('{d}/*.parquet')
+WHERE n_nationkey <> 6
+GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 QUERIES = {
     "substrait_tpch_q1": substrait_tpch_q1,
     "substrait_named_join": substrait_named_join,
     "substrait_producer_roundtrip": substrait_producer_roundtrip,
     "substrait_exists_scalar": substrait_exists_scalar,
     "substrait_setops": substrait_setops,
+    "substrait_dir_scan": substrait_dir_scan,
 }
 # the oracle strings embed _FIXTURE's path — materialize it at import so a
 # fresh checkout can PLAN the oracle SQL (tests/test_oracle_dtypes.py)
 # before any queries() entry has run (file-exists check after first gen)
 _ensure_fixture()
+_ensure_dir_fixture()
 ORACLE = {
+    "substrait_dir_scan": SUBSTRAIT_DIR_SCAN_SQL_TEMPLATE.format(d=_DIR_FIXTURE),
     "substrait_tpch_q1": SUBSTRAIT_TPCH_Q1_SQL,
     "substrait_named_join": SUBSTRAIT_NAMED_JOIN_SQL,
     "substrait_producer_roundtrip": SUBSTRAIT_PRODUCER_ROUNDTRIP_SQL,

@@ -195,6 +195,17 @@ def _norm_cell(v, code: str) -> str:
     if isinstance(v, (bytes, bytearray)):
         # arrow's Binary Display is lowercase hex (e.g. 426172 for b"Bar")
         return bytes(v).hex()
+    if isinstance(v, _dt.time):
+        # arrow's Time Display prints the STORAGE UNIT's width (.123 for
+        # Time32(ms), .123456 for Time64(µs)); Spark's TIME is always µs,
+        # so trim trailing zeros in 3-digit groups to recover the
+        # narrower-unit display (a µs value with a zero sub-ms tail came
+        # from a ms-precision literal — timestamps.slt:452)
+        s = v.isoformat()
+        if "." in s:
+            s = re.sub(r"\.(\d{3})000$", r".\1", s).rstrip(".")
+            s = re.sub(r"\.000$", "", s)
+        return s
     if isinstance(v, _dt.datetime):
         # arrow prints ISO-8601 with 'T'; fractional digits are compared
         # unit-insensitively by _values_equal (_ts_key pads to ns)

@@ -157,9 +157,16 @@ _KNOWN = {
     # single session tz (UTC) — the reference keeps per-column zones and
     # truncates dates in them; Date64 carries intra-day milliseconds the
     # DateType policy drops.
-    ("timestamps.slt", 452): "Time64 ns fraction (time-literal → BIGINT ns policy)",
-    ("timestamps.slt", 1332): "named-tz date_trunc in zone vs session UTC",
-    ("timestamps.slt", 1416): "named-tz date_trunc in zone vs session UTC",
+    # (timestamps.slt:452 CLOSED round 12: ns-precision TIME literals keep
+    # their Display text — Spark's TIME caps at µs — and the runner trims
+    # µs zero-tails in 3-digit groups to recover narrower-unit Displays.)
+    # (timestamps.slt:1332/1416 CLOSED round 12: register_view records
+    # per-column Timestamp(_, Some("tz")) declarations and
+    # _rewrite_tz_date_trunc truncates day-and-coarser units in the
+    # column's own zone — from_utc_timestamp → date_trunc →
+    # to_utc_timestamp, whose Java DST gap/ambiguity resolution matches
+    # the chrono-tz goldens; hour/minute stay instant arithmetic like the
+    # reference.)
     # (timestamps.slt:1673 CLOSED round 11: the date_bin rewrite now
     # reinterprets a plain-TIMESTAMP origin literal's wall time as UTC
     # when the source argument is TIMESTAMPTZ — the reference's NTZ→TZ
@@ -187,13 +194,12 @@ _KNOWN = {
     # the §1.2 unsigned policy widens UInt64 to Decimal(20,0) (lossless,
     # exactly the TODO's preferred answer), so the result type follows.
     ("coalesce.slt", 109): "coalesce(i64,u64): UInt64 widens to Decimal(20,0)",
-    # options.slt: out-of-i64-range integer literals. The reference types
-    # u64-range literals UInt64 and overflowing ones Float64 (default) /
-    # Decimal128 (parse_float_as_decimal); the §1.2 unsigned policy types
-    # them DECIMAL — lossless, and exactly the in-file TODO's suggestion
-    # ("casting to decimal or double or even i128 if supported").
-    ("options.slt", 106): "u64-range literal typing: Decimal per §1.2 unsigned policy",
-    ("options.slt", 134): "u64-range literal typing: Decimal per §1.2 unsigned policy",
+    # (options.slt:106/134 CLOSED round 12: arrow_typeof resolves INTEGER
+    # LITERAL arguments statically — Int64 in range, UInt64 in u64 range,
+    # Float64 / Decimal128(digits, 0) beyond per the live
+    # parse_float_as_decimal setting — the reference's own literal-typing
+    # rules; the §1.2 Decimal STORAGE policy for u64-range values is
+    # unchanged, only the type-introspection display resolves statically.)
     # (information_schema.slt VERBOSE records CLOSED round 10: settings.py
     # now carries the reference's own option doc text — the public
     # ConfigOptions description surface — so SHOW ALL VERBOSE / SHOW <key>
@@ -205,8 +211,12 @@ _KNOWN = {
     # multi-catalog registration needs a Spark catalog plugin; this
     # session runs single-catalog (REQUIRES_SINGLE_PART_NAMESPACE)
     ("information_schema_multiple_catalogs.slt", 78): "multi-catalog needs a catalog plugin",
-    ("arrow_typeof.slt", 329): "named-tz timestamp display (session UTC)",
-    ("arrow_typeof.slt", 334): "named-tz timestamp display (session UTC)",
+    # (arrow_typeof.slt:329/334 CLOSED round 12: arrow_cast to
+    # Timestamp(_, Some("tz")) is now WALL-CLOCK-PRESERVING for NTZ
+    # sources — to_utc_timestamp lowering, instant-preserving for LTZ via
+    # a typeof() branch — and the instant-keyed comparator absorbs the
+    # display zone; the +25:00 'statement error' golden now raises at
+    # rewrite time like the reference's parser.)
     ("select.slt", 551): "'-NaN'::double parses NaN in Rust, NULL in Spark",
     # (ddl.slt:647 CLOSED round 10: unquoted column names in CREATE
     # TABLE defs now lowercase like enable_ident_normalization; quoted
@@ -234,7 +244,9 @@ _KNOWN = {
         "unordered LEAD/LAG over fixture natural order — the original "
         "aggregate_test_100 row order is unavailable (substituted fixture)"
     ),
-    ("map.slt", 24): "parquet reader nullability relaxation (Spark reads nullable)",
+    # (map.slt:24 CLOSED round 12: DESCRIBE over path-registered parquet
+    # tables reads the FOOTER schema via pyarrow — the file's declared
+    # nullability, which Spark's reader relaxes to all-nullable.)
     # (map.slt:31 CLOSED round 10: the slt runner collects map columns
     # through map_entries — JVM order, what arrow's Display shows — so
     # entry order survives the Python dict conversion.)
@@ -290,7 +302,7 @@ _FILES = {
     "unnest.slt": 35,
     "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
     "interval.slt": 34,  # +3 plural-quirk records r10 (floor ~5% under)
-    "timestamps.slt": 287,  # 289 measured r11 (µs comparator + date_bin NTZ-origin closures)
+    "timestamps.slt": 290,  # 291 measured r12 (named-tz date_trunc + TIME-literal closures)
     "array.slt": 735,  # 744 measured r9 (flatten/cardinality/dims/length depth lowering)
     "select.slt": 146,
     "scalar.slt": 238,  # 242 measured r9 (xor-precedence record flipped)
@@ -303,7 +315,7 @@ _FILES = {
     "topk.slt": 10,
     "binary.slt": 25,
     "describe.slt": 8,
-    "arrow_typeof.slt": 28,
+    "arrow_typeof.slt": 31,  # 33 measured r12 (named-tz cast closures)
     "insert.slt": 54,
     "identifiers.slt": 17,
     "nullif.slt": 8,
@@ -339,7 +351,7 @@ _FILES = {
     # SET/SHOW + configuration registry (settings.py), information_schema
     # ANSI layouts, DROP FUNCTION, quoted/UNBOUNDED external tables
     "set_variable.slt": 53,
-    "options.slt": 27,
+    "options.slt": 29,  # 30 measured r12 (literal-typing closures)
     "create_function.slt": 8,
     "metadata.slt": 3,
     "information_schema.slt": 62,  # +4 VERBOSE records closed r10

@@ -544,3 +544,55 @@ def test_wire_preserves_contains_plan_execution(spark):
         r[0] for r in consume_plan_bytes(ctx, plan_to_bytes(plan)).collect()
     )
     assert got == want == ["ASIA", "GEORGIA", "INDIA"]
+
+
+def test_roundtrip_directory_parquet_scan(spark):
+    """Round 12: a DIRECTORY parquet scan emits one LocalFiles item per
+    file (producer.rs ListingTable LocalFiles arm) and the consumer reads
+    the uris directly — full produce → binary wire → consume → execute."""
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+    from arrow_datafusion_spark.plans.substrait_wire import (
+        consume_plan_bytes,
+        plan_to_bytes,
+    )
+    from arrow_datafusion_spark.queries.substrait_suite import (
+        _DIR_SCAN_PLAN,
+        _ensure_dir_fixture,
+    )
+
+    from pyspark.sql import functions as F
+
+    d = _ensure_dir_fixture()
+    ctx = SessionContext(spark)
+    plan = produce_plan(ctx, _DIR_SCAN_PLAN)
+    # the ReadRel must carry BOTH part files as distinct uri items
+    import json
+
+    items = json.loads(json.dumps(plan)) if isinstance(plan, dict) else plan
+    text = json.dumps(plan)
+    assert text.count('"uriFile"') == 2, text[:500]
+    assert "part0.parquet" in text and "part1.parquet" in text
+    got = consume_plan_bytes(ctx, plan_to_bytes(plan)).collect()
+    exp = (
+        spark.read.parquet(d)
+        .filter("n_nationkey <> 6")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_nationkey").alias("key_sum"))
+        .orderBy("n_regionkey")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_producer_empty_directory_scan_raises(spark, tmp_path):
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.plans.substrait_producer import produce_plan
+
+    ctx = SessionContext(spark)
+    # an empty directory must fail LOUDLY, not emit an empty listing —
+    # but serde's own read fails first either way; assert a clear error
+    with pytest.raises(Exception):
+        produce_plan(
+            ctx, {"op": "scan", "parquet": str(tmp_path / "empty_dir")}
+        )

@@ -213,3 +213,39 @@ def test_with_weight_fractional_weight_over_window(ctx):
     )
     assert df.schema["p"].dataType.simpleString() == "smallint"
     assert df.count() == 100
+
+
+def test_approx_byte_guard_covers_subquery_froms(ctx):
+    # round-11 verdict #5: a subquery-shaped FROM used to skip the byte
+    # guard (the typed resolver bails on it) — the guard must now size the
+    # statement's base tables through _loose_source_tables and keep the
+    # native streaming sketch above the cap.
+    spark = ctx.spark
+    q = (
+        "SELECT approx_percentile_cont(v, 0.95) AS p FROM "
+        "(SELECT c3 AS v FROM agg100 WHERE c2 > 0) t"
+    )
+    exact = ctx.sql(q).collect()[0][0]
+    try:
+        spark.conf.set("spark.spark_graft.approx.exact_max_bytes", "0")
+        df = ctx.sql(q)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan
+        assert "percentile_approx" in plan
+        assert abs(df.collect()[0][0] - exact) <= max(2, abs(exact) * 0.05)
+    finally:
+        spark.conf.unset("spark.spark_graft.approx.exact_max_bytes")
+    # CTE spelling takes the same guard (the CTE name itself is excluded,
+    # its base table is sized)
+    try:
+        spark.conf.set("spark.spark_graft.approx.exact_max_bytes", "0")
+        df = ctx.sql(
+            "WITH s AS (SELECT c3 FROM agg100) "
+            "SELECT approx_median(c3) AS m FROM s"
+        )
+        assert "collect_list" not in (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        df.collect()
+    finally:
+        spark.conf.unset("spark.spark_graft.approx.exact_max_bytes")
