@@ -185,3 +185,50 @@ def test_timestamp_bigint_reinterpret_shapes(spark):
             " AS STRING) AS v"
         ).collect()[0][0]
         assert got == "2020-01-01 00:00:00", got
+
+
+def test_named_tz_column_date_trunc_and_cast(spark):
+    """Round 12: per-column named time zones (timestamps.slt #8899
+    battery). arrow_cast to Timestamp(_, Some(tz)) is wall-clock-
+    preserving for literal (NTZ) sources and instant-preserving for LTZ
+    columns; a view-declared column zone makes date_trunc truncate
+    day-and-coarser units in that zone."""
+    import datetime as dt
+
+    from arrow_datafusion_spark.context import SessionContext
+
+    ctx = SessionContext(spark)
+    # literal source: wall clock preserved into the zone → instant shifts
+    row = ctx.sql(
+        "SELECT CAST(arrow_cast(TIMESTAMP '2000-01-01 00:00:00', "
+        "'Timestamp(Nanosecond, Some( \"+08:00\" ))') AS STRING) AS v"
+    ).collect()[0][0]
+    assert row == "1999-12-31 16:00:00", row  # 00:00 wall in +08 = 16:00Z
+    # invalid zone raises at rewrite time like the reference's parser
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Invalid timezone"):
+        ctx.sql(
+            "SELECT arrow_cast(TIMESTAMP '2000-01-01 00:00:00', "
+            "'Timestamp(Nanosecond, Some( \"+25:00\" ))')"
+        )
+    # zone-declared view column: month-trunc lands on the ZONE's month
+    # boundary
+    spark.createDataFrame(
+        [(dt.datetime(2024, 10, 27, 0, 0),)], "ts timestamp"
+    ).createOrReplaceTempView("tz_src_t")
+    ctx.register_table("tz_src_t", spark.table("tz_src_t"))
+    ctx.sql(
+        "CREATE OR REPLACE VIEW tz_berlin_v AS SELECT "
+        "arrow_cast(ts, 'Timestamp(Nanosecond, Some(\"Europe/Berlin\"))') "
+        "AS ts FROM tz_src_t"
+    )
+    got = ctx.sql(
+        "SELECT CAST(date_trunc('month', ts) AS STRING) AS m, "
+        "CAST(date_trunc('hour', ts) AS STRING) AS h FROM tz_berlin_v"
+    ).collect()[0]
+    # Berlin October midnight is 2024-09-30T22:00Z; hour-trunc stays
+    # instant arithmetic (unchanged)
+    assert got.m == "2024-09-30 22:00:00", got
+    assert got.h == "2024-10-27 00:00:00", got
+    ctx.sql("DROP VIEW tz_berlin_v")
