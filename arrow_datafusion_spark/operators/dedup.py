@@ -427,6 +427,17 @@ _JAC_UDFS: dict[tuple, "object"] = {}
 _BROADCAST_TEXT_BYTES_CAP = 64 * 1024 * 1024
 
 
+def _gram_width(gram_fn) -> int:
+    """Upper-bound bytes-per-text-character of a gram set (≤len(text)
+    grams of this width each) — the broadcast-gate multiplier for the
+    grams-shipping verify variant."""
+    try:
+        sample = gram_fn("the quick brown fox jumps over the lazy dog")
+        return max(1, min(max(len(g) for g in sample), 16))
+    except Exception:
+        return 8
+
+
 def _verify_pairs_jaccard(
     pairs: DataFrame,
     df: DataFrame,
@@ -494,6 +505,12 @@ def _verify_pairs_jaccard(
         cand_docs = cand_docs.select(
             F.col(id_col), gram_arr(F.col(text_col)).alias("__grams__")
         ).localCheckpoint(eager=True)
+        # the broadcast gate must price what is actually shipped: a gram
+        # array is at most k bytes per text character (≤len(text) grams of
+        # k chars), so scale the measured text bytes by that upper bound
+        small = ((stats["bytes"] or 0) * _gram_width(gram_fn)) <= (
+            _BROADCAST_TEXT_BYTES_CAP
+        )
         a = cand_docs.select(
             F.col(id_col).alias("doc_a"), F.col("__grams__").alias("text_a")
         )
