@@ -4884,6 +4884,7 @@ class SessionContext:
         query = self._rewrite_tz_date_trunc(query, _lits, rmap=_rmap)
         query = self._rewrite_median(query, rmap=_rmap)
         query = self._rewrite_decimal_avg(query, rmap=_rmap)
+        query = self._rewrite_decimal_division(query, rmap=_rmap)
         query = self._rewrite_deep_array_fns(query, _lits, rmap=_rmap)
         query = self._rewrite_int_division(query, rmap=_rmap)
         query = self._rewrite_f32_math(query, rmap=_rmap)
@@ -5121,6 +5122,88 @@ class SessionContext:
             q = q[:s_i] + repl + q[e + 1 :]
             pos = s_i + len(repl)
         return q
+
+    def _rewrite_decimal_division(self, q: str, rmap=None) -> str:
+        """Decimal / decimal division with arrow-rs's result type and
+        TRUNCATION (arrow-arith numeric.rs decimal ``Op::Div``: result
+        scale s1+4, precision min(p1+s2+4, 38); the i128 quotient of
+        l·10^(rs−s1+s2) by r's unscaled value — i128 ``/`` truncates
+        toward zero). Spark instead widens the quotient scale to
+        max(6, s1+p2+1) and rounds HALF_UP, so decimal.slt:397's
+        0.7142857142 golden shows Spark's ...42857142857 tail.
+
+        Lowered when BOTH operands are decimal: a (possibly
+        alias-qualified) column resolvable through _from_schema_map with
+        a DecimalType, or an inline ``CAST(x AS DECIMAL(p,s))`` whose
+        type text carries (p,s) directly. Exactness mirrors
+        _rewrite_decimal_avg: the dividend cast's precision is sized so
+        the ·10^rs product is loss-free (pa = 38 − rs − 2, gate
+        p1 ≤ pa), ``div`` truncates toward zero exactly, and the
+        DECIMAL(19,0)/10^rs rescale is exact for rs ≤ 17. The truncated
+        unscaled quotient must fit BIGINT — the same documented bound as
+        the avg lowering. Wider shapes (foo's DECIMAL(38,20)/
+        DECIMAL(38,0), rs=24) keep Spark's division — §1.2 residual."""
+        if "/" not in q:
+            return q
+        from pyspark.sql.types import DecimalType
+
+        _schema_memo: list = []
+
+        def _schema() -> dict | None:
+            if not _schema_memo:
+                resolved = (rmap or self._from_schema_map)(q)
+                _schema_memo.append(resolved[0] if resolved else None)
+            return _schema_memo[0]
+
+        ident = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*"
+        castp = (
+            r"CAST\s*\(\s*[^()]*?\s+AS\s+DECIMAL\s*"
+            r"\(\s*\d+\s*,\s*\d+\s*\)\s*\)"
+        )
+        pat = re.compile(
+            rf"(?<![\w.])({castp}|{ident})\s*/\s*({castp}|{ident})(?![\w.])",
+            re.IGNORECASE,
+        )
+
+        def _decimal_ps(tok: str) -> tuple[int, int] | None:
+            cm = re.match(
+                r"CAST\s*\(.*AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)\s*$",
+                tok,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if cm:
+                return int(cm.group(1)), int(cm.group(2))
+            if re.fullmatch(ident, tok):
+                sch = _schema()
+                dt = sch.get(tok.lower()) if sch else None
+                if isinstance(dt, DecimalType):
+                    return dt.precision, dt.scale
+            return None
+
+        def repl(m: re.Match) -> str:
+            a, b = m.group(1).strip(), m.group(2).strip()
+            pa_ps, pb_ps = _decimal_ps(a), _decimal_ps(b)
+            if pa_ps is None or pb_ps is None:
+                return m.group(0)
+            (p1, s1), (p2, s2) = pa_ps, pb_ps
+            rs = s1 + 4
+            pr = min(p1 + s2 + 4, 38)
+            pa = 38 - rs - 2  # dividend cast precision: ·10^rs stays exact
+            if rs > 17 or p1 > pa:
+                return m.group(0)
+            pow10 = 10**rs
+            return (
+                f"CAST(CAST((CAST({a} AS DECIMAL({pa},{s1})) * {pow10})"
+                f" div ({b}) AS DECIMAL(19,0)) / {pow10}"
+                f" AS DECIMAL({pr},{rs}))"
+            )
+
+        # rewrite only OUTSIDE string literals (callers shield, but keep
+        # the same defensive split as _rewrite_int_division)
+        segs = re.split(r"('(?:[^']|'')*')", q)
+        return "".join(
+            seg if i % 2 else pat.sub(repl, seg) for i, seg in enumerate(segs)
+        )
 
     def _array_arg_depth(
         self, arg: str, schema: dict | None, lits: list[str] | None = None

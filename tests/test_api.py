@@ -687,6 +687,50 @@ def test_decimal_avg_skips_windowed_and_filtered_forms(spark):
         spark.catalog.dropTempView("dec_avg_w_t")
 
 
+def test_decimal_division_truncates_like_the_reference(spark):
+    # arrow-rs numeric.rs decimal Op::Div — result Decimal128(
+    # min(p1+s2+4, 38), s1+4), i128 quotient truncates toward zero
+    # (decimal.slt:397's 0.7142857142 golden; Spark widens the scale to
+    # max(6, s1+p2+1) and rounds HALF_UP). Covers: col/col, the
+    # col/CAST-literal shape (decimal.slt:372), negative truncation,
+    # and the rs>17 skip gate (decimal.slt:613's DECIMAL(38,20) form
+    # keeps Spark's division).
+    from decimal import Decimal
+
+    ctx = SessionContext(spark)
+    spark.sql(
+        "SELECT CAST(a AS DECIMAL(10,6)) a, CAST(b AS DECIMAL(12,7)) b "
+        "FROM VALUES (25, 39), (-25, 39), (1, 2) t(a, b)"
+    ).createOrReplaceTempView("dec_div_t")
+    spark.sql(
+        "SELECT CAST(a AS DECIMAL(38,20)) a, CAST(b AS DECIMAL(38,0)) b "
+        "FROM VALUES (1, 5) t(a, b)"
+    ).createOrReplaceTempView("dec_div_wide_t")
+    try:
+        out = ctx.sql("SELECT a / b AS q FROM dec_div_t ORDER BY a")
+        assert out.schema[0].dataType.simpleString() == "decimal(21,10)"
+        vals = [r[0] for r in out.collect()]
+        # 25/39 = 0.641025641025... truncates to 0.6410256410 (HALF_UP at
+        # scale 10 agrees here; -25/39 truncates TOWARD ZERO; 1/2 exact)
+        assert vals == [
+            Decimal("-0.6410256410"),
+            Decimal("0.5000000000"),
+            Decimal("25") / Decimal("39") // Decimal("1e-10") * Decimal("1e-10"),
+        ]
+        lit = ctx.sql(
+            "SELECT a / CAST(0.00001 AS DECIMAL(5,5)) AS q FROM dec_div_t "
+            "WHERE a = 1 LIMIT 1"
+        )
+        assert lit.schema[0].dataType.simpleString() == "decimal(19,10)"
+        # rs = 20+4 = 24 > 17: the wide shape keeps Spark's division
+        wide = ctx.sql("SELECT a / b AS q FROM dec_div_wide_t")
+        assert wide.schema[0].dataType.simpleString() != "decimal(38,24)"
+        assert wide.collect()[0][0] == Decimal("0.2")
+    finally:
+        spark.catalog.dropTempView("dec_div_t")
+        spark.catalog.dropTempView("dec_div_wide_t")
+
+
 def test_type_aware_rewrites_resolve_joined_and_aliased_tables(spark):
     # r10: _from_schema_map generalizes the r9 single-plain-FROM guard —
     # truncating decimal avg, integer division, exact median, and deep

@@ -40,6 +40,12 @@ _SLT_DIR = "/root/reference/datafusion/sqllogictest/test_files"
 # quirk, unordered string_agg, map entry order, CREATE ident
 # normalization, 3 f32-compute entries via _rewrite_f32_math).
 #
+# ROUND-12 AUDIT: 9 closed, 44 → 35 — options.slt literal typing ×2,
+# arrow_typeof.slt named-tz casts ×2, timestamps.slt named-tz
+# date_trunc ×2 + TIME ns-literal ×1, map.slt footer-schema DESCRIBE
+# ×1 (all in the r12 first-pass commits), and decimal.slt:397
+# (truncating decimal division — _rewrite_decimal_division).
+#
 # ROUND-11 AUDIT: 12 more closed, 56 → 44 —
 # - joins.slt ×4: int↔timestamp reinterpret casts (the
 #   `::timestamp::bigint` epoch-ns lowering + arrow_cast int→Timestamp
@@ -141,10 +147,12 @@ _KNOWN = {
     # null-aware anti join emits the NULL-keyed probe row where standard
     # ternary logic (Spark, Postgres) yields no rows.
     ("joins.slt", 3555): "NOT IN null semantics (reference anti-join quirk)",
-    # decimal.slt: Arrow's decimal avg/divide TRUNCATE at the result
-    # scale where Spark rounds / keeps a wider quotient scale — §1.2
-    # decimal arithmetic rule divergence (values agree to ~1e-10).
-    ("decimal.slt", 397): "decimal division scale rule (truncate@10 vs widen)",
+    # (decimal.slt:397 CLOSED round 12: _rewrite_decimal_division lowers
+    # decimal col/col and col/CAST-literal division to arrow-rs's result
+    # type — Decimal128(p1+s2+4 capped 38, s1+4) — with the i128
+    # truncating quotient emulated via `div`, same discipline as the
+    # decimal-AVG rewrite; wider shapes (rs>17) keep Spark's division,
+    # the documented §1.2 residual.)
     # (interval.slt:84 CLOSED round 10: `interval '5' years|months|hours`
     # — sqlparser's plural-as-alias quirk — is now rewritten to the
     # reference's parse: unit-less literal = seconds, word = alias.)
@@ -300,7 +308,7 @@ _FILES = {
     "subquery.slt": 57,
     "map.slt": 10,  # +1 map-order record r10
     "unnest.slt": 35,
-    "decimal.slt": 53,  # 54 measured r9 (avg record flipped)
+    "decimal.slt": 55,  # 56 measured r12 (truncating-division closures)
     "interval.slt": 34,  # +3 plural-quirk records r10 (floor ~5% under)
     "timestamps.slt": 290,  # 291 measured r12 (named-tz date_trunc + TIME-literal closures)
     "array.slt": 735,  # 744 measured r9 (flatten/cardinality/dims/length depth lowering)
