@@ -87,8 +87,10 @@ def _registries() -> tuple[dict, dict]:
         #     sort-key window sum) — VERDICT r11 #2
         "cb_v_user_phrase_limit", "cb_v_src_dst_offset",
         #     NEW: LEFT-OUTER stream-stream join drained against the batch
-        #     LEFT JOIN oracle, NULL-extensions included (VERDICT r11 #6)
-        "stream_join_outer",
+        #     LEFT JOIN oracle, NULL-extensions included (VERDICT r11 #6),
+        #     and the FULL-OUTER form — both sides' watermark-proven
+        #     NULL-extensions vs the batch FULL JOIN oracle
+        "stream_join_outer", "stream_join_outer_full",
         #     NEW: directory-parquet LocalFiles round-trip (VERDICT r11
         #     #4); the consumer's LocalFiles read + scalar-subquery
         #     one-row shaping (ADVICE r11) touch every substrait entry

@@ -276,30 +276,25 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
-def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT-OUTER stream-stream join, driver-gated (VERDICT r11 #6): the
-    SymmetricHashJoin outer forms (symmetric_hash_join.rs Left/Right/Full)
-    emit an unmatched row NULL-extended only once the watermark proves no
-    future match can arrive. A drained replay therefore needs the
-    watermark pushed past every real row's join bound before the final
-    batch: the events fixture is staged as three files — the real data,
-    then two sentinel spikes (user_id −1, far-future ts, both event types
-    so BOTH branch watermarks advance; the global watermark is their MIN)
-    — and maxFilesPerTrigger=1 replays them as three micro-batches
-    (watermarks advance at batch boundaries; evictions flush in the batch
-    AFTER the advance, hence the second sentinel). Sentinel rows are
-    filtered out and the drained result hash-compares to the batch LEFT
-    JOIN oracle, NULL-extended rows included."""
+def _staged_sentinel_stream(spark: SparkSession, sf_dir: str, tag: str):
+    """Stage the events fixture for a DRAINED outer stream-stream join:
+    the SymmetricHashJoin outer forms (symmetric_hash_join.rs
+    Left/Right/Full) emit an unmatched row NULL-extended only once the
+    watermark proves no future match can arrive. A drained replay
+    therefore needs the watermark pushed past every real row's join bound
+    before the final batch: the fixture is staged as three files — the
+    real data, then two sentinel spikes (user_id −1, far-future ts, both
+    event types so BOTH branch watermarks advance; the global watermark
+    is their MIN) — and maxFilesPerTrigger=1 replays them as three
+    micro-batches (watermarks advance at batch boundaries; evictions
+    flush in the batch AFTER the advance, hence the second sentinel).
+    Returns the readStream; callers filter the user_id −1 sentinels."""
     import datetime as _dt
     import tempfile
 
     import pyspark.sql.functions as F
 
     from arrow_datafusion_spark.session import load_table
-    from arrow_datafusion_spark.streaming import (
-        run_available_now,
-        stream_stream_join,
-    )
 
     events = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "user_id", "event_id"
@@ -308,7 +303,7 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_SEQ[0] += 1
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"drv_stream_outer_{os.getpid()}_{_STREAM_SEQ[0]}",
+        f"drv_stream_{tag}_{os.getpid()}_{_STREAM_SEQ[0]}",
     )
     events.coalesce(1).write.mode("overwrite").parquet(f"{stage}/f0")
     for i, hours in enumerate((10, 11), start=1):
@@ -325,11 +320,27 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = f"{stage}/f{i}"
         for fn in os.listdir(d):
             os.utime(os.path.join(d, fn), (now - 300 + i * 100,) * 2)
-    stream = (
+    return (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{stage}/*")
     )
+
+
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join, driver-gated (VERDICT r11 #6):
+    sentinel-staged drain (_staged_sentinel_stream), sentinels filtered,
+    hash-compared to the batch LEFT JOIN oracle, NULL-extended rows
+    included."""
+    import pyspark.sql.functions as F
+
+    from arrow_datafusion_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    stream = _staged_sentinel_stream(spark, sf_dir, "outer")
+    _STREAM_SEQ[0] += 1
     name = f"drv_stream_outer_{os.getpid()}_{_STREAM_SEQ[0]}"
     out = run_available_now(
         stream_stream_join(stream, how="left_outer"),
@@ -339,10 +350,49 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("c_user") >= 0)
 
 
+def stream_join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join, driver-gated: both sides'
+    unmatched rows are NULL-extended on watermark-proven eviction
+    (symmetric_hash_join.rs JoinType::Full — need_to_produce_result_in_final
+    on BOTH build sides). Same sentinel-staged drain as the left-outer
+    gate; both user columns are kept so each surviving side's sentinel
+    rows can be filtered, and the drained result hash-compares to the
+    batch FULL JOIN oracle — click-only, view-only, and matched rows."""
+    import pyspark.sql.functions as F
+
+    from arrow_datafusion_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    stream = _staged_sentinel_stream(spark, sf_dir, "full")
+    _STREAM_SEQ[0] += 1
+    name = f"drv_stream_full_{os.getpid()}_{_STREAM_SEQ[0]}"
+    out = run_available_now(
+        stream_stream_join(stream, how="full_outer", keep_both_users=True),
+        name,
+        output_mode="append",
+    )
+    return out.filter(
+        (F.col("c_user").isNull() | (F.col("c_user") >= 0))
+        & (F.col("v_user").isNull() | (F.col("v_user") >= 0))
+    )
+
+
 STREAM_JOIN_OUTER_SQL = """
 SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id AS c_user
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+"""
+
+
+STREAM_JOIN_OUTER_FULL_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS view_id,
+       c.user_id AS c_user, v.user_id AS v_user
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id
  AND v.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
 """
@@ -392,6 +442,7 @@ QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_join_clicks_views": stream_join_clicks_views,
     "stream_join_outer": stream_join_outer,
+    "stream_join_outer_full": stream_join_outer_full,
     "stream_dedup_watermark": stream_dedup_watermark,
     "range_join_bucketed": range_join_bucketed,
     "hypertable_rollup": hypertable_rollup,
@@ -404,6 +455,7 @@ ORACLE = {
     "stream_windowed_counts": STREAM_WINDOWED_COUNTS_SQL,
     "stream_join_clicks_views": STREAM_JOIN_SQL,
     "stream_join_outer": STREAM_JOIN_OUTER_SQL,
+    "stream_join_outer_full": STREAM_JOIN_OUTER_FULL_SQL,
     "stream_dedup_watermark": STREAM_DEDUP_SQL,
     "range_join_bucketed": RANGE_JOIN_BUCKETED_SQL,
     "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,

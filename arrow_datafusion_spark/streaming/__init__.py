@@ -70,7 +70,10 @@ def windowed_counts(
 
 
 def stream_stream_join(
-    events: DataFrame, window: str = "1 hour", how: str = "inner"
+    events: DataFrame,
+    window: str = "1 hour",
+    how: str = "inner",
+    keep_both_users: bool = False,
 ) -> DataFrame:
     """Stream-stream equi join with a time-range condition — the
     SymmetricHashJoinExec analog (joins/symmetric_hash_join.rs:167): the
@@ -102,13 +105,19 @@ def stream_stream_join(
         )
         .withWatermark("v_ts", "2 hours")
     )
-    return clicks.join(
+    joined = clicks.join(
         views,
         F.expr(
             f"c_user = v_user AND v_ts BETWEEN c_ts - INTERVAL {window} AND c_ts"
         ),
         how,
-    ).select("click_id", "view_id", "c_user")
+    )
+    if keep_both_users:
+        # outer forms NULL one side's columns: callers that must tell a
+        # NULL-extended row's surviving side apart (the full-outer driver
+        # gate's sentinel filter) need both user columns
+        return joined.select("click_id", "view_id", "c_user", "v_user")
+    return joined.select("click_id", "view_id", "c_user")
 
 
 def stateful_type_counts(events: DataFrame) -> DataFrame:
