@@ -102,6 +102,10 @@ def _registries() -> tuple[dict, dict]:
         #     ns literals, arrow_typeof static literal typing, HLL p=14
         #     rsd fix, register_table pre-validation) — re-validate every
         #     ctx.sql-routed family sharing the layer
+        #     NEW: arrow's truncating decimal division driver-gated
+        #     against an exact integer-math oracle
+        #     (_rewrite_decimal_division — closes decimal.slt:397)
+        "sql_decimal_div",
         "agg_approx", "agg_tdigest", "fn_datetime", "fn_math", "fn_array",
         "sql_basic", "sql_macros", "sql_case_in_between", "h2o_mean_median",
         "sql_cte_subquery", "write_parquet_roundtrip",

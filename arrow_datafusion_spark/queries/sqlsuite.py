@@ -331,8 +331,49 @@ SELECT * FROM (VALUES
 """
 
 
+def sql_decimal_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal/decimal division with arrow's TRUNCATING semantics
+    (arrow-arith numeric.rs decimal ``Op::Div``: result scale s1+4,
+    precision p1+s2+4, i128 quotient truncates toward zero —
+    decimal.slt:397's golden; _rewrite_decimal_division). Gates both the
+    col/col and the col/CAST-literal shapes; the oracle reproduces the
+    truncation with exact cent-scaled integer math (values positive, so
+    DuckDB's floor-div == trunc)."""
+    ctx = _ctx(spark, sf_dir)
+    spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DECIMAL(10,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        FROM lineitem
+    """).createOrReplaceTempView("lineitem_dec")
+    return ctx.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(qty / price AS DOUBLE) AS qp_ratio,
+               CAST(price / CAST(7 AS DECIMAL(3,0)) AS DOUBLE) AS sevenths
+        FROM lineitem_dec
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 500
+    """)
+
+
+SQL_DECIMAL_DIV_SQL = """
+WITH lineitem_dec AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CAST((qty_c * 1000000) // price_c AS DOUBLE) / 1000000 AS qp_ratio,
+       CAST((price_c * 10000) // 7 AS DOUBLE) / 1000000 AS sevenths
+FROM lineitem_dec
+ORDER BY l_orderkey, l_linenumber
+LIMIT 500
+"""
+
+
 QUERIES = {
     "sql_basic": sql_basic,
+    "sql_decimal_div": sql_decimal_div,
     "sql_settings": sql_settings,
     "sql_info_schema": sql_info_schema,
     "sql_params": sql_params,
@@ -345,6 +386,7 @@ QUERIES = {
 }
 ORACLE = {
     "sql_basic": SQL_BASIC_SQL,
+    "sql_decimal_div": SQL_DECIMAL_DIV_SQL,
     "sql_settings": SQL_SETTINGS_SQL,
     "sql_info_schema": SQL_INFO_SCHEMA_SQL,
     "sql_params": SQL_PARAMS_SQL,
