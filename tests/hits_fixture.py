@@ -54,6 +54,18 @@ def generate() -> str:
     )
     if os.path.exists(out):
         return out
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pq.write_table(build_table(N_ROWS, _SEED), out)
+    return out
+
+
+def build_table(n: int, seed: int):
+    """Build an n-row hits table with the fixture's distributions (same
+    zipf pools, plants, and windows — see module docstring). Extracted so
+    tools/cb_scale_probe.py can append seed-varied 1M-row chunks into a
+    100× corpus without holding it all in memory."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -61,8 +73,7 @@ def generate() -> str:
     ref_schema = pq.read_schema(
         "/root/reference/datafusion/core/tests/data/clickbench_hits_10.parquet"
     )
-    rng = np.random.default_rng(_SEED)
-    n = N_ROWS
+    rng = np.random.default_rng(seed)
 
     day0 = 15887  # 2013-07-01 as days since epoch
     event_date = (day0 + rng.integers(0, 31, n)).astype("uint16")
@@ -181,9 +192,7 @@ def generate() -> str:
                 rng.integers(0, 100, n, dtype=np.int64), type=pa.int64()
             ).cast(f.type)
         arrays.append(arr)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    pq.write_table(pa.Table.from_arrays(arrays, names=names), out)
-    return out
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 if __name__ == "__main__":
