@@ -102,6 +102,10 @@ def _registries() -> tuple[dict, dict]:
         #     ns literals, arrow_typeof static literal typing, HLL p=14
         #     rsd fix, register_table pre-validation) — re-validate every
         #     ctx.sql-routed family sharing the layer
+        #     NEW: the reference's extended.sql ClickBench statements
+        #     (3 exact COUNT-DISTINCT shapes) join the verbatim registry
+        "cb_v_x_distinct_search", "cb_v_x_distinct_colors",
+        "cb_v_x_country_distincts",
         #     NEW: arrow's truncating decimal division driver-gated
         #     against an exact integer-math oracle
         #     (_rewrite_decimal_division — closes decimal.slt:397)

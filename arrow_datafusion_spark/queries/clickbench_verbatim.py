@@ -49,7 +49,9 @@ Statement selection (round 11 widened the registry to the FULL 43):
 With the round-12 promotion every one of the 43 reference statements is
 hash-gated: 40 directly (two of them deterministically zero-row — q39/
 q42's OFFSETs exceed the fixture's group counts), 1 bound-gated, 2
-derived-gated.
+derived-gated. Round 12 also registers the reference's 3 extended.sql
+statements (cb_v_x_* — exact COUNT-DISTINCT shapes, hash-gated
+directly), completing the ClickBench surface clickbench.rs runs: 46/46.
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _QUERIES_SQL = "/root/reference/benchmarks/queries/clickbench/queries.sql"
+_EXTENDED_SQL = "/root/reference/benchmarks/queries/clickbench/extended.sql"
 
 # statement index in queries.sql → output column count (for the renames)
 _PICKED: dict[str, tuple[int, int]] = {
@@ -107,6 +110,13 @@ _PICKED: dict[str, tuple[int, int]] = {
     "cb_v_user_phrase_topk": (16, 3),
     "cb_v_urlhash_offset": (40, 3),  # 70 groups < OFFSET 100 → 0 rows
     "cb_v_pageviews_offset": (38, 2),  # 199 groups < OFFSET 1000 → 0 rows
+    # extended.sql (round 12) — the reference's 3 extra statements, all
+    # exact COUNT(DISTINCT) shapes; xq2's LIMIT 10 never cuts (the
+    # fixture has 5 BrowserCountry groups), so the row SET is
+    # deterministic under the order-insensitive hash
+    "cb_v_x_distinct_search": (43, 3),
+    "cb_v_x_distinct_colors": (44, 3),
+    "cb_v_x_country_distincts": (45, 5),
 }
 
 # under-determined result sets (q18's LIMIT without ORDER BY; q39's
@@ -203,8 +213,17 @@ def _derived_oracle(idx: int, hits: str, sum_col_name: str | None) -> str:
 
 
 def _statements() -> list[str]:
-    with open(_QUERIES_SQL) as f:
-        return [s.strip() for s in f.read().split(";") if s.strip()]
+    """queries.sql (indices 0-42) + extended.sql (43-45) — the reference's
+    complete ClickBench surface (benchmarks/src/clickbench.rs runs both
+    files)."""
+    out: list[str] = []
+    for path in (_QUERIES_SQL, _EXTENDED_SQL):
+        if not os.path.exists(path):
+            continue  # degrade to whatever is present (registry loop skips
+            # picked indices past the loaded statements)
+        with open(path) as f:
+            out.extend(s.strip() for s in f.read().split(";") if s.strip())
+    return out
 
 
 def _hits_path() -> str:
@@ -286,6 +305,8 @@ if _AVAILABLE:
     # degrades to an empty registry
     _HITS = _hits_path()
     for _name, (_idx, _n) in _PICKED.items():
+        if _idx >= len(_ALL):
+            continue  # extended.sql absent on this host
         QUERIES[_name] = _make(_idx, _n)
         _body = re.sub(
             r"\bFROM\s+hits\b",
