@@ -75,11 +75,9 @@ def main() -> None:
     from tests import hits_fixture
 
     spark = build_spark()
-    stmts = [
-        s.strip()
-        for s in open(_QUERIES_SQL).read().split(";")
-        if s.strip()
-    ]
+    from arrow_datafusion_spark.queries.clickbench_verbatim import _statements
+
+    stmts = _statements()  # queries.sql + extended.sql — all 46
 
     def run_suite(path: str) -> dict[int, float]:
         ctx = SessionContext(spark)
