@@ -1166,6 +1166,8 @@ def _rewrite_arrow_calls(q: str, lits: list[str], pfad: bool = False) -> str:
             _int_shape = re.fullmatch(
                 r"[+-]?\d+"
                 r"|\(\s*unix_micros\(.*"
+                # the runtime-typed reinterpret chain (both branches BIGINT)
+                r"|\(+\s*CASE\s+WHEN\s+typeof\(.*unix_micros\(.*"
                 r"|CAST\s*\(.*\s+AS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)",
                 expr.strip(),
                 re.IGNORECASE | re.DOTALL,
@@ -1218,6 +1220,8 @@ def _rewrite_arrow_calls(q: str, lits: list[str], pfad: bool = False) -> str:
             if tsall and re.fullmatch(
                 r"[+-]?\d+"
                 r"|\(\s*unix_micros\(.*"
+                # the runtime-typed reinterpret chain (both branches BIGINT)
+                r"|\(+\s*CASE\s+WHEN\s+typeof\(.*unix_micros\(.*"
                 r"|CAST\s*\(.*\s+AS\s+(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)",
                 expr.strip(),
                 re.IGNORECASE | re.DOTALL,
@@ -1556,10 +1560,29 @@ def _rewrite_sql(q: str, pfad: bool = False) -> str:
         q,
         flags=re.IGNORECASE,
     )
-    # generic chain: any source whose TEXT proves a timestamp — a shielded
-    # string literal, an identifier, or a parenthesized expression — cast
-    # ::timestamp::bigint.  CAST(<src>::timestamp AS BIGINT) is the same
-    # statically-typed shape in CAST spelling.
+    # generic chain: any source — a shielded string literal, an
+    # identifier, or a parenthesized expression — cast
+    # ::timestamp::bigint.  CAST(<src>::timestamp AS BIGINT) and
+    # CAST(CAST(<src> AS TIMESTAMP) AS BIGINT) are the same shape in CAST
+    # spellings. A string-literal source is statically a ns PARSE; other
+    # sources branch on typeof() at runtime, because arrow's
+    # int→Timestamp(ns) cast REINTERPRETS the integer as ns — so an
+    # INTEGRAL source's ::timestamp::bigint round-trip is the IDENTITY
+    # (src unchanged), not ×10⁹ (the r12 spelling-consistency probe:
+    # `i::timestamp::bigint` must agree with its CAST spelling and with
+    # the reference's reinterpret, for every source type).
+    def _ts_bigint_any(m: "re.Match[str]") -> str:
+        src = m.group(1).strip()
+        if re.fullmatch(r"\x00\d+\x00", src):
+            return _ts_bigint(m)
+        ns = (
+            f"(CASE WHEN typeof({src}) IN "
+            "('tinyint','smallint','int','bigint') "
+            f"THEN CAST({src} AS BIGINT) "
+            f"ELSE unix_micros(CAST({src} AS TIMESTAMP)) * 1000 END)"
+        )
+        return f"({ns} div {m.group(2)})" if m.group(2) else ns
+
     _TS_SRC = (
         r"(\x00\d+\x00"
         r"|(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
@@ -1567,13 +1590,20 @@ def _rewrite_sql(q: str, pfad: bool = False) -> str:
     )
     q = re.sub(
         _TS_SRC + r"\s*::\s*TIMESTAMP\s*::\s*BIGINT\b(?:\s*/\s*(\d+))?",
-        _ts_bigint,
+        _ts_bigint_any,
         q,
         flags=re.IGNORECASE,
     )
     q = re.sub(
         r"\bCAST\s*\(\s*" + _TS_SRC + r"\s*::\s*TIMESTAMP\s+AS\s+BIGINT\s*\)()",
-        _ts_bigint,
+        _ts_bigint_any,
+        q,
+        flags=re.IGNORECASE,
+    )
+    q = re.sub(
+        r"\bCAST\s*\(\s*CAST\s*\(\s*" + _TS_SRC
+        + r"\s+AS\s+TIMESTAMP\s*\)\s+AS\s+BIGINT\s*\)()",
+        _ts_bigint_any,
         q,
         flags=re.IGNORECASE,
     )

@@ -173,6 +173,23 @@ def test_timestamp_bigint_reinterpret_shapes(spark):
     for expr, want in cases.items():
         got = ctx.sql(f"SELECT {expr} AS v").collect()[0][0]
         assert got == want, f"{expr}: {got} != {want}"
+    # INTEGRAL source (r12 spelling-consistency probe): arrow's
+    # int→Timestamp(ns) cast REINTERPRETS the integer as ns, so the
+    # ::timestamp::bigint round-trip is the IDENTITY for integer sources
+    # — and the colon chain must agree with its pure-CAST spelling
+    # (runtime typeof() branch; the pre-r12 lowering returned src×10⁹)
+    spark.sql("SELECT CAST(7 AS BIGINT) AS i").createOrReplaceTempView(
+        "reint_int_t"
+    )
+    try:
+        for expr in (
+            "i::timestamp::bigint",
+            "CAST(CAST(i AS TIMESTAMP) AS BIGINT)",
+        ):
+            got = ctx.sql(f"SELECT {expr} AS v FROM reint_int_t").collect()[0][0]
+            assert got == 7, f"{expr}: {got} != 7 (identity round-trip)"
+    finally:
+        spark.catalog.dropTempView("reint_int_t")
     # the lowered chain re-enters arrow_cast's static integral detection:
     # BIGINT ns → Timestamp(Nanosecond, None) is a reinterpret, not an
     # epoch-seconds parse (the round-11 AnalysisException probe)
