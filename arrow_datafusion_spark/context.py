@@ -1517,6 +1517,32 @@ def _rewrite_sql(q: str, pfad: bool = False) -> str:
         q,
         flags=re.IGNORECASE,
     )
+    # the same reinterpret in CAST spellings (r12 spelling-consistency
+    # probes — one-token-away spellings must not diverge or error):
+    # CAST(CAST(x AS INT) AS DATE), CAST(x::INT AS DATE),
+    # CAST(x AS INT)::DATE
+    _INT_T = r"(?:INT|INTEGER|BIGINT|SMALLINT|TINYINT)"
+    q = re.sub(
+        rf"\bCAST\s*\(\s*CAST\s*\(\s*((?:[^()]|\([^()]*\))*?)\s+AS\s+{_INT_T}"
+        r"\s*\)\s+AS\s+DATE\s*\)",
+        r"DATE_FROM_UNIX_DATE(CAST(\1 AS INT))",
+        q,
+        flags=re.IGNORECASE,
+    )
+    q = re.sub(
+        r"\bCAST\s*\(\s*((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+        rf"|\((?:[^()]|\([^()]*\))*\))\s*::\s*{_INT_T}\s+AS\s+DATE\s*\)",
+        r"DATE_FROM_UNIX_DATE(CAST(\1 AS INT))",
+        q,
+        flags=re.IGNORECASE,
+    )
+    q = re.sub(
+        rf"\b(CAST\s*\(\s*(?:[^()]|\([^()]*\))*?\s+AS\s+{_INT_T}\s*\))"
+        r"\s*::\s*DATE\b",
+        r"DATE_FROM_UNIX_DATE(CAST(\1 AS INT))",
+        q,
+        flags=re.IGNORECASE,
+    )
     # timestamp→integer cast: arrow REINTERPRETS the value as the source
     # unit's count — a `::timestamp` source is Timestamp(NANOSECOND) in
     # the reference (string casts default to ns), so `::timestamp::bigint`
@@ -5407,8 +5433,19 @@ class SessionContext:
         schema, _ = resolved
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+        _CAST_INT = re.compile(
+            r"CAST\s*\(\s*[^()]*?\s+AS\s+"
+            r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)\s*$",
+            re.IGNORECASE,
+        )
+
         def integral(tok: str) -> bool:
             if re.fullmatch(r"\d+", tok):
+                return True
+            if _CAST_INT.match(tok):
+                # an explicit integer CAST is statically integral — the
+                # CAST spelling of an integer operand must divide like the
+                # bare column (r12 spelling-consistency probe)
                 return True
             return isinstance(
                 schema.get(tok.lower()),
@@ -5422,8 +5459,14 @@ class SessionContext:
                 return f"({a} div {b})"
             return m.group(0)
 
-        ident = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
-        pat = re.compile(rf"(?<![\w.])({ident})\s*/\s*({ident})(?![\w.])")
+        castp = (
+            r"CAST\s*\(\s*[^()]*?\s+AS\s+"
+            r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)"
+        )
+        ident = rf"{castp}|(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
+        pat = re.compile(
+            rf"(?<![\w.])({ident})\s*/\s*({ident})(?![\w.])", re.IGNORECASE
+        )
         # rewrite only OUTSIDE string literals — '1/2' in a literal is text
         segs = re.split(r"('(?:[^']|'')*')", q)
         return "".join(

@@ -940,6 +940,39 @@ def test_int_division_rewrite_skips_string_literals(spark):
         spark.catalog.dropTempView("intdiv_lit_t")
 
 
+def test_spelling_consistent_int_division_and_date_reinterpret(spark):
+    # r12 spelling-consistency probes: one-token-away spellings of the
+    # same expression must agree (the r11 literal-cast lesson).
+    # (a) an explicit integer CAST operand joins the truncating integer
+    #     division (reference: int64/int64 → int64 for every spelling;
+    #     the CAST spelling previously stayed Spark-fractional);
+    # (b) the INT→DATE days-since-epoch reinterpret fires on all three
+    #     CAST spellings, not just the ClickBench ::INT::DATE chain
+    #     (the CAST spellings previously raised DATATYPE_MISMATCH).
+    import datetime as dt
+
+    ctx = SessionContext(spark)
+    spark.createDataFrame([(7,)], "x bigint").createOrReplaceTempView(
+        "spell_t"
+    )
+    try:
+        rows = ctx.sql(
+            "SELECT x / 2 AS a, CAST(x AS BIGINT) / 2 AS b, "
+            "CAST(x AS BIGINT) / CAST(2 AS INT) AS c FROM spell_t"
+        ).collect()[0]
+        assert (rows[0], rows[1], rows[2]) == (3, 3, 3)
+        d = ctx.sql(
+            "SELECT (x*2600)::INT::DATE AS a, "
+            "CAST(CAST(x*2600 AS INT) AS DATE) AS b, "
+            "CAST((x*2600)::INT AS DATE) AS c, "
+            "CAST(x*2600 AS INT)::DATE AS d FROM spell_t"
+        ).collect()[0]
+        want = dt.date(1970, 1, 1) + dt.timedelta(days=7 * 2600)
+        assert tuple(d) == (want,) * 4
+    finally:
+        spark.catalog.dropTempView("spell_t")
+
+
 def test_ctas_keeps_select_nullability_for_introspection(spark):
     # CTAS keeps the SELECT's non-null fields in the reference's catalog
     # (information_schema.slt: `i Int32 NO` after CREATE TABLE t AS
