@@ -5212,12 +5212,14 @@ class SessionContext:
             return _schema_memo[0]
 
         ident = r"(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*"
+        parid = r"\(\s*(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*\s*\)"
         castp = (
             r"CAST\s*\(\s*[^()]*?\s+AS\s+DECIMAL\s*"
             r"\(\s*\d+\s*,\s*\d+\s*\)\s*\)"
         )
         pat = re.compile(
-            rf"(?<![\w.])({castp}|{ident})\s*/\s*({castp}|{ident})(?![\w.])",
+            rf"(?<![\w.])({castp}|{parid}|{ident})\s*/\s*"
+            rf"({castp}|{parid}|{ident})(?![\w.])",
             re.IGNORECASE,
         )
 
@@ -5229,6 +5231,11 @@ class SessionContext:
             )
             if cm:
                 return int(cm.group(1)), int(cm.group(2))
+            # a parenthesized single column is the same operand one token
+            # away (r12 spelling-consistency discipline)
+            pm = re.fullmatch(r"\(\s*((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*\)", tok)
+            if pm:
+                tok = pm.group(1)
             if re.fullmatch(ident, tok):
                 sch = _schema()
                 dt = sch.get(tok.lower()) if sch else None
@@ -5447,6 +5454,11 @@ class SessionContext:
                 # CAST spelling of an integer operand must divide like the
                 # bare column (r12 spelling-consistency probe)
                 return True
+            pm = re.fullmatch(
+                r"\(\s*((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)\s*\)", tok
+            )
+            if pm:  # parenthesized single operand — same token one () away
+                return integral(pm.group(1))
             return isinstance(
                 schema.get(tok.lower()),
                 (ByteType, ShortType, IntegerType, LongType),
@@ -5463,7 +5475,8 @@ class SessionContext:
             r"CAST\s*\(\s*[^()]*?\s+AS\s+"
             r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)"
         )
-        ident = rf"{castp}|(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
+        parid = r"\(\s*(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)\s*\)"
+        ident = rf"{castp}|{parid}|(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
         pat = re.compile(
             rf"(?<![\w.])({ident})\s*/\s*({ident})(?![\w.])", re.IGNORECASE
         )
