@@ -1,0 +1,179 @@
+"""Property-based differential fuzzing: random ANSI-subset SQL, engine vs
+DuckDB on the SAME text.
+
+The slt corpus and the 190 oracle entries pin known shapes; this harness
+walks the space BETWEEN them — hypothesis composes filters, arithmetic,
+aggregates, GROUP BY and ORDER BY over the lineitem fixture, and every
+generated statement must produce identical (sorted, float-tolerant)
+results from ``SessionContext.sql`` and DuckDB. This is the net that
+catches a rewrite-layer regex firing on a shape nobody hand-wrote (the
+round-12 spelling-consistency lesson, generalized).
+
+Grammar restrictions keep both engines inside shared ANSI semantics:
+
+- no `/` (the engine implements the REFERENCE's truncating integer and
+  decimal division, which legitimately differs from DuckDB's
+  always-fractional `/`);
+- no string LIKE on data columns (fixture text is ASCII, but collation
+  edge cases are not the target here);
+- aggregates restricted to sum/min/max/count over numerics (avg's result
+  typing differs per engine);
+- float comparison at 9 significant digits (sum order independence at
+  the 6k-row fixture is well inside that tolerance).
+
+Runs 120 deterministic examples (derandomize): ~1 min, CI-stable.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_INT_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+_STR_COLS = ("l_returnflag", "l_linestatus")
+
+_num_col = st.sampled_from(_NUM_COLS)
+_int_col = st.sampled_from(_INT_COLS)
+_str_col = st.sampled_from(_STR_COLS)
+_num_lit = st.sampled_from(("0.02", "0.5", "7.0", "25.0", "900.5", "17000.0"))
+_int_lit = st.sampled_from(("1", "3", "7", "1000", "30000"))
+_cmp = st.sampled_from(("<", "<=", ">", ">=", "=", "<>"))
+
+
+@st.composite
+def _num_expr(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        return draw(st.one_of(_num_col, _num_lit))
+    if draw(st.integers(0, 3)) == 0:
+        # CASE over a predicate — exercises the rewrite layer's shield
+        # and find-call walkers inside aggregate arguments
+        p = draw(_predicate())
+        a = draw(_num_expr(depth=0))
+        b = draw(_num_expr(depth=0))
+        return f"(CASE WHEN {p} THEN {a} ELSE {b} END)"
+    op = draw(st.sampled_from(("+", "-", "*")))
+    a = draw(_num_expr(depth=depth - 1))
+    b = draw(st.one_of(_num_col, _num_lit))
+    return f"({a} {op} {b})"
+
+
+@st.composite
+def _predicate(draw):
+    kind = draw(st.integers(0, 5))
+    if kind == 0:
+        return f"{draw(_num_col)} {draw(_cmp)} {draw(_num_lit)}"
+    if kind == 1:
+        return f"{draw(_int_col)} {draw(_cmp)} {draw(_int_lit)}"
+    if kind == 2:
+        return f"{draw(_str_col)} = '{draw(st.sampled_from(('A', 'N', 'R', 'O', 'F')))}'"
+    if kind == 3:
+        a, b = sorted(
+            (float(draw(_num_lit)), float(draw(_num_lit)))
+        )
+        return f"{draw(_num_col)} BETWEEN {a} AND {b}"
+    if kind == 4:
+        vals = ", ".join(
+            f"'{v}'"
+            for v in draw(
+                st.lists(
+                    st.sampled_from(("A", "N", "R", "O", "F")),
+                    min_size=1,
+                    max_size=3,
+                    unique=True,
+                )
+            )
+        )
+        neg = "NOT " if draw(st.booleans()) else ""
+        return f"{draw(_str_col)} {neg}IN ({vals})"
+    a, b = draw(_predicate()), draw(_predicate())
+    return f"({a} {draw(st.sampled_from(('AND', 'OR')))} {b})"
+
+
+@st.composite
+def _agg(draw, i):
+    if draw(st.integers(0, 4)) == 0:
+        return f"COUNT(DISTINCT {draw(_int_col)}) AS a{i}"
+    fn = draw(st.sampled_from(("SUM", "MIN", "MAX", "COUNT")))
+    return f"{fn}({draw(_num_expr())}) AS a{i}"
+
+
+@st.composite
+def _query(draw):
+    n = draw(st.integers(1, 3))
+    sel = ", ".join(draw(_agg(i)) for i in range(n))
+    group = draw(st.booleans())
+    where = draw(st.one_of(st.none(), _predicate()))
+    q = "SELECT "
+    if group:
+        q += "l_returnflag, "
+    q += sel + " FROM lineitem"
+    if where:
+        q += f" WHERE {where}"
+    if group:
+        q += " GROUP BY l_returnflag"
+        if draw(st.booleans()):
+            q += " HAVING COUNT(*) > 1"
+        q += " ORDER BY l_returnflag"
+    return q
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        cells = []
+        for v in r:
+            if v is None:
+                cells.append("NULL")
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    cells.append("NaN")
+                elif v == 0:
+                    cells.append("0")
+                else:
+                    cells.append(f"{v:.9g}")
+            elif isinstance(v, int):
+                cells.append(f"{v}")
+            else:
+                cells.append(str(v))
+        out.append(tuple(cells))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def harness(spark):
+    import duckdb
+
+    from arrow_datafusion_spark.context import SessionContext
+    from arrow_datafusion_spark.session import load_tables
+
+    load_tables(spark, SF_DIR, names=("lineitem",))
+    ctx = SessionContext(spark)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return ctx, con
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_query())
+def test_random_query_matches_duckdb(harness, q):
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
