@@ -155,13 +155,14 @@ def harness(spark):
     from arrow_datafusion_spark.context import SessionContext
     from arrow_datafusion_spark.session import load_tables
 
-    load_tables(spark, SF_DIR, names=("lineitem",))
+    load_tables(spark, SF_DIR, names=("lineitem", "orders"))
     ctx = SessionContext(spark)
     con = duckdb.connect()
-    con.sql(
-        "CREATE VIEW lineitem AS SELECT * FROM "
-        f"read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
+    for t in ("lineitem", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
     return ctx, con
 
 
@@ -173,6 +174,103 @@ def harness(spark):
 )
 @given(q=_query())
 def test_random_query_matches_duckdb(harness, q):
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+@st.composite
+def _join_query(draw):
+    # two-table equi-join: exercises the alias-aware schema map (the
+    # type-aware rewrites' multi-relation resolution) and join planning
+    n = draw(st.integers(1, 2))
+    sel = ", ".join(draw(_agg(i)) for i in range(n))
+    where = draw(st.one_of(st.none(), _predicate()))
+    opred = draw(
+        st.sampled_from(
+            (
+                None,
+                "o.o_orderstatus = 'F'",
+                "o.o_totalprice > 50000.0",
+                "o.o_orderpriority <> '1-URGENT!'",
+            )
+        )
+    )
+    q = (
+        f"SELECT {sel} FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    conds = [c for c in (where, opred) if c]
+    if conds:
+        q += " WHERE " + " AND ".join(conds)
+    return q
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_join_query())
+def test_random_join_matches_duckdb(harness, q):
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+_TOTAL_ORDER = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+    "l_quantity, l_extendedprice, l_discount, l_tax"
+)
+
+
+@st.composite
+def _window_query(draw):
+    # window functions over a TOTAL order. The synthetic fixture has
+    # ~1400 duplicate (l_orderkey, l_linenumber) pairs (unlike dbgen's
+    # unique PK), so the order key is the full numeric tuple — rows tied
+    # on ALL of it are identical in every selected/lagged column, making
+    # the output deterministic on both engines.
+    fn = draw(
+        st.sampled_from(
+            (
+                "row_number() OVER w",
+                "rank() OVER w",
+                "dense_rank() OVER w",
+                "SUM(l_quantity) OVER w",
+                "MIN(l_extendedprice) OVER w",
+                "lag(l_quantity, 1) OVER w",
+                "lead(l_quantity, 1) OVER w",
+            )
+        )
+    )
+    part = draw(st.booleans())
+    where = draw(st.one_of(st.none(), _predicate()))
+    spec = (
+        ("PARTITION BY l_returnflag " if part else "")
+        + f"ORDER BY {_TOTAL_ORDER}"
+    )
+    q = (
+        f"SELECT l_orderkey, l_linenumber, l_quantity, {fn} AS w0 "
+        "FROM lineitem"
+        + (f" WHERE {where}" if where else "")
+        + f" WINDOW w AS ({spec})"
+        + f" ORDER BY {_TOTAL_ORDER}, w0 LIMIT 500"
+    )
+    return q
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_window_query())
+def test_random_window_matches_duckdb(harness, q):
     ctx, con = harness
     got = _norm([tuple(r) for r in ctx.sql(q).collect()])
     want = _norm(con.sql(q).fetchall())
