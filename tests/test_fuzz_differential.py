@@ -275,3 +275,64 @@ def test_random_window_matches_duckdb(harness, q):
     got = _norm([tuple(r) for r in ctx.sql(q).collect()])
     want = _norm(con.sql(q).fetchall())
     assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+@st.composite
+def _setop_query(draw):
+    # UNION [ALL] / INTERSECT / EXCEPT between two filtered projections
+    # of the same shape — exercises the set-operation lowering and
+    # implicit type alignment
+    cols = "l_returnflag, l_linestatus, l_linenumber"
+    a = f"SELECT {cols} FROM lineitem WHERE {draw(_predicate())}"
+    b = f"SELECT {cols} FROM lineitem WHERE {draw(_predicate())}"
+    op = draw(
+        st.sampled_from(("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+    )
+    return f"{a} {op} {b}"
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_setop_query())
+def test_random_setop_matches_duckdb(harness, q):
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+@st.composite
+def _sort_limit_query(draw):
+    # projection + total-order sort + LIMIT/OFFSET — the cut must select
+    # the same row set on both engines under a genuinely total order
+    where = draw(st.one_of(st.none(), _predicate()))
+    lim = draw(st.integers(1, 300))
+    off = draw(st.sampled_from((0, 1, 10, 100, 5000)))
+    desc = draw(st.booleans())
+    keys = ", ".join(
+        k + (" DESC" if desc else "")
+        for k in _TOTAL_ORDER.split(", ")
+    )
+    q = f"SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+    if where:
+        q += f" WHERE {where}"
+    q += f" ORDER BY {keys} LIMIT {lim} OFFSET {off}"
+    return q
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_sort_limit_query())
+def test_random_sort_limit_matches_duckdb(harness, q):
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
