@@ -143,7 +143,14 @@ def _norm(rows):
             elif isinstance(v, int):
                 cells.append(f"{v}")
             else:
-                cells.append(str(v))
+                s = str(v)
+                # DuckDB's date_trunc returns DATE for day-and-coarser
+                # units where DataFusion (and this engine) keeps the
+                # input's timestamp type — midnight timestamps compare
+                # equal to their date (applied to both sides)
+                if s.endswith(" 00:00:00"):
+                    s = s[: -len(" 00:00:00")]
+                cells.append(s)
         out.append(tuple(cells))
     return sorted(out)
 
@@ -332,6 +339,56 @@ def _sort_limit_query(draw):
 )
 @given(q=_sort_limit_query())
 def test_random_sort_limit_matches_duckdb(harness, q):
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+@st.composite
+def _scalar_expr(draw):
+    kind = draw(st.integers(0, 6))
+    if kind == 0:
+        return f"date_trunc('{draw(st.sampled_from(('year', 'month', 'day', 'hour')))}', o_orderdate)"
+    if kind == 1:
+        return (
+            "extract("
+            f"{draw(st.sampled_from(('year', 'month', 'day', 'hour', 'minute')))}"
+            " FROM o_orderdate)"
+        )
+    if kind == 2:
+        return f"{draw(st.sampled_from(('upper', 'lower')))}(o_orderpriority)"
+    if kind == 3:
+        return "length(o_orderstatus || o_orderpriority)"
+    if kind == 4:
+        return f"substr(o_orderpriority, {draw(st.integers(1, 4))}, {draw(st.integers(1, 5))})"
+    if kind == 5:
+        return f"coalesce(nullif(o_orderstatus, '{draw(st.sampled_from(('F', 'O', 'P')))}'), 'X')"
+    return f"abs(o_totalprice - {draw(_num_lit)})"
+
+
+@st.composite
+def _scalar_query(draw):
+    n = draw(st.integers(1, 3))
+    sel = ", ".join(f"{draw(_scalar_expr())} AS s{i}" for i in range(n))
+    q = (
+        f"SELECT o_orderkey, {sel} FROM orders"
+        " ORDER BY o_orderkey, o_orderdate, o_totalprice LIMIT 300"
+    )
+    return q
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_scalar_query())
+def test_random_scalar_funcs_match_duckdb(harness, q):
+    # datetime/string scalar functions with shared ANSI semantics,
+    # projected over a total order (o_orderkey is non-unique in the
+    # synthetic fixture — the full key below is)
     ctx, con = harness
     got = _norm([tuple(r) for r in ctx.sql(q).collect()])
     want = _norm(con.sql(q).fetchall())
