@@ -94,6 +94,17 @@ _KNOWN = {
     # SQL leaves tie order unspecified — both outputs are valid; the
     # expected blocks encode the reference's physical choice (window
     # values on tied rows and which tied rows survive LIMIT both shift).
+    # ROUND-12 RE-AUDIT (permanence confirmed): RANGE frames give tied
+    # peers identical values, so a comparator-side tie-group multiset
+    # could absorb those — but these records' SELECT lists carry ROWS-
+    # frame aggregates (sum3/cnt2-style), whose per-row values depend on
+    # the physical order WITHIN the tie group; the surviving LIMIT rows
+    # then differ in VALUE, not just order, and no comparator
+    # canonicalization short of re-deriving the reference's reverse-scan
+    # order can equate them. Emulating that order engine-side would need
+    # a per-fixture synthetic scan-position column threaded through every
+    # window spec — runner-level surgery targeting 7 records that encode
+    # a physical accident, not semantics. Pinned.
     ("window.slt", 2595): "sort-tie order (reverse-scan DESC ties)",
     ("window.slt", 2680): "sort-tie order (reverse-scan DESC ties)",
     ("window.slt", 2808): "sort-tie order (reverse-scan DESC ties)",
