@@ -110,13 +110,20 @@ _PICKED: dict[str, tuple[int, int]] = {
     "cb_v_user_phrase_topk": (16, 3),
     "cb_v_urlhash_offset": (40, 3),  # 70 groups < OFFSET 100 → 0 rows
     "cb_v_pageviews_offset": (38, 2),  # 199 groups < OFFSET 1000 → 0 rows
-    # extended.sql (round 12) — the reference's 3 extra statements, all
-    # exact COUNT(DISTINCT) shapes; xq2's LIMIT 10 never cuts (the
-    # fixture has 5 BrowserCountry groups), so the row SET is
-    # deterministic under the order-insensitive hash
-    "cb_v_x_distinct_search": (43, 3),
-    "cb_v_x_distinct_colors": (44, 3),
-    "cb_v_x_country_distincts": (45, 5),
+}
+
+# extended.sql (round 12) — the reference's 3 extra statements, all
+# exact COUNT(DISTINCT) shapes; xq2's LIMIT 10 never cuts (the
+# fixture has 5 BrowserCountry groups), so the row SET is
+# deterministic under the order-insensitive hash. Keyed by the
+# EXTENDED-RELATIVE index: the absolute position is computed from the
+# actual queries.sql statement count at registry build, so a statement
+# added to or dropped from queries.sql can never silently rebind these
+# entries to the wrong SQL (r12 advice).
+_X_PICKED: dict[str, tuple[int, int]] = {
+    "cb_v_x_distinct_search": (0, 3),
+    "cb_v_x_distinct_colors": (1, 3),
+    "cb_v_x_country_distincts": (2, 5),
 }
 
 # under-determined result sets (q18's LIMIT without ORDER BY; q39's
@@ -212,18 +219,25 @@ def _derived_oracle(idx: int, hits: str, sum_col_name: str | None) -> str:
     return f"WITH _fullres AS ({body}) SELECT {cols}"
 
 
-def _statements() -> list[str]:
-    """queries.sql (indices 0-42) + extended.sql (43-45) — the reference's
+def _statement_files() -> tuple[list[str], list[str]]:
+    """(queries.sql statements, extended.sql statements) — the reference's
     complete ClickBench surface (benchmarks/src/clickbench.rs runs both
-    files)."""
-    out: list[str] = []
-    for path in (_QUERIES_SQL, _EXTENDED_SQL):
+    files). Split per file so the extended entries key off the ACTUAL
+    queries.sql count instead of a hardcoded 43 (r12 advice)."""
+
+    def _load(path: str) -> list[str]:
         if not os.path.exists(path):
-            continue  # degrade to whatever is present (registry loop skips
-            # picked indices past the loaded statements)
+            return []  # degrade to whatever is present (registry loop
+            # skips picked indices past the loaded statements)
         with open(path) as f:
-            out.extend(s.strip() for s in f.read().split(";") if s.strip())
-    return out
+            return [s.strip() for s in f.read().split(";") if s.strip()]
+
+    return _load(_QUERIES_SQL), _load(_EXTENDED_SQL)
+
+
+def _statements() -> list[str]:
+    a, b = _statement_files()
+    return a + b
 
 
 def _hits_path() -> str:
@@ -298,13 +312,20 @@ def _make_avg_userid() -> Callable[[SparkSession, str], DataFrame]:
 
 
 if _AVAILABLE:
-    _ALL = _statements()
+    _Q_STMTS, _X_STMTS = _statement_files()
+    _ALL = _Q_STMTS + _X_STMTS
     # the oracle string needs the fixture's path, so materialize it now
     # (cached parquet — a file-exists check after the first generation);
     # __spark_entry__ drops the cb_v_* priority names when this module
     # degrades to an empty registry
     _HITS = _hits_path()
-    for _name, (_idx, _n) in _PICKED.items():
+    # extended entries bind at (actual queries.sql count) + relative idx
+    _PICKS = dict(_PICKED)
+    _PICKS.update(
+        (n, (len(_Q_STMTS) + i, c)) for n, (i, c) in _X_PICKED.items()
+        if i < len(_X_STMTS)
+    )
+    for _name, (_idx, _n) in _PICKS.items():
         if _idx >= len(_ALL):
             continue  # extended.sql absent on this host
         QUERIES[_name] = _make(_idx, _n)

