@@ -5385,16 +5385,30 @@ class SessionContext:
             rs = s1 + 4
             pr = min(p1 + s2 + 4, 38)
             pa = 38 - rs - 2  # dividend cast precision: ·10^rs stays exact
-            # pr > 19: the truncated unscaled quotient can exceed BIGINT
-            # (Spark's `div` would overflow LONG → NULL in non-ANSI mode,
-            # a SILENT divergence, not the documented keep-Spark
-            # residual) — such shapes keep Spark's division (r12 advice)
-            if rs > 17 or p1 > pa or pr > 19:
+            if rs > 17 or p1 > pa:
                 return m.group(0)
             pow10 = 10**rs
+            quot = f"(CAST({a} AS DECIMAL({pa},{s1})) * {pow10}) div ({b})"
+            if pr > 19:
+                # the truncated quotient can exceed BIGINT for this SHAPE
+                # (worst case: |b| = 10^-s2 → up to 10^pr) even though
+                # in-range values divide exactly — decimal.slt:397's
+                # DECIMAL(10,6)/DECIMAL(12,7) golden is pr=21. Spark's
+                # `div` would return NULL on LONG overflow (non-ANSI), a
+                # SILENT divergence from arrow-rs's i128 quotient — make
+                # it LOUD instead of forfeiting the golden (r12 advice,
+                # adjudicated: skip-gating pr>19 would un-green the
+                # reference's own test)
+                quot = (
+                    f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                    f"OR ({b}) = 0 THEN {quot} "
+                    f"WHEN ({quot}) IS NULL THEN raise_error("
+                    "'decimal division: truncated quotient exceeds BIGINT"
+                    " (documented arrow-parity bound)') "
+                    f"ELSE ({quot}) END)"
+                )
             return (
-                f"CAST(CAST((CAST({a} AS DECIMAL({pa},{s1})) * {pow10})"
-                f" div ({b}) AS DECIMAL(19,0)) / {pow10}"
+                f"CAST(CAST({quot} AS DECIMAL(19,0)) / {pow10}"
                 f" AS DECIMAL({pr},{rs}))"
             )
 
@@ -5624,33 +5638,42 @@ class SessionContext:
         through the alias-aware _from_schema_map with an INTEGRAL type
         lowers to `a div b` — Spark's `div` is Int64 truncating division,
         the reference's exact semantics. Subqueries-in-FROM and
-        non-integral operands keep Spark's `/` (documented §1.2 residual)."""
+        non-integral operands keep Spark's `/` (documented §1.2 residual).
+        Statically-integral operand spellings — integer literals, integer
+        CASTs in either ``CAST(x AS T)`` or ``x::T`` form, and redundant
+        parens around any of those — need no schema, so they divide
+        truncating even in FROM-less / unresolvable-FROM statements (r13:
+        the r12 paren-literal finding generalized to every
+        statically-typed operand shape)."""
         if "/" not in q:
             return q
         resolved = (rmap or self._from_schema_map)(q)
-        if resolved is None:
-            return q
-        schema, _ = resolved
+        # unresolvable FROM (or none): columns can't type, but statically
+        # integral spellings still rewrite — schema lookups just miss
+        schema = resolved[0] if resolved else {}
         from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+        _INT_T = r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)"
         _CAST_INT = re.compile(
-            r"CAST\s*\(\s*[^()]*?\s+AS\s+"
-            r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)\s*$",
+            rf"CAST\s*\(\s*[^()]*?\s+AS\s+{_INT_T}\s*\)\s*$",
+            re.IGNORECASE,
+        )
+        _COLON_INT = re.compile(
+            rf"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)\s*::\s*{_INT_T}\s*$",
             re.IGNORECASE,
         )
 
         def integral(tok: str) -> bool:
             if re.fullmatch(r"\d+", tok):
                 return True
-            if _CAST_INT.match(tok):
+            if _CAST_INT.match(tok) or _COLON_INT.match(tok):
                 # an explicit integer CAST is statically integral — the
                 # CAST spelling of an integer operand must divide like the
-                # bare column (r12 spelling-consistency probe)
+                # bare column (r12 spelling-consistency probe); the ::
+                # spelling is the same cast one token away (r13)
                 return True
-            pm = re.fullmatch(
-                r"\(\s*((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)\s*\)", tok
-            )
-            if pm:  # parenthesized single operand — same token one () away
+            pm = re.fullmatch(r"\(\s*(.*?)\s*\)", tok)
+            if pm:  # parenthesized operand — same token one () away
                 return integral(pm.group(1))
             return isinstance(
                 schema.get(tok.lower()),
@@ -5665,10 +5688,14 @@ class SessionContext:
             return m.group(0)
 
         castp = (
-            r"CAST\s*\(\s*[^()]*?\s+AS\s+"
-            r"(?:TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)"
+            rf"CAST\s*\(\s*[^()]*?\s+AS\s+{_INT_T}\s*\)"
+            rf"|(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)\s*::\s*{_INT_T}"
         )
-        parid = r"\(\s*(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)\s*\)"
+        parid = (
+            rf"\(\s*(?:CAST\s*\(\s*[^()]*?\s+AS\s+{_INT_T}\s*\)"
+            rf"|(?:(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+)(?:\s*::\s*{_INT_T})?"
+            r")\s*\)"
+        )
         ident = rf"{castp}|{parid}|(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
         pat = re.compile(
             rf"(?<![\w.])({ident})\s*/\s*({ident})(?![\w.])", re.IGNORECASE

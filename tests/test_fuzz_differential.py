@@ -127,10 +127,17 @@ def _query(draw):
 
 
 def _norm(rows):
+    import decimal
+
     out = []
     for r in rows:
         cells = []
         for v in r:
+            if isinstance(v, decimal.Decimal):
+                # decimal SCALE spelling differs per engine ("6.5" vs
+                # "6.50"); both fuzz grammars keep values well inside
+                # double precision, so 9 significant digits are exact
+                v = float(v)
             if v is None:
                 cells.append("NULL")
             elif isinstance(v, float):
@@ -389,6 +396,142 @@ def test_random_scalar_funcs_match_duckdb(harness, q):
     # datetime/string scalar functions with shared ANSI semantics,
     # projected over a total order (o_orderkey is non-unique in the
     # synthetic fixture — the full key below is)
+    ctx, con = harness
+    got = _norm([tuple(r) for r in ctx.sql(q).collect()])
+    want = _norm(con.sql(q).fetchall())
+    assert got == want, f"divergence on: {q}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# r13 properties — the nets that would have caught both round-12 findings
+# (bare-vs-chain timestamp casts; FROM-less paren-literal division).
+# ---------------------------------------------------------------------------
+
+_SMALL_INT = st.sampled_from(("2", "3", "7", "42", "1000"))
+
+
+@st.composite
+def _spelled_expr(draw, depth=2, allow_cols=True):
+    """(plain, decorated): the SAME integer expression in two spellings —
+    redundant parens, CAST(x AS BIGINT) vs x::bigint vs bare — one token
+    apart at every leaf. Equivalent spellings must agree in VALUE (dtype
+    may legally widen INT→BIGINT under an explicit cast)."""
+    deco_forms = ("{0}", "({0})", "CAST({0} AS BIGINT)", "{0}::bigint",
+                  "(CAST({0} AS BIGINT))", "({0}::bigint)")
+    if depth == 0 or draw(st.booleans()):
+        leaf = draw(
+            st.one_of(_SMALL_INT, _int_col) if allow_cols else _SMALL_INT
+        )
+        return leaf, draw(st.sampled_from(deco_forms)).format(leaf)
+    op = draw(st.sampled_from(("+", "-", "*", "/")))
+    a_p, a_d = draw(_spelled_expr(depth=depth - 1, allow_cols=allow_cols))
+    if op == "/":
+        # nonzero literal divisor; numerator may be any shape — both
+        # spellings must agree on WHETHER the truncating lowering fires
+        b = draw(_SMALL_INT)
+        b_d = draw(st.sampled_from(deco_forms)).format(b)
+        return f"{a_p} / {b}", f"{a_d} / {b_d}"
+    b_p, b_d = draw(_spelled_expr(depth=0, allow_cols=allow_cols))
+    return f"({a_p} {op} {b_p})", f"({a_d} {op} {b_d})"
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_spelling_pairs_agree_engine_vs_engine(harness, data):
+    # engine-vs-engine: no DuckDB on the right side, so the grammar KEEPS
+    # `/` — this property walks exactly the space where the round-12
+    # probes found divergences (a redundant cast/paren changing a value)
+    ctx, _ = harness
+    src = data.draw(
+        st.sampled_from(
+            (
+                "",  # FROM-less
+                " FROM (VALUES (7), (3), (42)) AS tv(x)",
+                f" FROM lineitem ORDER BY {_TOTAL_ORDER} LIMIT 100",
+            )
+        )
+    )
+    plain, deco = data.draw(_spelled_expr(allow_cols="lineitem" in src))
+    qa = f"SELECT {plain} AS v{src}"
+    qb = f"SELECT {deco} AS v{src}"
+    got_a = _norm([tuple(r) for r in ctx.sql(qa).collect()])
+    got_b = _norm([tuple(r) for r in ctx.sql(qb).collect()])
+    assert got_a == got_b, (
+        f"spelling divergence:\n  {qa}\n  {qb}\n  {got_a[:5]} != {got_b[:5]}"
+    )
+
+
+@st.composite
+def _fromless_values_query(draw):
+    """FROM-less SELECTs and inline-VALUES FROMs vs DuckDB — the shapes
+    the schema-resolved rewrites historically skipped. `/` excluded (the
+    engine's truncating division is the reference's semantics, not
+    DuckDB's); the engine-vs-engine property above covers `/`."""
+    kind = draw(st.integers(0, 2))
+    if kind == 0:  # FROM-less integer/double arithmetic
+        n = draw(st.integers(1, 3))
+        exprs = []
+        for i in range(n):
+            a, b = draw(_SMALL_INT), draw(_SMALL_INT)
+            op = draw(st.sampled_from(("+", "-", "*")))
+            if draw(st.booleans()):
+                exprs.append(f"({a} {op} {b}) AS s{i}")
+            else:
+                exprs.append(
+                    f"(CAST({a} AS DOUBLE) {op} {b}) AS s{i}"
+                )
+        return "SELECT " + ", ".join(exprs)
+    if kind == 1:  # FROM-less string scalars
+        s = draw(st.sampled_from(("'hello'", "'Spark SQL'", "'x'")))
+        fn = draw(
+            st.sampled_from(
+                (
+                    "upper({0})", "lower({0})", "length({0})",
+                    "substr({0}, 2, 3)", "reverse({0})",
+                    "concat({0}, '!')", "trim('  ' || {0})",
+                )
+            )
+        )
+        return f"SELECT {fn.format(s)} AS s0"
+    # inline-VALUES aggregates (+ GROUP BY over a string column)
+    rows = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(("'a'", "'b'", "'c'")),
+                st.integers(-50, 50),
+                st.sampled_from(("1.5", "2.25", "4.0", "0.5")),
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    vals = ", ".join(f"({s}, {i}, {f})" for s, i, f in rows)
+    aggs = []
+    for i in range(draw(st.integers(1, 2))):
+        fn = draw(st.sampled_from(("SUM", "MIN", "MAX", "COUNT")))
+        col = draw(st.sampled_from(("n", "f")))
+        aggs.append(f"{fn}({col}) AS a{i}")
+    if draw(st.booleans()):
+        return (
+            f"SELECT s, {', '.join(aggs)} FROM (VALUES {vals}) "
+            "AS t(s, n, f) GROUP BY s ORDER BY s"
+        )
+    return f"SELECT {', '.join(aggs)} FROM (VALUES {vals}) AS t(s, n, f)"
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_fromless_values_query())
+def test_fromless_and_values_match_duckdb(harness, q):
     ctx, con = harness
     got = _norm([tuple(r) for r in ctx.sql(q).collect()])
     want = _norm(con.sql(q).fetchall())
