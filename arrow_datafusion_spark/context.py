@@ -5697,8 +5697,13 @@ class SessionContext:
             r")\s*\)"
         )
         ident = rf"{castp}|{parid}|(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*|\d+"
+        # the ':' boundary guards keep this from grabbing the TAIL of a
+        # ::-cast chain: in `ts::timestamp::bigint / 1000` the substring
+        # `timestamp::bigint` is a valid ::-integral operand shape, but
+        # folding it would split the chain mid-way (`ts::(timestamp::bigint
+        # div 1000)` — unparseable); chains are the chain rewrite's job
         pat = re.compile(
-            rf"(?<![\w.])({ident})\s*/\s*({ident})(?![\w.])", re.IGNORECASE
+            rf"(?<![\w.:])({ident})\s*/\s*({ident})(?![\w.:])", re.IGNORECASE
         )
         # rewrite only OUTSIDE string literals — '1/2' in a literal is text
         segs = re.split(r"('(?:[^']|'')*')", q)

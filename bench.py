@@ -334,7 +334,15 @@ def main() -> None:
         print(json.dumps(_SECTIONS[sys.argv[2]](raw_dir)))
         return
 
+    # box-load transparency (r12 verdict #7): the 1/5/15-min load averages
+    # at bench start, so a floor-inflated run (busy box) is mechanically
+    # distinguishable from a plan regression when reading round-over-round
+    # numbers. Purely additive — existing keys unchanged.
     merged: dict = {"metric": "tpch_total", "value": None, "unit": "sec", "sf": sf}
+    try:
+        merged["load_avg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
     for name in ("ingest", "tpch", "mem", "pipeline", "suites"):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
