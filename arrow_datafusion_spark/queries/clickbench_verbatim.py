@@ -143,6 +143,28 @@ _LIMIT_TAIL_RE = re.compile(
     r"\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?\s*$", re.IGNORECASE
 )
 
+# One SessionContext (and ONE hits registration) per live SparkSession —
+# the r12 bench paid a fresh SessionContext + Settings construction +
+# spark.read.parquet(hits) re-registration on EVERY entry invocation
+# (~0.15 s/call of pure fixed cost × 46 statements × warm+timed passes ≈
+# 60% of the cb_verbatim suite total; guide §4.5: heavyweight init once).
+# Keyed by applicationId like session._TABLE_CACHE (stable per live
+# session, safe across a stopped session's id reuse). Registration is
+# idempotent: all cb_v entries read the same immutable cached fixture.
+_CTX_CACHE: dict = {}
+
+
+def _cb_ctx(spark: SparkSession):
+    from arrow_datafusion_spark.context import SessionContext
+
+    key = spark.sparkContext.applicationId
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        ctx = SessionContext(spark)
+        ctx.register_parquet("hits", _hits_path())
+        _CTX_CACHE[key] = ctx
+    return ctx
+
 
 def _make_derived(idx: int, ncols: int, sum_col: int | None):
     """Deterministic gate over an under-determined LIMIT/OFFSET statement:
@@ -153,12 +175,7 @@ def _make_derived(idx: int, ncols: int, sum_col: int | None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
-        from arrow_datafusion_spark.context import SessionContext
-
-        path = _hits_path()
-        ctx = SessionContext(spark)
-        if "hits" not in ctx._tables:
-            ctx.register_parquet("hits", path)
+        ctx = _cb_ctx(spark)
         text = _statements()[idx]
         names = [f"k{k}" for k in range(ncols)]
         lim = ctx.sql(text).toDF(*names)  # the reference's text, unmodified
@@ -265,13 +282,9 @@ def _duckdb_dialect(sql: str) -> str:
 
 def _make(idx: int, ncols: int) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from arrow_datafusion_spark.context import SessionContext
-
-        path = _hits_path()
-        ctx = SessionContext(spark)
-        if "hits" not in ctx._tables:
-            ctx.register_parquet("hits", path)
-        df = ctx.sql(_statements()[idx])  # the reference's text, unmodified
+        df = _cb_ctx(spark).sql(
+            _statements()[idx]
+        )  # the reference's text, unmodified
         return df.toDF(*[f"c{k}" for k in range(ncols)])
 
     return run
@@ -290,12 +303,7 @@ def _make_avg_userid() -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
 
-        from arrow_datafusion_spark.context import SessionContext
-
-        path = _hits_path()
-        ctx = SessionContext(spark)
-        if "hits" not in ctx._tables:
-            ctx.register_parquet("hits", path)
+        ctx = _cb_ctx(spark)
         approx = ctx.sql(_statements()[3]).toDF("a")  # verbatim text
         exact = ctx.sql(
             'SELECT CAST(ROUND(SUM(CAST("UserID" AS DECIMAL(38,0))) '
