@@ -80,6 +80,13 @@ def cosine_topk(
     similarity is rounded to 6dp BEFORE ranking (with the id as tiebreaker)
     so ranking is stable across engines and partitionings.
     """
+    # NOTE (r13 A/B): swapping these folds for the Arrow dot kernel was
+    # MEASURED SLOWER here (0.67 s → 0.87 s at sf0.1) — the broadcast
+    # cross join evaluates three kernel call sites per pair row, and the
+    # Python-boundary round trips exceed the interpreted-HOF saving at
+    # this |Q|·|N| pair shape. The bucketed operators (lsh/embedding)
+    # keep the kernel, where it measured 1.4-1.7×; this brute-force
+    # baseline stays on the JVM fold.
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -132,6 +139,68 @@ def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
     return out
 
 
+def _lcg_planes_py(planes: int, dims: int) -> list[list[float]]:
+    """Driver-side replay of :func:`lcg_plane`: pure integer LCG (exact in
+    Python ints like in BIGINT), then the same `/ 2^31 * 2 - 1` double ops
+    in the same order — bit-identical plane components."""
+    m = 2147483648
+    return [
+        [
+            ((1103515245 * (p * dims + d) + 12345) % m) / 2147483648.0 * 2 - 1
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+_BUCKET_UDFS: dict[tuple, "object"] = {}
+
+
+def _bucket_norm_udf(planes: int, dims: int):
+    """Arrow-batched fused LSH-bucket + norm kernel — bit-identical to
+    ``hyperplane_bucket`` + ``_norm`` by construction: each plane's dot is
+    accumulated PER DIMENSION across the row batch (``acc += X[:, d] *
+    plane[d]``), replaying :func:`dot`'s sequential left-to-right fold
+    exactly (see _centroid_scores_udf for the exactness argument); the
+    sign test and bit assembly are exact integer ops, np.sqrt is the same
+    correctly-rounded IEEE sqrt as the JVM's. The interpreted Column form
+    evaluates ``planes`` zip_with+aggregate HOF trees per row — no
+    whole-stage codegen — which was the dominant cost of the ann_lsh /
+    dedup_embedding entries (r13 profile; same finding as the r10 IVF
+    kernel). Memoized per (planes, dims) for a stable UDF object."""
+    key = (planes, dims)
+    cached = _BUCKET_UDFS.get(key)
+    if cached is not None:
+        return cached
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = [np.asarray(r, dtype=np.float64) for r in _lcg_planes_py(planes, dims)]
+
+    @pandas_udf("struct<bucket: int, nrm: double>")
+    def _bn(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int32"), "nrm": []}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        n, nd = X.shape
+        acc = np.zeros(n)
+        for d in range(nd):
+            acc += X[:, d] * X[:, d]
+        nrm = np.sqrt(acc)
+        bucket = np.zeros(n, dtype=np.int64)
+        for p, pv in enumerate(P):
+            acc = np.zeros(n)
+            for d in range(nd):
+                acc += X[:, d] * pv[d]
+            bucket |= (acc >= 0).astype(np.int64) << p
+        return pd.DataFrame({"bucket": bucket.astype("int32"), "nrm": nrm})
+
+    _BUCKET_UDFS[key] = _bn
+    return _bn
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -143,20 +212,30 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates (equi-join on the
     bucket id — the shuffle key — instead of a cross join)."""
+    bn = _bucket_norm_udf(planes, dims)
     c = (
         corpus.select(
             F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
         )
-        .withColumn("bucket", hyperplane_bucket(F.col("nv"), planes, dims))
-        .withColumn("nn", _norm(F.col("nv")))
+        .withColumn("bn", bn(F.col("nv")))
+        .select(
+            "n_id", "nv",
+            F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nn"),
+        )
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
         )
-        .withColumn("bucket", hyperplane_bucket(F.col("qv"), planes, dims))
-        .withColumn("qn", _norm(F.col("qv")))
+        .withColumn("bn", bn(F.col("qv")))
+        .select(
+            "q_id", "qv",
+            F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("qn"),
+        )
     )
+    # pair scoring stays on the JVM fold: the A/B (r13) measured the Arrow
+    # pair-dot SLOWER (extra Python round trip per joined batch) — the
+    # kernel win is in the per-vector bucket+norm stage above
     sims = (
         q.join(c, "bucket")
         .filter(F.col("n_id") != F.col("q_id"))
@@ -392,13 +471,17 @@ def embedding_near_duplicates(
     cosine is a deterministic sequential fold, rounded to 6dp before the
     threshold so the cut is engine-stable.
     """
+    bn = _bucket_norm_udf(planes, dims)  # fused Arrow kernel, bit-identical
     b = (
         corpus.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
-        .withColumn("bucket", hyperplane_bucket(F.col("v"), planes, dims))
-        .withColumn("nrm", _norm(F.col("v")))  # once per vector, checkpointed
-        .localCheckpoint(eager=True)
+        .withColumn("bn", bn(F.col("v")))
+        .select(
+            "id", "v",
+            F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nrm"),
+        )
+        .localCheckpoint(eager=True)  # once per vector, feeds both join sides
     )
     left = b.select(
         F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"),
@@ -414,6 +497,8 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
+            # JVM fold, not dot_arrow: the r13 A/B measured the Arrow
+            # pair-dot slower on this joined-pair shape (0.73 s vs 0.58 s)
             F.round(
                 _cosine_n(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
             ).alias("cos_sim"),

@@ -320,3 +320,36 @@ def test_minhash_grams_shipping_pairs_byte_identical(spark, sf_dir, monkeypatch)
     gram_pairs = run()
     assert text_pairs == gram_pairs
     assert len(text_pairs) > 0
+
+
+def test_bucket_norm_kernel_matches_column_form(spark, sf_dir):
+    """Round-13 kernel swap: the fused Arrow bucket+norm kernel
+    (_bucket_norm_udf) must be BIT-identical to the Column-expression
+    construction (hyperplane_bucket + sqrt of the sequential dot fold) —
+    same LCG planes, same per-dimension accumulation order, same IEEE
+    sqrt — on every embedding vector."""
+    from pyspark.sql import functions as F
+
+    from arrow_datafusion_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", SIM._as_double(F.col("embedding")).alias("v")
+    )
+    bn = SIM._bucket_norm_udf(8, 64)
+    kernel = {
+        r.vec_id: (r.b, r.n)
+        for r in emb.select(
+            "vec_id",
+            bn(F.col("v")).getField("bucket").alias("b"),
+            bn(F.col("v")).getField("nrm").alias("n"),
+        ).collect()
+    }
+    column = {
+        r.vec_id: (r.b, r.n)
+        for r in emb.select(
+            "vec_id",
+            SIM.hyperplane_bucket(F.col("v"), 8, 64).alias("b"),
+            F.sqrt(SIM.dot(F.col("v"), F.col("v"))).alias("n"),
+        ).collect()
+    }
+    assert kernel == column and len(kernel) > 0
