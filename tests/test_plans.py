@@ -353,3 +353,54 @@ def test_bucket_norm_kernel_matches_column_form(spark, sf_dir):
         ).collect()
     }
     assert kernel == column and len(kernel) > 0
+
+
+def test_ngram_prune_keeps_verified_pairs_byte_identical(spark, sf_dir):
+    """Round-13: the candidate-stage Jaccard upper-bound prune added to
+    ngram_jaccard_pairs must not change the verified pair set — the bound
+    J ≤ min(ng)/max(ng) is exact, so only never-verifiable pairs drop.
+    Compare against an unpruned candidate set pushed through the same
+    verify stage."""
+    from pyspark.sql import functions as F
+
+    from arrow_datafusion_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pruned = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, anchors=2, threshold=0.3
+        ).collect()
+    }
+
+    # unpruned reference: same anchor kernel, no ng filter
+    anchored = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            D._ngram_anchor_udf(3, 2)(F.col("text")).getField("anchors")
+        ).alias("anchor"),
+    )
+    cand = (
+        anchored.alias("l")
+        .join(
+            anchored.alias("r"),
+            (F.col("l.anchor") == F.col("r.anchor"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    def gram_fn(t):
+        toks = t.split(" ")
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        )
+
+    unpruned = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D._verify_pairs_jaccard(
+            cand, docs, "doc_id", "text", gram_fn, 0.3, cache_key=("word", 3)
+        ).collect()
+    }
+    assert pruned == unpruned and len(pruned) > 0
