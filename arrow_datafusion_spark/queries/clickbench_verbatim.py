@@ -161,7 +161,7 @@ def _cb_ctx(spark: SparkSession):
     ctx = _CTX_CACHE.get(key)
     if ctx is None:
         ctx = SessionContext(spark)
-        ctx.register_parquet("hits", _hits_path())
+        ctx.register_parquet("hits", _hits_parts_path())
         _CTX_CACHE[key] = ctx
     return ctx
 
@@ -261,6 +261,53 @@ def _hits_path() -> str:
     from tests import hits_fixture
 
     return hits_fixture.generate()
+
+
+_N_PARTS = 8
+
+
+def _hits_parts_path() -> str:
+    """Multi-file copy of the hits fixture: the same rows, split into
+    ``_N_PARTS`` contiguous parquet parts, so every verbatim statement's
+    scan gets a parallel map side instead of ONE task pinned to a single
+    9.8 MB file — the same storage-artifact correction bench.py applies
+    to the TPC-H fixtures (its module docstring; guide §6 input splits).
+    The ORACLE keeps reading the single file: every hash-gated statement
+    was selected for layout-independent values (integer-exact sums,
+    tie-free cuts — this module's docstring), so a row-preserving
+    re-encode cannot change any gated result. Derived lazily next to the
+    fixture, completeness-markered, regenerated when the fixture is newer;
+    falls back to the single file if generation fails (read-only FS)."""
+    import shutil
+
+    single = _hits_path()
+    parts = single[: -len(".parquet")] + "_parts"
+    marker = os.path.join(parts, "_SUCCESS")
+    try:
+        if (
+            os.path.isdir(parts)
+            and os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(single)
+        ):
+            return parts
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(single)
+        tmp = parts + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        step = (t.num_rows + _N_PARTS - 1) // _N_PARTS
+        for k in range(_N_PARTS):
+            pq.write_table(
+                t.slice(k * step, step),
+                os.path.join(tmp, f"part-{k:02d}.parquet"),
+            )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(parts, ignore_errors=True)
+        os.rename(tmp, parts)
+        return parts
+    except Exception:
+        return single
 
 
 def _duckdb_dialect(sql: str) -> str:
