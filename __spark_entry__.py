@@ -81,6 +81,32 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (q) round-13 OPTIMIZATION changes, validate first (results must
+        #     be IDENTICAL — every change was strict-oracle-verified
+        #     locally before landing):
+        #     Arrow kernel swaps: ngram anchor kernel + gram-count prune;
+        #     fused LSH bucket+norm kernel; simhash entry on the Arrow
+        #     kernel (all byte-identity-pinned in tests/test_plans.py)
+        "dedup_ngram", "dedup_embedding", "dedup_simhash", "ann_lsh",
+        "ann_cosine", "ann_ivf", "dedup_minhash",
+        #     hits fixture re-encoded to a multi-part layout for the scan
+        #     side (oracle unchanged) + per-session ctx caching — the
+        #     derived/bound gates and the tie-audited LIMIT cuts are the
+        #     sensitive rows; the rest of cb_v_* follows in (p)/(o)
+        "cb_v_user_phrase_limit", "cb_v_src_dst_offset", "cb_v_avg_userid",
+        "cb_v_phrase_topk", "cb_v_user_topk", "cb_v_url_topk",
+        "cb_v_star_by_time", "cb_v_sums_90", "cb_v_minute_series",
+        "cb_v_count", "cb_v_x_distinct_search", "cb_v_x_distinct_colors",
+        "cb_v_x_country_distincts",
+        #     SQL-rewrite memo (context.py _spark_sql) — every
+        #     ctx.sql-routed family shares the layer; re-validate the
+        #     representatives with settings/DDL interleavings
+        "sql_basic", "sql_macros", "sql_settings", "sql_params",
+        "sql_copy_to", "sql_ddl_insert", "sql_info_schema",
+        "sql_decimal_div", "fn_datetime", "fn_math", "fn_array",
+        "sql_case_in_between", "sql_cte_subquery", "sql_tilde_regex",
+        "h2o_mean_median", "h2o_sum_2key", "agg_approx", "agg_tdigest",
+        "sql_recursive_series", "recursive_reach",
         # (p) round-12 changes, validate first:
         #     the 2 formerly rows-only ClickBench statements now hash a
         #     derived deterministic gate (count + membership + the q39

@@ -564,7 +564,11 @@ def _verify_pairs_jaccard(
             # Each doc appears in ~20 pairs (80k pairs over 4k docs at
             # sf0.1): gram-building per PAIR was 120 µs/pair; memoized per
             # unique text it is a set-intersection (~8 µs). The cache is
-            # per Arrow batch.
+            # per Arrow batch — a function-object (cross-batch) memo was
+            # considered in r13 and rejected: the closure is
+            # re-deserialized per TASK, and a verify partition is a
+            # single Arrow batch, so a process-level memo cannot outlive
+            # what this per-batch dict already covers.
             cache: dict = {}
 
             def grams(t):
@@ -876,16 +880,30 @@ def ngram_jaccard_pairs(
     independent chances. Deterministic end-to-end (md5, integer mins) →
     bit-reproducible on any engine, no RNG on executors.
     """
-    # One Arrow kernel emits each doc's `anchors` smallest gram digests
-    # directly — the gram ARRAYS never materialize JVM-side, and the
-    # checkpoint that feeds both self-join sides holds 2 digests/doc
-    # instead of the full gram arrays (see _ngram_anchor_udf)
-    anchored = _spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        _ngram_anchor_udf(n, anchors)(F.col(text_col)).alias("s"),
-    ).select(
-        "doc", F.col("s.ng").alias("ng"), F.explode("s.anchors").alias("anchor")
-    ).localCheckpoint(eager=True)  # feeds both sides of the anchor self-join
+    # Anchor extraction stays JVM-side (r13 A/B: the interpreted-HOF
+    # gram+md5 build measured ~0.4-0.5 s FASTER at sf0.1 than the fused
+    # Arrow kernel _ngram_anchor_udf it briefly replaced — the Python
+    # boundary round-trip cost more than the HOF interpretation), but the
+    # r13 structural wins are kept: the eager checkpoint that feeds both
+    # self-join sides now holds only (doc, ng, anchor) — `anchors` 32-char
+    # digests + one int per doc, derived BEFORE the checkpoint — where the
+    # r12 form checkpointed the full distinct-gram arrays and re-ran
+    # md5+sort+slice from them on each join side.
+    anchored = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            word_ngrams(F.split(F.col(text_col), " "), n).alias("grams"),
+        )
+        .select(
+            "doc",
+            F.size("grams").alias("ng"),
+            F.explode(
+                F.slice(F.array_sort(F.transform("grams", F.md5)), 1, anchors)
+            ).alias("anchor"),
+        )
+        .localCheckpoint(eager=True)
+    )
     left = anchored.alias("l")
     right = anchored.alias("r")
     # Exact Jaccard upper-bound prune (the minhash candidate stage's r11
