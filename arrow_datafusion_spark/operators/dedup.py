@@ -155,7 +155,10 @@ def _fast_band_udf(k: int, num_hashes: int, rows_per_band: int):
         rng = np.random.default_rng(0xDEDD)
         A = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.uint64)
         B = rng.integers(0, M, size=num_hashes, dtype=np.uint64)
-        crc_cache = batch.__dict__.setdefault("crc_cache", {})
+        # worker-global, PID-guarded (see _minhash_band_udf's cache note)
+        from arrow_datafusion_spark.operators import _gramcache as GC
+
+        crc_cache = GC.shared_dict(("mh_crc", k))
         crc32 = zlib.crc32
         bands, ngs = [], []
         for t in texts:
@@ -221,7 +224,13 @@ def _minhash_band_udf(k: int, num_hashes: int, rows_per_band: int):
         import numpy as np
         import pandas as pd
 
-        cache = batch.__dict__.setdefault("gram_cache", {})
+        # Worker-global (guide §4.5): the pickled function object is fresh
+        # every task, so a closure-attribute cache never outlived one task;
+        # the module singleton survives in a reused worker, so a warm
+        # worker's md5 work collapses to dict hits across tasks too.
+        from arrow_datafusion_spark.operators import _gramcache as GC
+
+        cache = GC.shared_dict(("mh_slices", nseeds, num_hashes))
         md5_ = hashlib.md5
 
         def gram_slices(g: str):
@@ -544,6 +553,24 @@ def _verify_pairs_jaccard(
             )
             .filter(F.col("jaccard") >= threshold)
         )
+    # Repartition the PAIRS (two ids/row) before attaching texts, not
+    # after: repartitioning the joined result would ship text_a+text_b
+    # (~4 KB/pair — ~300 MB at sf0.1's 80k pairs) through the exchange;
+    # this way only ids cross it, and the UDF runs in the join stage.
+    # Partitioning by doc_a both spreads the CPU-bound UDF across cores
+    # (AQE would coalesce the tiny-by-bytes pair set to one partition) and
+    # gives batches cache locality.
+    spread = pairs.repartition(_parallelism(df), "doc_a")
+    # NOTE (r14 negative result): an id-only verify variant — collect the
+    # candidate texts, ship them as a python-dict sc.broadcast, and run the
+    # Jaccard UDF over (doc_a, doc_b) alone — won its stage A/B at sf0.1
+    # (1.56 vs 1.98 s; the per-pair text_a+text_b Arrow transfer is ~2 KB
+    # vs 16 B of ids) but was 4.5× SLOWER on the 10× scale probe (60 vs
+    # 13 s): each of 32 workers unpickles the whole multi-MB dict per
+    # invocation, and the per-worker gram working set exceeds any sane
+    # cache budget, so every text re-tokenizes per PAIR. Reverted — the
+    # JVM broadcast-hash-join shape below is the scale-correct form.
+
     a = cand_docs.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("text_a")
     )
@@ -564,11 +591,15 @@ def _verify_pairs_jaccard(
             # Each doc appears in ~20 pairs (80k pairs over 4k docs at
             # sf0.1): gram-building per PAIR was 120 µs/pair; memoized per
             # unique text it is a set-intersection (~8 µs). The cache is
-            # per Arrow batch — a function-object (cross-batch) memo was
-            # considered in r13 and rejected: the closure is
-            # re-deserialized per TASK, and a verify partition is a
-            # single Arrow batch, so a process-level memo cannot outlive
-            # what this per-batch dict already covers.
+            # per Arrow batch DELIBERATELY — r14 measured the guide-§4.5
+            # worker-global variant (gram sets kept across tasks in an
+            # importable module, PID-guarded, freeze-when-full budget) 8×
+            # SLOWER on the 10× corpus (verify 30.6 s vs 3.8 s, candidates
+            # unchanged): a persistent multi-million-object graph of
+            # frozensets-of-strings makes every CPython gen-2 GC pass scan
+            # it while the UDF loop allocates, which dwarfs the tokenize
+            # work the cache saves. Short-lived per-batch dicts stay in
+            # the young generations and die cheap.
             cache: dict = {}
 
             def grams(t):
@@ -583,22 +614,14 @@ def _verify_pairs_jaccard(
                 inter = len(sx & sy)
                 # ONE IEEE division of two exact integers — correctly
                 # rounded, therefore bit-identical to the oracle's
-                # CAST(int)/int division (no decimal-rounding convention to
-                # keep in sync across engines)
+                # CAST(int)/int division (no decimal-rounding convention
+                # to keep in sync across engines)
                 out.append(inter / (len(sx) + len(sy) - inter))
             return pd.Series(out)
 
         jac = F.pandas_udf(jac_batch, "double")
         if cache_key is not None:
             _JAC_UDFS[cache_key] = jac
-    # Repartition the PAIRS (two ids/row) before attaching texts, not
-    # after: repartitioning the joined result would ship text_a+text_b
-    # (~4 KB/pair — ~300 MB at sf0.1's 80k pairs) through the exchange;
-    # this way only ids cross it, and the UDF runs in the join stage.
-    # Partitioning by doc_a both spreads the CPU-bound UDF across cores
-    # (AQE would coalesce the tiny-by-bytes pair set to one partition) and
-    # gives batches cache locality.
-    spread = pairs.repartition(_parallelism(df), "doc_a")
     # Candidate-doc texts: BROADCAST both sides when the measured byte size
     # of the semi-joined text set fits comfortably in executor memory. The
     # planner won't pick this itself — the semi-join ruins its size

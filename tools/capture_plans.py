@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_OUT = os.path.join(_REPO, "plans", "r13")
+_OUT = os.path.join(_REPO, "plans", "r14")
 
 DEFAULT = [f"tpch_q{i}" for i in range(1, 23)] + [
     "dedup_exact", "dedup_ngram", "dedup_embedding", "dedup_simhash",
