@@ -255,9 +255,18 @@ def lsh_cosine_topk(
     )
 
 
+_CENTROID_UDFS: dict[tuple, "object"] = {}
+
+
 def _centroid_scores_udf(cent_vecs: list[list[float]], cent_norms: list[float]):
     """Arrow-batched centroid scoring: returns, per input vector,
     struct<nrm: its norm, sims: array of cosine vs each centroid>.
+
+    Memoized per centroid VALUE tuple (like _JAC_UDFS): a fresh closure
+    per invocation re-pays worker-side function deployment on every plan
+    build; the centroids themselves are still collected from the input on
+    EVERY call and merely compared — nothing dataset-derived is reused
+    across datasets, and a changed corpus yields a different key.
 
     Bit-identical to the Column-expression form by construction: the numpy
     loop accumulates PER DIMENSION across the row batch
@@ -270,6 +279,14 @@ def _centroid_scores_udf(cent_vecs: list[list[float]], cent_norms: list[float]):
     per row, which dominated the whole entry."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    memo_key = (
+        tuple(tuple(v) for v in cent_vecs),
+        tuple(float(x) for x in cent_norms),
+    )
+    cached = _CENTROID_UDFS.get(memo_key)
+    if cached is not None:
+        return cached
 
     C = [np.asarray(v, dtype=np.float64) for v in cent_vecs]
     cn = [float(x) for x in cent_norms]
@@ -292,6 +309,9 @@ def _centroid_scores_udf(cent_vecs: list[list[float]], cent_norms: list[float]):
             sims[:, ci] = acc / (nrm * cn[ci])
         return pd.DataFrame({"nrm": nrm, "sims": list(sims)})
 
+    if len(_CENTROID_UDFS) >= 64:  # bound a long session's memo
+        _CENTROID_UDFS.clear()
+    _CENTROID_UDFS[memo_key] = _score
     return _score
 
 
@@ -385,31 +405,47 @@ def ivf_cosine_topk(
         cent_vecs, [_py_norm(v) for v in cent_vecs]
     )
 
+    # asNondeterministic (guide §4.4): the inner probe join infers an
+    # isnotnull(cluster) filter and pushes it below the assignment
+    # projection, which re-evaluates the scorer — the r14 before-plan
+    # showed TWO ArrowEvalPython(_score) nodes over the corpus (every
+    # vector crossed the Python boundary and ran the 16-centroid numpy
+    # scoring twice). Marking the corpus-side scorer non-deterministic
+    # pins it to a single evaluation; the values are unchanged (the
+    # kernel is pure), only the optimizer's freedom to duplicate it goes.
     e = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("nv")
-    ).withColumn("cs", scorer(F.col("nv")))
+    ).withColumn("cs", scorer.asNondeterministic()(F.col("nv")))
 
-    def _scored_structs(sims_arr: Column, negate: bool) -> Column:
-        """array<struct<s,c>> of per-centroid scores; lexicographic struct
-        order then ranks by score (negated for descending picks)."""
+    def _scored_structs(sims_col: str, negate: bool) -> str:
+        """SQL text of the array<struct<s,c>> of per-centroid scores;
+        lexicographic struct order then ranks by score (negated for
+        descending picks). Built as ONE expression STRING parsed by a
+        single F.expr call: the equivalent Column construction issued
+        ~200 py4j round-trips per side (16 centroids × 6 Column ops × 2
+        sides), which the r14 floor split measured as the dominant share
+        of the entry's 0.68 s driver-side build. The parsed tree is
+        operator-identical (same round/element_at/struct nodes; the
+        `cid * 1.0E-9` product constant-folds in Catalyst to the same
+        IEEE double the old `F.lit(float(cid)) * 1e-9` did)."""
         entries = []
         for idx, cid in enumerate(cent_ids):
-            s = F.round(F.element_at(sims_arr, idx + 1), 6)
+            s = f"round(element_at({sims_col}, {idx + 1}), 6)"
             if negate:
-                s = -s
+                s = f"(- {s})"
             else:
-                s = s - F.lit(float(cid)) * 1e-9
-            entries.append(F.struct(s.alias("s"), F.lit(cid).alias("c")))
-        return F.array(*entries)
+                s = f"({s} - ({float(cid)!r} * 1.0E-9))"
+            entries.append(f"struct({s} AS s, {cid} AS c)")
+        return f"array({', '.join(entries)})"
 
     assigned = e.select(
         "n_id",
         "nv",
         F.col("cs.nrm").alias("nn"),
         # argmax by (score-with-tiebreak): map-side, no shuffle
-        F.array_max(_scored_structs(F.col("cs.sims"), negate=False))
-        .getField("c")
-        .alias("cluster"),
+        F.expr(
+            f"array_max({_scored_structs('cs.sims', negate=False)}).c"
+        ).alias("cluster"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -420,19 +456,24 @@ def ivf_cosine_topk(
         F.col("qcs.nrm").alias("qn"),
         # nprobe nearest clusters: sort (−score, c_id) ascending ≡ the
         # (DESC c_sim, ASC cluster) ranking — again map-side, no window
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(_scored_structs(F.col("qcs.sims"), negate=True)),
-                    1,
-                    nprobe,
-                ),
-                lambda st: st.getField("c"),
-            )
+        F.expr(
+            "explode(transform(slice(array_sort("
+            f"{_scored_structs('qcs.sims', negate=True)}"
+            f"), 1, {nprobe}), st -> st.c))"
         ).alias("cluster"),
     )
+    # BROADCAST the probe side (guide §3.1): |queries|·nprobe rows — the
+    # planner's size estimate after the scorer UDF is garbage and the r14
+    # before-plan showed it broadcasting the CORPUS side (every vector +
+    # its 64 doubles shipped to every executor), which inverts at scale;
+    # with the hint the corpus streams map-side and is never exchanged.
+    # (pair scoring: dot_arrow vs the JVM fold A/B'd FLAT here in r14 —
+    # mins 1.32 vs 1.35 s over 4 alternating samples — so the r10 kernel
+    # stays; the lsh/embedding pair stages measured differently, see
+    # _cosine_n's note)
     sims = (
-        probes.join(assigned, "cluster")
+        F.broadcast(probes)
+        .join(assigned, "cluster")
         .filter(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
