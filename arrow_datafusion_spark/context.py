@@ -169,6 +169,28 @@ _TYPEOF_MAP_SQL = (
 )
 
 
+def _strip_leading_comments(q: str) -> str:
+    """Drop leading whitespace, ``-- ...`` line comments and ``/* ... */``
+    block comments so statement-head regexes see the first real token."""
+    i, n = 0, len(q)
+    while i < n:
+        if q[i].isspace():
+            i += 1
+        elif q.startswith("--", i):
+            j = q.find("\n", i)
+            if j < 0:
+                return ""
+            i = j + 1
+        elif q.startswith("/*", i):
+            j = q.find("*/", i + 2)
+            if j < 0:
+                return ""
+            i = j + 2
+        else:
+            break
+    return q[i:]
+
+
 def _match_paren(q: str, i: int) -> int | None:
     """Index of the ')' matching the '(' at ``i`` (brackets count too)."""
     depth = 0
@@ -3370,11 +3392,16 @@ class SessionContext:
         """
         self._ensure_macros()
         if re.match(
-            r"\s*(CREATE|DROP|INSERT|COPY|ALTER|SET)\b", query, re.IGNORECASE
+            r"\s*(CREATE|DROP|INSERT|COPY|ALTER|SET)\b",
+            _strip_leading_comments(query),
+            re.IGNORECASE,
         ):
             # catalog/settings mutation ahead (possibly via a path that
             # doesn't route through register_table, e.g. native CTAS /
-            # saveAsTable) — conservatively invalidate the rewrite memo
+            # saveAsTable) — conservatively invalidate the rewrite memo.
+            # Leading '--'/'/*..*/' comments are stripped first so a
+            # commented mutation ('-- x\nCREATE ...') can't dodge the
+            # invalidation (ADVICE r13).
             self._rw_version += 1
         handled = self._sql_set_or_show(query)
         if handled is not None:
@@ -4965,11 +4992,6 @@ class SessionContext:
         memo_key = (
             query, pfad, self._rw_version, self.settings.version, budgets
         )
-        cached = self._rw_cache.get(memo_key)
-        if cached is not None:
-            if args:
-                return self.spark.sql(cached, args=args)
-            return self.spark.sql(cached)
         _lits: list[str] = []
 
         def _sh(m: re.Match) -> str:
@@ -4977,6 +4999,26 @@ class SessionContext:
             return f"\x00{len(_lits) - 1}\x00"
 
         query = re.sub(r"'(?:[^']|'')*'", _sh, query)
+        shielded0 = query  # pre-rewrite shielded text, the fp input below
+        cached = self._rw_cache.get(memo_key)
+        if cached is not None:
+            rewritten, rmap_fp = cached
+            # Schema-DEPENDENT rewrites (a type-aware pass consulted the
+            # live catalog) are revalidated on every hit: table schemas
+            # can change through paths _rw_version cannot see (e.g.
+            # createOrReplaceTempView directly on the SparkSession), so
+            # the resolved schema map is re-fetched (~ms of py4j — far
+            # cheaper than the full regex/rewrite pipeline it replaces)
+            # and compared to the one the cached string was derived from
+            # (ADVICE r13; both sides computed from the SAME pre-rewrite
+            # shielded text). Mismatch falls through to a fresh rewrite.
+            if rmap_fp is None or (
+                "__rmap__",
+                self._from_schema_map(shielded0),
+            ) == rmap_fp:
+                if args:
+                    return self.spark.sql(rewritten, args=args)
+                return self.spark.sql(rewritten)
 
         # the six type-aware rewrites share one lazily-computed schema map
         # (their FROM/JOIN clauses are never edited by any pass, so the
@@ -5001,9 +5043,20 @@ class SessionContext:
         query = self._rewrite_approx_percentile(query, rmap=_rmap)
         query = re.sub(r"\x00(\d+)\x00", lambda m: _lits[int(m.group(1))], query)
         rewritten = _rewrite_sql(query, pfad=pfad)
+        # Memo entry: (rewritten, schema-map fingerprint). Fingerprint is
+        # None for schema-independent rewrites (no revalidation needed);
+        # otherwise the schema map resolved from the pre-rewrite shielded
+        # text, which every later hit re-fetches and compares (above).
+        # the "__rmap__" wrapper keeps a None schema map (unresolvable
+        # FROM source) distinguishable from "schema-independent"
+        rmap_fp = (
+            ("__rmap__", self._from_schema_map(shielded0))
+            if _rmap_memo
+            else None
+        )
         if len(self._rw_cache) >= 512:  # bound a long session's memo
             self._rw_cache.clear()
-        self._rw_cache[memo_key] = rewritten
+        self._rw_cache[memo_key] = (rewritten, rmap_fp)
         if args:
             return self.spark.sql(rewritten, args=args)
         return self.spark.sql(rewritten)

@@ -834,55 +834,6 @@ def word_ngrams_arrow(tokens: Column, n: int = 3) -> Column:
     return udf(tokens)
 
 
-_ANCHOR_UDFS: dict[tuple, "object"] = {}
-
-
-def _ngram_anchor_udf(n: int, anchors: int):
-    """Arrow-batched text→anchor-digest kernel, byte-identical to the
-    unfused construction ``slice(array_sort(transform(word_ngrams(split(
-    text,' '), n), md5)), 1, anchors)``: Python ``t.split(' ')`` ==
-    ``F.split(col, ' ')``, the truncating gram join == ``concat_ws`` over
-    a truncating ``slice`` (tests/test_plans.py pins gram equality on the
-    decontaminate path), hashlib md5 hex == JVM md5, and sorting ASCII
-    hex lexicographically is engine-independent. The unfused form built
-    the FULL distinct-gram array per doc JVM-side (interpreted HOFs, no
-    codegen), md5'd every gram through another interpreted transform,
-    and checkpointed the gram arrays; this kernel emits only the
-    ``anchors`` smallest digests per doc — the single hottest stage of
-    dedup_ngram (r13 profile: 2.0 s → 0.7 s at sf0.1)."""
-    key = (n, anchors)
-    cached = _ANCHOR_UDFS.get(key)
-    if cached is not None:
-        return cached
-    from pyspark.sql.functions import pandas_udf
-
-    def batch(texts):
-        import hashlib
-
-        import pandas as pd
-
-        md5 = hashlib.md5
-        out, ngs = [], []
-        for t in texts:
-            toks = t.split(" ")
-            grams = {
-                " ".join(toks[i : i + n])
-                for i in range(max(len(toks) - n + 1, 1))
-            }
-            digs = sorted(md5(g.encode()).hexdigest() for g in grams)
-            out.append(digs[:anchors])
-            # distinct-gram count, free here — feeds the candidate
-            # stage's exact Jaccard upper-bound prune (same bound as the
-            # minhash path: J ≤ min(ng)/max(ng))
-            ngs.append(len(grams))
-        return pd.DataFrame({"anchors": out, "ng": ngs})
-
-    udf = _ANCHOR_UDFS[key] = pandas_udf(
-        batch, "struct<anchors: array<string>, ng: int>"
-    )
-    return udf
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -904,8 +855,9 @@ def ngram_jaccard_pairs(
     bit-reproducible on any engine, no RNG on executors.
     """
     # Anchor extraction stays JVM-side (r13 A/B: the interpreted-HOF
-    # gram+md5 build measured ~0.4-0.5 s FASTER at sf0.1 than the fused
-    # Arrow kernel _ngram_anchor_udf it briefly replaced — the Python
+    # gram+md5 build measured ~0.4-0.5 s FASTER at sf0.1 than a fused
+    # Arrow anchor kernel that briefly replaced it (removed in r14 as
+    # dead code — see git history for _ngram_anchor_udf) — the Python
     # boundary round-trip cost more than the HOF interpretation), but the
     # r13 structural wins are kept: the eager checkpoint that feeds both
     # self-join sides now holds only (doc, ng, anchor) — `anchors` 32-char

@@ -194,7 +194,12 @@ def _bucket_norm_udf(planes: int, dims: int):
             acc = np.zeros(n)
             for d in range(nd):
                 acc += X[:, d] * pv[d]
-            bucket |= (acc >= 0).astype(np.int64) << p
+            # ~(acc < 0), not (acc >= 0): Spark SQL orders NaN above all
+            # doubles, so `dot >= 0` is TRUE for a NaN projection — numpy's
+            # `acc >= 0` would be False there. Identical for finite acc.
+            # NULL vectors are a documented precondition (np.stack would
+            # raise); every caller feeds non-null embedding arrays.
+            bucket |= (~(acc < 0)).astype(np.int64) << p
         return pd.DataFrame({"bucket": bucket.astype("int32"), "nrm": nrm})
 
     _BUCKET_UDFS[key] = _bn

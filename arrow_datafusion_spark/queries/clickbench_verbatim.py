@@ -162,6 +162,10 @@ def _cb_ctx(spark: SparkSession):
     if ctx is None:
         ctx = SessionContext(spark)
         ctx.register_parquet("hits", _hits_parts_path())
+        # keep only the live session's entry: a stopped-and-restarted
+        # SparkSession in one long process would otherwise leak a full
+        # SessionContext per dead applicationId (ADVICE r13)
+        _CTX_CACHE.clear()
         _CTX_CACHE[key] = ctx
     return ctx
 

@@ -1053,3 +1053,43 @@ def test_scalar_subquery_one_row_contract(spark):
     # >1 rows: raises at execution like the reference
     with _pytest.raises(Exception, match="more than one row"):
         run_json_plan(ctx, plan([[1], [2]])).collect()
+
+
+def test_rewrite_memo_revalidates_out_of_band_schema_changes(spark):
+    # ADVICE r13: a temp view replaced DIRECTLY on the SparkSession (not
+    # through SessionContext) changes rewrite-relevant schema without
+    # bumping _rw_version; the memo must not replay the stale type-aware
+    # lowering. int/int -> `div` lowering is the observable: it fires only
+    # when BOTH operands resolve integral.
+    ctx = SessionContext(spark)
+    try:
+        spark.createDataFrame([(7, 2)], "a int, b int").createOrReplaceTempView(
+            "memo_reval_t"
+        )
+        q = "SELECT a / b AS r FROM memo_reval_t"
+        assert ctx.sql(q).collect()[0][0] == 3  # integer division
+        ctx.sql(q)  # memo hit, same schema: still integral
+        # out-of-band replacement with DOUBLE columns — same memo key
+        spark.createDataFrame(
+            [(7.0, 2.0)], "a double, b double"
+        ).createOrReplaceTempView("memo_reval_t")
+        r = ctx.sql(q).collect()[0][0]
+        assert r == 3.5 and isinstance(r, float)
+    finally:
+        spark.catalog.dropTempView("memo_reval_t")
+
+
+def test_rewrite_memo_invalidated_by_commented_mutation(spark):
+    # ADVICE r13: a mutating statement behind a leading SQL comment must
+    # still bump the rewrite-memo version (the head regex previously saw
+    # the comment, not CREATE).
+    ctx = SessionContext(spark)
+    v0 = ctx._rw_version
+    ctx.sql("-- create something\nCREATE TABLE memo_cmt_t AS SELECT 1 AS x")
+    try:
+        assert ctx._rw_version > v0
+        v1 = ctx._rw_version
+        ctx.sql("/* block\ncomment */ DROP TABLE memo_cmt_t")
+        assert ctx._rw_version > v1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS memo_cmt_t")

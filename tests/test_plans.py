@@ -373,11 +373,22 @@ def test_ngram_prune_keeps_verified_pairs_byte_identical(spark, sf_dir):
         ).collect()
     }
 
-    # unpruned reference: same anchor kernel, no ng filter
+    # unpruned reference: the SAME JVM anchor construction production uses
+    # (word_ngrams + md5 sort/slice), just without the ng filter — the
+    # Arrow kernel reverted out of production in r13 must not be the
+    # reference here (ADVICE r13)
     anchored = docs.select(
         F.col("doc_id").alias("doc"),
         F.explode(
-            D._ngram_anchor_udf(3, 2)(F.col("text")).getField("anchors")
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        D.word_ngrams(F.split(F.col("text"), " "), 3), F.md5
+                    )
+                ),
+                1,
+                2,
+            )
         ).alias("anchor"),
     )
     cand = (
