@@ -81,6 +81,28 @@ def _registries() -> tuple[dict, dict]:
     #       rows (scaled-int money sums, q21 semi-join rewrite) — stale greens.
     # Everything else (driver-green and unchanged since) follows.
     priority = [
+        # (r) round-14 OPTIMIZATION changes, validate first (results must
+        #     be IDENTICAL — every change was strict-oracle-verified
+        #     locally before landing):
+        #     ann_ivf: single corpus-scorer evaluation (asNondeterministic)
+        #     + probe-side broadcast + memoized scorer UDF + expr-string
+        #     struct trees; dedup_components: first propagation half-round
+        #     folded into the init checkpoint job (labels byte-identical,
+        #     one fewer round); dedup_minhash/dedup_ngram: signature-kernel
+        #     digest memos moved to a worker-global module (values
+        #     unchanged; verify UDF unchanged after the r14 A/B reversals);
+        #     ann_lsh/dedup_embedding: NaN-high bucket-bit form (identical
+        #     on finite inputs)
+        "ann_ivf", "dedup_components", "dedup_minhash", "dedup_ngram",
+        "ann_lsh", "dedup_embedding", "ann_cosine", "dedup_simhash",
+        #     rewrite-memo schema-fingerprint revalidation + comment-aware
+        #     invalidation (context.py) — every ctx.sql-routed family;
+        #     _CTX_CACHE single-entry eviction (cb_v_*)
+        "sql_decimal_div", "sql_basic", "sql_settings", "sql_ddl_insert",
+        "sql_params", "sql_info_schema", "fn_math", "fn_datetime",
+        "h2o_mean_median", "h2o_sum_2key", "cb_v_count", "cb_v_avg_userid",
+        "cb_v_phrase_topk", "cb_v_minute_series", "cb_v_user_phrase_limit",
+        "cb_v_src_dst_offset",
         # (q) round-13 OPTIMIZATION changes, validate first (results must
         #     be IDENTICAL — every change was strict-oracle-verified
         #     locally before landing):

@@ -125,8 +125,16 @@ def con(sf_dir):
     c.close()
 
 
+
+# fast/full tier (tests/conftest.py): reduced derandomized prefix by default
+_FULL = bool(os.environ.get("SPARK_GRAFT_FULL_TESTS"))
+
+
+def _ex(full_count: int) -> int:
+    return full_count if _FULL else max(full_count // 6, 10)
+
 @settings(
-    max_examples=30,
+    max_examples=_ex(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -146,7 +154,7 @@ def test_expression_semantics_match_duckdb(ctx, con, iexpr, sexpr, pred):
 
 
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

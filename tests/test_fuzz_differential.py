@@ -37,6 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Fast/full example tiers (see tests/conftest.py): the fast tier runs a
+# reduced DERANDOMIZED PREFIX of the full tier's cases (derandomize=True
+# makes case k identical in both tiers), so the driver-budget default run
+# still exercises every fuzzer while the full sweep stays available.
+_FULL = bool(os.environ.get("SPARK_GRAFT_FULL_TESTS"))
+
+
+def _ex(full_count: int) -> int:
+    return full_count if _FULL else max(full_count // 6, 10)
+
+
 _NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 _INT_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 _STR_COLS = ("l_returnflag", "l_linestatus")
@@ -181,7 +192,7 @@ def harness(spark):
 
 
 @settings(
-    max_examples=120,
+    max_examples=_ex(120),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -222,7 +233,7 @@ def _join_query(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=_ex(60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -278,7 +289,7 @@ def _window_query(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=_ex(60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -306,7 +317,7 @@ def _setop_query(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=_ex(60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -339,7 +350,7 @@ def _sort_limit_query(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=_ex(60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -386,7 +397,7 @@ def _scalar_query(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=_ex(60),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -436,7 +447,7 @@ def _spelled_expr(draw, depth=2, allow_cols=True):
 
 
 @settings(
-    max_examples=120,
+    max_examples=_ex(120),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -525,7 +536,7 @@ def _fromless_values_query(draw):
 
 
 @settings(
-    max_examples=120,
+    max_examples=_ex(120),
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
