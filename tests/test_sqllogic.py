@@ -410,8 +410,54 @@ _FILES = {
 }
 
 
+# Fast/full tier split (tests/conftest.py): every corpus file measured at
+# ≥10 s (per-file durations: /tmp/pytest_slt.log, full battery 23m55s —
+# these 28 files are ~80% of its wall-clock) carries the `slow` mark and
+# runs in the full tier (SPARK_GRAFT_FULL_TESTS=1 / -m slow). joins.slt
+# (81 s) and timestamps.slt (48 s) stay in the DEFAULT tier despite their
+# size: they are the historically load-bearing regression tripwires
+# (the r12→r13 int-division `::`-chain breakage surfaced in joins.slt).
+_SLOW_FILES = {
+    "aggregate.slt",  # 260 s
+    "array.slt",  # 126 s
+    "group_by.slt",  # 83 s
+    "window.slt",  # 55 s
+    "tpch/tpch.slt",  # 50 s
+    "select.slt",  # 38 s
+    "insert_to_external.slt",  # 38 s
+    "ddl.slt",  # 34 s
+    "expr.slt",  # 33 s
+    "copy.slt",  # 33 s
+    "union.slt",  # 30 s
+    "information_schema.slt",  # 25 s
+    "set_variable.slt",  # 22 s
+    "insert.slt",  # 21 s
+    "scalar.slt",  # 20 s
+    "join_disable_repartition_joins.slt",  # 17 s
+    "join.slt",  # 17 s
+    "cte.slt",  # 17 s
+    "math.slt",  # 16 s
+    "functions.slt",  # 15 s
+    "predicates.slt",  # 15 s
+    "subquery.slt",  # 15 s
+    "order.slt",  # 15 s
+    "sort_merge_join.slt",  # 14 s
+    "pg_compat/pg_compat_window.slt",  # 12 s
+    "interval.slt",  # 11 s
+    "arrow_files.slt",  # 10 s
+    "regexp.slt",  # 10 s
+    "agg_func_substitute.slt",  # 10 s
+}
+
+
 @pytest.mark.skipif(not os.path.isdir(_SLT_DIR), reason="reference slt corpus absent")
-@pytest.mark.parametrize("fname", sorted(_FILES))
+@pytest.mark.parametrize(
+    "fname",
+    [
+        pytest.param(f, marks=pytest.mark.slow) if f in _SLOW_FILES else f
+        for f in sorted(_FILES)
+    ],
+)
 def test_reference_sqllogictest_file(spark, fname):
     from arrow_datafusion_spark.context import SessionContext
     from arrow_datafusion_spark.slt import run_slt_file
@@ -509,7 +555,13 @@ def test_reference_sqllogictest_file(spark, fname):
         )
     ]
     assert not stale, f"stale _KNOWN entries (records now pass): {stale}"
-    assert rep.passed >= _FILES[fname], rep.summary()
+    # on a floor miss, show WHY records were skipped: the common benign
+    # cause is a record exceeding slt.py's 60 s cancel bound on a loaded
+    # box (the skip note carries the cancellation text), which is box
+    # state, not an engine regression
+    assert rep.passed >= _FILES[fname], (
+        rep.summary() + "\nskips:\n" + "\n".join(rep.skips[-12:])
+    )
 
 
 # ---------------------------------------------------------------------------
