@@ -95,6 +95,16 @@ def _registries() -> tuple[dict, dict]:
         #     on finite inputs)
         "ann_ivf", "dedup_components", "dedup_minhash", "dedup_ngram",
         "ann_lsh", "dedup_embedding", "ann_cosine", "dedup_simhash",
+        #     TPC-H builders rewritten to single-string expressions (V5
+        #     py4j-build-time reduction) — physical plans asserted
+        #     IDENTICAL to the r13 builders (normalized executedPlan
+        #     equality, plans/r14) but every implementation line changed,
+        #     so all 22 re-validate against the oracle first
+        "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+        "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+        "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+        "tpch_q22",
         #     rewrite-memo schema-fingerprint revalidation + comment-aware
         #     invalidation (context.py) — every ctx.sql-routed family;
         #     _CTX_CACHE single-entry eviction (cb_v_*)

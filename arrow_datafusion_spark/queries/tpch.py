@@ -76,6 +76,20 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _esum_sql(sql: str, alias: str) -> Column:
+    """_esum as ONE parsed string: a Column tree of this shape costs ~10
+    py4j socket crossings per build (~0.65 ms each); F.expr costs one.
+    Plan-identical to _esum (normalized executedPlan equality asserted
+    against the r13 builders, plans/r14 captures)."""
+    return F.expr(
+        f"round(sum(CAST(round(({sql}) * 10000, 0) AS BIGINT)) / 100.0D, 0)"
+        f" / 100.0D AS {alias}"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     tabs = load_tables(spark, sf_dir, names=tuple(names))
     return [tabs[n] for n in names]
@@ -158,28 +172,29 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is 2dp so its scaled-cents bigint sum is exact — both skip the
     # Decimal128 accumulator, which dominates this aggregate's CPU.
     pre = lineitem.filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    ).select(
+        "l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)"
+    ).selectExpr(
         "l_returnflag",
         "l_linestatus",
-        F.col("l_quantity").alias("d_qty"),
-        F.col("l_extendedprice").cast(_DEC).alias("d_price"),
-        _rev().cast(_DEC).alias("d_disc_price"),
-        (_rev() * (1 + F.col("l_tax"))).cast(_DEC).alias("d_charge"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_cents"),
+        "l_quantity AS d_qty",
+        f"CAST(l_extendedprice AS {_DEC}) AS d_price",
+        f"CAST({_REV_SQL} AS {_DEC}) AS d_disc_price",
+        # (l_tax + 1), not (1 + l_tax): the Column form `1 + col` resolved
+        # via __radd__ to (l_tax + 1.0) and the plan pin keeps that spelling
+        f"CAST({_REV_SQL} * (l_tax + 1) AS {_DEC}) AS d_charge",
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_cents",
     )
-    cnt = F.count(F.lit(1))
     return _sorted_small(
         pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("d_qty"), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum("d_price"), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum("d_disc_price"), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum("d_charge"), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum("d_qty") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum("d_price").cast("double") / cnt, 4).alias("avg_price"),
-            F.round(F.sum("disc_cents") / 100.0 / cnt, 4).alias("avg_disc"),
-            cnt.alias("count_order"),
+            F.expr("CAST(round(sum(d_qty), 2) AS DOUBLE) AS sum_qty"),
+            F.expr("CAST(round(sum(d_price), 2) AS DOUBLE) AS sum_base_price"),
+            F.expr("CAST(round(sum(d_disc_price), 2) AS DOUBLE) AS sum_disc_price"),
+            F.expr("CAST(round(sum(d_charge), 2) AS DOUBLE) AS sum_charge"),
+            F.expr("round(sum(d_qty) / count(1), 4) AS avg_qty"),
+            F.expr("round(CAST(sum(d_price) AS DOUBLE) / count(1), 4) AS avg_price"),
+            F.expr("round(sum(disc_cents) / 100.0D / count(1), 4) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         ),
         "l_returnflag",
         "l_linestatus",
@@ -213,30 +228,31 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
     )
     eur_supp = (
-        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "EUROPE")
+        supplier.join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
+        .filter("r_name = 'EUROPE'")
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    p = part.filter(F.col("p_size") == 15)
+    p = part.filter("p_size = 15")
     # Semi-filter the fact table on the (small) filtered part set BEFORE the
     # distinct: the dedup shuffle then sees only matching rows. Catalyst can't
     # reorder a join below an Aggregate itself, so express it directly.
     links = (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(p.select("p_partkey"), F.expr("l_partkey = p_partkey"), "left_semi")
         .distinct()
     )
-    cand = p.join(links, F.col("p_partkey") == F.col("l_partkey")).join(
-        eur_supp, F.col("l_suppkey") == F.col("s_suppkey")
+    cand = p.join(links, F.expr("p_partkey = l_partkey")).join(
+        eur_supp, F.expr("l_suppkey = s_suppkey")
     )
     # Per-part min via a window instead of a groupBy + self-join: one shuffle
     # on p_partkey and the cand join subtree executes ONCE (the self-join form
     # re-ran the whole subtree twice — at 100 TB that doubles the heaviest join).
-    w = Window.partitionBy("p_partkey")
     return (
-        cand.withColumn("min_acctbal", F.min("s_acctbal").over(w))
-        .filter(F.col("s_acctbal") == F.col("min_acctbal"))
+        cand.withColumn(
+            "min_acctbal", F.expr("min(s_acctbal) OVER (PARTITION BY p_partkey)")
+        )
+        .filter("s_acctbal = min_acctbal")
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -283,23 +299,22 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.395 -> 0.237s (2.8x -> 2.1x of the reference row; hinting the
     # lineitem side instead measured equal within noise).
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
-    cutoff = F.lit("1998-03-15").cast("timestamp")
     return (
-        orders.filter(F.col("o_orderdate") < cutoff)
+        orders.filter("o_orderdate < CAST('1998-03-15' AS TIMESTAMP)")
         .join(
-            customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
-            F.col("c_custkey") == F.col("o_custkey"),
+            customer.filter("c_mktsegment = 'BUILDING'").select("c_custkey"),
+            F.expr("c_custkey = o_custkey"),
             "left_semi",
         )
         .hint("SHUFFLE_HASH")
         .join(
-            lineitem.filter(F.col("l_shipdate") > cutoff),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+            lineitem.filter("l_shipdate > CAST('1998-03-15' AS TIMESTAMP)"),
+            F.expr("o_orderkey = l_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_esum(_rev(), "revenue"))
-        .select(
-            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate")
+        .agg(_esum_sql(_REV_SQL, "revenue"))
+        .selectExpr(
+            "l_orderkey", "revenue", "CAST(o_orderdate AS DATE) AS o_orderdate"
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -334,18 +349,20 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrades to SHUFFLE_HASH, never an OOM-pinned broadcast).
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
     o = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        "o_orderdate >= CAST('1996-07-01' AS TIMESTAMP)"
+        " AND o_orderdate < CAST('1996-10-01' AS TIMESTAMP)"
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     o_est = _source_bytes(sf_dir, "orders") * 0.04 * _BROADCAST_INFLATION
     late = lineitem.select("l_orderkey", "l_shipdate").join(
         _gated_broadcast(o, o_est),
-        (F.col("o_orderkey") == F.col("l_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        F.expr(
+            "o_orderkey = l_orderkey"
+            " AND l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+        ),
     )
     return _sorted_small(
         late.groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_orderkey").alias("order_count")),
+        .agg(F.expr("count(DISTINCT o_orderkey) AS order_count")),
         "o_orderpriority",
     )
 
@@ -375,16 +392,16 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
     asia = (
-        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
+        nation.join(region, F.expr("n_regionkey = r_regionkey"))
+        .filter("r_name = 'ASIA'")
         .select("n_nationkey", "n_name")
     )
     asia_keys = F.broadcast(asia.select("n_nationkey"))
     cust = customer.join(
-        asia_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+        asia_keys, F.expr("c_nationkey = n_nationkey"), "left_semi"
     )
     supp = supplier.join(
-        asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+        asia_keys, F.expr("s_nationkey = n_nationkey"), "left_semi"
     )
     # Build side of the lineitem join is the date∧region-filtered c⋈o
     # result (~0.6% of orders rows × two int columns), broadcast by hint:
@@ -396,24 +413,23 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gate errs toward shuffling): past the budget it pins SHUFFLE_HASH
     # instead, degrading gracefully where a pinned broadcast would OOM.
     c_o = (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        cust.join(orders, F.expr("c_custkey = o_custkey"))
         .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            "o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)"
+            " AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)"
         )
         .select("o_orderkey", "c_nationkey")
     )
     c_o_est = _source_bytes(sf_dir, "orders") * 0.03 * _BROADCAST_INFLATION
     return _sorted_small(
-        lineitem.join(_gated_broadcast(c_o, c_o_est), F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.join(_gated_broadcast(c_o, c_o_est), F.expr("l_orderkey = o_orderkey"))
         .join(
             F.broadcast(supp),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"),
         )
-        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(asia), F.expr("s_nationkey = n_nationkey"))
         .groupBy("n_name")
-        .agg(_esum(_rev(), "revenue")),
+        .agg(_esum_sql(_REV_SQL, "revenue")),
         F.desc("revenue"),
         "n_name",
     )
@@ -437,11 +453,11 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24)
-        ).agg(_esum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+            "l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)"
+            " AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)"
+            " AND l_discount BETWEEN 0.05D AND 0.07D"
+            " AND l_quantity < 24"
+        ).agg(_esum_sql("l_extendedprice * l_discount", "revenue"))
     )
 
 
@@ -464,45 +480,40 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, orders, customer, nation = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
+    # Single-string conditions/projections throughout: each F.col/operator
+    # crosses the py4j socket once (~0.65 ms); one parsed string is one
+    # crossing. Plan-identical to the Column form (verified: normalized
+    # executedPlan equality vs the r13 builders, plans/r14 captures).
     pair_keys = F.broadcast(
-        nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
-            "n_nationkey"
-        )
+        nation.filter("n_name IN ('NATION_1', 'NATION_2')").select("n_nationkey")
     )
     supplier = supplier.join(
-        pair_keys, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+        pair_keys, F.expr("s_nationkey = n_nationkey"), "left_semi"
     )
     customer = customer.join(
-        pair_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+        pair_keys, F.expr("c_nationkey = n_nationkey"), "left_semi"
     )
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
+    n1 = nation.selectExpr("n_nationkey AS n1_key", "n_name AS supp_nation")
+    n2 = nation.selectExpr("n_nationkey AS n2_key", "n_name AS cust_nation")
     shipping = (
-        supplier.join(lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        supplier.join(lineitem, F.expr("s_suppkey = l_suppkey"))
+        .join(orders, F.expr("o_orderkey = l_orderkey"))
+        .join(customer, F.expr("c_custkey = o_custkey"))
+        .join(F.broadcast(n1), F.expr("s_nationkey = n1_key"))
+        .join(F.broadcast(n2), F.expr("c_nationkey = n2_key"))
         .filter(
-            (
-                (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-            )
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+            " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
         )
         .filter(
-            F.col("l_shipdate").between(
-                F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
-            )
+            "l_shipdate BETWEEN CAST('1996-01-01' AS TIMESTAMP)"
+            " AND CAST('1997-12-31' AS TIMESTAMP)"
         )
-        .select(
+        .selectExpr(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
-            _rev().alias("volume"),
+            "year(l_shipdate) AS l_year",
+            "l_extendedprice * (1 - l_discount) AS volume",
         )
     )
     return _sorted_small(
@@ -541,46 +552,39 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
     )
     america_keys = F.broadcast(
-        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "AMERICA")
+        nation.join(region, F.expr("n_regionkey = r_regionkey"))
+        .filter("r_name = 'AMERICA'")
         .select("n_nationkey")
     )
     customer = customer.join(
-        america_keys, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+        america_keys, F.expr("c_nationkey = n_nationkey"), "left_semi"
     )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation_name")
-    )
+    n2 = nation.selectExpr("n_nationkey AS n2_key", "n_name AS nation_name")
     allrows = (
-        part.filter(F.col("p_type") == "ECONOMY")
-        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        part.filter("p_type = 'ECONOMY'")
+        .join(lineitem, F.expr("p_partkey = l_partkey"))
+        .join(supplier, F.expr("s_suppkey = l_suppkey"))
+        .join(orders, F.expr("l_orderkey = o_orderkey"))
         .filter(
-            F.col("o_orderdate").between(
-                F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
-            )
+            "o_orderdate BETWEEN CAST('1995-01-01' AS TIMESTAMP)"
+            " AND CAST('1996-12-31' AS TIMESTAMP)"
         )
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
-        .select(
-            F.year("o_orderdate").alias("o_year"),
-            _rev().alias("volume"),
-            F.col("nation_name"),
+        .join(customer, F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(n2), F.expr("s_nationkey = n2_key"))
+        .selectExpr(
+            "year(o_orderdate) AS o_year",
+            f"{_REV_SQL} AS volume",
+            "nation_name",
         )
     )
     return _sorted_small(
         allrows.groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("nation_name") == "NATION_3", F.col("volume"))
-                    .otherwise(0.0)
-                    .cast(_DEC)
-                ).cast("double")
-                / F.sum(F.col("volume").cast(_DEC)).cast("double"),
-                4,
-            ).alias("mkt_share")
+            F.expr(
+                "round(CAST(sum(CAST(CASE WHEN nation_name = 'NATION_3' THEN volume"
+                f" ELSE 0.0D END AS {_DEC})) AS DOUBLE)"
+                f" / CAST(sum(CAST(volume AS {_DEC})) AS DOUBLE), 4) AS mkt_share"
+            )
         ),
         "o_year",
     )
@@ -615,14 +619,14 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
     )
     profit = (
-        part.filter(F.col("p_name").like("%widget%"))
-        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+        part.filter("p_name LIKE '%widget%'")
+        .join(lineitem, F.expr("p_partkey = l_partkey"))
+        .join(supplier, F.expr("s_suppkey = l_suppkey"))
+        .join(orders, F.expr("o_orderkey = l_orderkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .selectExpr(
+            "n_name AS nation",
+            "year(o_orderdate) AS o_year",
             # amount = price*(1-disc) - 0.5*retail*qty is an exact multiple
             # of 1e-4 (prices/discounts are 2dp, qty integer), so accumulate
             # it as a scaled-e4 bigint instead of decimal(38,6) — the
@@ -632,9 +636,10 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             # group's sum < 2^63/1e4 ≈ 9e14 in money units — ~9e9 rows per
             # (nation, year) group at these magnitudes, i.e. past SF1000;
             # beyond that switch back to _dsum.
-            F.round(
-                (_rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")) * 10000
-            ).cast("long").alias("amount_e4"),
+            # (p_retailprice * 0.5), not (0.5 * ...): the Column form
+            # `0.5 * col` resolved via __rmul__ with that operand order
+            f"CAST(round(({_REV_SQL} - (p_retailprice * 0.5D) * l_quantity)"
+            " * 10000, 0) AS BIGINT) AS amount_e4",
         )
     )
     return _sorted_small(
@@ -644,7 +649,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sum s ending in ..50 e4-units, s/100.0 is an exact X.5 double
             # (X < 2^52), so HALF_UP matches the oracle's decimal rounding;
             # all other sums sit ≥ 0.01 from the boundary.
-            (F.round(F.sum("amount_e4") / 100.0) / 100.0).alias("sum_profit"),
+            F.expr("round(sum(amount_e4) / 100.0D, 0) / 100.0D AS sum_profit"),
         ),
         "nation",
         F.desc("o_year"),
@@ -684,19 +689,19 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "customer", "orders", "lineitem", "nation"
     )
     o = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        "o_orderdate >= CAST('1996-10-01' AS TIMESTAMP)"
+        " AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)"
     ).select("o_orderkey", "o_custkey")
     o_est = _source_bytes(sf_dir, "orders") * 0.04 * _BROADCAST_INFLATION
     per_cust = (
-        lineitem.filter(F.col("l_returnflag") == "R")
-        .join(_gated_broadcast(o, o_est), F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.filter("l_returnflag = 'R'")
+        .join(_gated_broadcast(o, o_est), F.expr("l_orderkey = o_orderkey"))
         .groupBy("o_custkey")
-        .agg(_esum(_rev(), "revenue"))
+        .agg(_esum_sql(_REV_SQL, "revenue"))
     )
     return (
-        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        customer.join(per_cust, F.expr("c_custkey = o_custkey"))
+        .join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -723,15 +728,17 @@ LIMIT 20
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, nation = _t(spark, sf_dir, "supplier", "nation")
     total = supplier.agg(
-        (F.sum(F.col("s_acctbal").cast(_DEC)).cast("double") * 0.05).alias("threshold")
+        F.expr(
+            f"CAST(sum(CAST(s_acctbal AS {_DEC})) AS DOUBLE) * 0.05D AS threshold"
+        )
     )
     return (
-        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        supplier.join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("s_acctbal").cast(_DEC)).cast("double").alias("raw_value"))
+        .agg(F.expr(f"CAST(sum(CAST(s_acctbal AS {_DEC})) AS DOUBLE) AS raw_value"))
         .join(F.broadcast(total))  # 1-row cross join ≡ scalar subquery
-        .filter(F.col("raw_value") > F.col("threshold"))
-        .select("n_name", F.round("raw_value", 2).alias("value"))
+        .filter("raw_value > threshold")
+        .selectExpr("n_name", "round(raw_value, 2) AS value")
         .orderBy(F.desc("value"), "n_name")
     )
 
@@ -768,19 +775,24 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed priority flag) measured neutral-to-worse — see
     # tools/ab_tpch.py.
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return _sorted_small(
         orders.hint("SHUFFLE_HASH")
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(lineitem, F.expr("o_orderkey = l_orderkey"))
         .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            "l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)"
+            " AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)"
+            " AND l_shipdate > o_orderdate + INTERVAL 30 DAYS"
         )
         .groupBy("l_linestatus")
         .agg(
-            F.count(F.when(high, 1)).alias("high_line_count"),
-            F.count(F.when(~high, 1)).alias("low_line_count"),
+            F.expr(
+                "count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 END) AS high_line_count"
+            ),
+            F.expr(
+                "count(CASE WHEN NOT (o_orderpriority IN ('1-URGENT', '2-HIGH'))"
+                " THEN 1 END) AS low_line_count"
+            ),
         ),
         "l_linestatus",
     )
@@ -815,16 +827,16 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r7 SF1 A/B (min-of-3): 0.81s -> 0.44s wall, compute 0.60 -> 0.18s.
     customer, orders = _t(spark, sf_dir, "customer", "orders")
     per_cust = (
-        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        orders.filter("o_orderpriority != '1-URGENT'")
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.expr("count(1) AS cnt"))
     )
     c_orders = customer.join(
-        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
-    ).select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        per_cust, F.expr("c_custkey = o_custkey"), "left_outer"
+    ).selectExpr("coalesce(cnt, 0) AS c_count")
     return _sorted_small(
         c_orders.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist")),
+        .agg(F.expr("count(1) AS custdist")),
         F.desc("custdist"),
         F.desc("c_count"),
     )
@@ -847,19 +859,19 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+            "l_shipdate >= CAST('1996-09-01' AS TIMESTAMP)"
+            " AND l_shipdate < CAST('1996-10-01' AS TIMESTAMP)"
         )
-        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.expr("l_partkey = p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0).cast(_DEC)
-                ).cast("double")
-                / F.sum(_rev().cast(_DEC)).cast("double"),
-                4,
-            ).alias("promo_revenue")
+            # (sum * 100.0), not (100.0 * sum): the Column form
+            # `100.0 * col` resolved via __rmul__ with that operand order
+            F.expr(
+                "round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN"
+                f" {_REV_SQL} ELSE 0.0D END AS {_DEC})) AS DOUBLE) * 100.0D"
+                f" / CAST(sum(CAST({_REV_SQL} AS {_DEC})) AS DOUBLE), 4)"
+                " AS promo_revenue"
+            )
         )
     )
 
@@ -887,11 +899,15 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compares the exact longs, so tie correctness is unchanged.
     revenue0 = (
         lineitem.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            "l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)"
+            " AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP)"
         )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.round(_rev() * 10000).cast("long")).alias("rev_e4"))
+        .groupBy(F.expr("l_suppkey AS supplier_no"))
+        .agg(
+            F.expr(
+                f"sum(CAST(round(({_REV_SQL}) * 10000, 0) AS BIGINT)) AS rev_e4"
+            )
+        )
     )
     # Global-max scalar subquery. revenue0 holds one 16-byte row per
     # supplier, so its size is bounded by |supplier| — a FUNCTION OF SF,
@@ -911,23 +927,21 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _source_bytes(sf_dir, "supplier") <= _BROADCAST_BYTES_CAP:
         best = (
             revenue0.coalesce(1)
-            .withColumn("max_rev", F.max("rev_e4").over(Window.partitionBy()))
-            .filter(F.col("rev_e4") == F.col("max_rev"))
+            .withColumn("max_rev", F.expr("max(rev_e4) OVER ()"))
+            .filter("rev_e4 = max_rev")
         )
     else:
         from pyspark import StorageLevel
 
         rev = revenue0.persist(StorageLevel.MEMORY_AND_DISK)
-        max_rev = rev.agg(F.max("rev_e4").alias("max_rev"))
-        best = rev.join(
-            F.broadcast(max_rev), F.col("rev_e4") == F.col("max_rev")
-        )
+        max_rev = rev.agg(F.expr("max(rev_e4) AS max_rev"))
+        best = rev.join(F.broadcast(max_rev), F.expr("rev_e4 = max_rev"))
     return (
-        best.join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
-        .select(
+        best.join(supplier, F.expr("supplier_no = s_suppkey"))
+        .selectExpr(
             "s_suppkey",
             "s_name",
-            (F.round(F.col("rev_e4") / 100.0) / 100.0).alias("total_revenue"),
+            "round(rev_e4 / 100.0D, 0) / 100.0D AS total_revenue",
         )
         .orderBy("s_suppkey")
     )
@@ -953,17 +967,16 @@ ORDER BY s_suppkey
 # anti-join subquery kept (comment LIKE → s_acctbal < 0 as "complaints").
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
-    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bad_supp = supplier.filter("s_acctbal < 0").select("s_suppkey")
     return _sorted_small(
         part.filter(
-            (F.col("p_brand") != "Brand#1")
-            & (F.col("p_type") != "PROMO")
-            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+            "p_brand != 'Brand#1' AND p_type != 'PROMO'"
+            " AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)"
         )
-        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
-        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(lineitem, F.expr("p_partkey = l_partkey"))
+        .join(bad_supp, F.expr("l_suppkey = s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")),
+        .agg(F.expr("count(DISTINCT l_suppkey) AS supplier_cnt")),
         F.desc("supplier_cnt"),
         "p_brand",
         "p_type",
@@ -988,18 +1001,19 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # per-part avg join). p_container absent → p_size = 10.
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
-    part_avg = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    part_avg = lineitem.groupBy(F.expr("l_partkey AS avg_partkey")).agg(
+        F.expr("avg(l_quantity) * 0.2D AS qty_threshold")
     )
     return (
-        part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 10))
-        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
-        .join(part_avg, F.col("p_partkey") == F.col("avg_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        part.filter("p_brand = 'Brand#3' AND p_size = 10")
+        .join(lineitem, F.expr("p_partkey = l_partkey"))
+        .join(part_avg, F.expr("p_partkey = avg_partkey"))
+        .filter("l_quantity < qty_threshold")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2
-            ).alias("avg_yearly")
+            F.expr(
+                f"round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE)"
+                " / 7.0D, 2) AS avg_yearly"
+            )
         )
     )
 
@@ -1023,22 +1037,22 @@ WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size = 10
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
-        lineitem.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        lineitem.groupBy(F.expr("l_orderkey AS big_orderkey"))
         # l_quantity is integer-valued, so the double sum is exact in any
         # addition order (≪ 2^53) — no Decimal128 accumulator needed.
-        .agg(F.sum("l_quantity").alias("order_qty"))
-        .filter(F.col("order_qty") > 150)
+        .agg(F.expr("sum(l_quantity) AS order_qty"))
+        .filter("order_qty > 150")
     )
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"))
-        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
+        orders.join(big, F.expr("o_orderkey = big_orderkey"))
+        .join(customer, F.expr("c_custkey = o_custkey"))
+        .selectExpr(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "CAST(o_orderdate AS DATE) AS o_orderdate",
             "o_totalprice",
-            F.round("order_qty", 2).cast("double").alias("sum_qty"),
+            "CAST(round(order_qty, 2) AS DOUBLE) AS sum_qty",
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -1065,26 +1079,17 @@ LIMIT 100
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & F.col("l_quantity").between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & F.col("l_quantity").between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(20, 30)
-        )
+        "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+        " AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+        " AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity BETWEEN 20 AND 30)"
     )
     return (
-        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(part, F.expr("p_partkey = l_partkey"))
         .filter(cond)
-        .agg(_esum(_rev(), "revenue"))
+        .agg(_esum_sql(_REV_SQL, "revenue"))
     )
 
 
@@ -1111,31 +1116,31 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "supplier", "nation", "lineitem", "part"
     )
     n5_supp = supplier.join(
-        F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
-        F.col("s_nationkey") == F.col("n_nationkey"),
+        F.broadcast(nation.filter("n_name = 'NATION_5'")),
+        F.expr("s_nationkey = n_nationkey"),
         "left_semi",
     )
-    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    small_parts = part.filter("p_name LIKE 'small%'").select("p_partkey")
     heavy_suppliers = (
         lineitem.join(
             F.broadcast(n5_supp.select("s_suppkey")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.expr("l_suppkey = s_suppkey"),
             "left_semi",
         )
-        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(small_parts, F.expr("l_partkey = p_partkey"), "left_semi")
         .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            "l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)"
+            " AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)"
         )
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("part_qty"))
-        .filter(F.col("part_qty") > 30)
+        .agg(F.expr("sum(l_quantity) AS part_qty"))
+        .filter("part_qty > 30")
         .select("l_suppkey")
         .distinct()
     )
     return (
         n5_supp.join(
-            heavy_suppliers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+            heavy_suppliers, F.expr("s_suppkey = l_suppkey"), "left_semi"
         )
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
@@ -1173,12 +1178,12 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, orders, nation = _t(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation"
     )
-    li = lineitem.select(
+    li = lineitem.selectExpr(
         "l_orderkey",
         "l_suppkey",
         "l_shipdate",
         # RANGE frames need a numeric sort key; days since an epoch is exact.
-        F.datediff("l_shipdate", F.lit("1990-01-01")).alias("ship_int"),
+        "datediff(l_shipdate, '1990-01-01') AS ship_int",
     ).join(
         # o_orderstatus is an ORDER attribute, so restricting to 'F' orders
         # BEFORE the window keeps every line of each surviving order — the
@@ -1186,10 +1191,10 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 'F' fraction. The join's hash(l_orderkey) clustering is reused
         # by the window (no second lineitem exchange). Measured 1.3× faster
         # at sf0.1 than windowing first.
-        orders.filter(F.col("o_orderstatus") == "F").select(
+        orders.filter("o_orderstatus = 'F'").select(
             "o_orderkey", "o_orderdate"
         ),
-        F.col("o_orderkey") == F.col("l_orderkey"),
+        F.expr("o_orderkey = l_orderkey"),
     )
     # "No OTHER supplier shipped strictly later" ⟺ my ship_int ≥ the max
     # ship_int among other suppliers' lines. other_max comes from one
@@ -1199,35 +1204,33 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the composite key. max_by tie-arbitrariness is harmless: if several
     # suppliers tie at the order's max, other_max = max_ship for every row
     # either way.
-    w_ord = Window.partitionBy("l_orderkey")
-    li = li.select(
+    li = li.selectExpr(
         "l_orderkey",
         "l_suppkey",
         "l_shipdate",
         "ship_int",
         "o_orderdate",
-        (F.min("l_suppkey").over(w_ord) != F.max("l_suppkey").over(w_ord)).alias(
-            "has_other"
-        ),
-        F.max("ship_int").over(w_ord).alias("max_ship"),
-        F.max_by("l_suppkey", "ship_int").over(w_ord).alias("last_supp"),
+        "(min(l_suppkey) OVER (PARTITION BY l_orderkey))"
+        " != (max(l_suppkey) OVER (PARTITION BY l_orderkey)) AS has_other",
+        "max(ship_int) OVER (PARTITION BY l_orderkey) AS max_ship",
+        "max_by(l_suppkey, ship_int) OVER (PARTITION BY l_orderkey) AS last_supp",
     )
     li = li.withColumn(
         "other_max",
-        F.when(F.col("l_suppkey") != F.col("last_supp"), F.col("max_ship")).otherwise(
-            F.max(
-                F.when(F.col("l_suppkey") != F.col("last_supp"), F.col("ship_int"))
-            ).over(w_ord)
+        F.expr(
+            "CASE WHEN l_suppkey != last_supp THEN max_ship"
+            " ELSE max(CASE WHEN l_suppkey != last_supp THEN ship_int END)"
+            " OVER (PARTITION BY l_orderkey) END"
         ),
     )
     return (
-        li.filter(F.col("has_other") & (F.col("ship_int") >= F.col("other_max")))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name") == "NATION_7")
+        li.filter("has_other AND ship_int >= other_max")
+        .filter("l_shipdate > o_orderdate + INTERVAL 60 DAYS")
+        .join(supplier, F.expr("s_suppkey = l_suppkey"))
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .filter("n_name = 'NATION_7'")
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.expr("count(1) AS numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
@@ -1259,22 +1262,22 @@ LIMIT 100
 # 40 rows at sf0.01 instead of the vacuous 0).
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = _t(spark, sf_dir, "customer", "orders")
-    cntry = (F.col("c_custkey") % 10).cast("int")
-    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
-            "avg_acctbal"
+    avg_bal = customer.filter("c_acctbal > 0.0D").agg(
+        F.expr(
+            f"CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE) / count(1)"
+            " AS avg_acctbal"
         )
     )
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    urgent = orders.filter("o_orderpriority = '1-URGENT'")
     return _sorted_small(
-        customer.filter(cntry.isin(1, 3, 5, 7, 9))
+        customer.filter("CAST(c_custkey % 10 AS INT) IN (1, 3, 5, 7, 9)")
         .join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_acctbal"))
-        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-        .groupBy(cntry.alias("cntrycode"))
+        .filter("c_acctbal > avg_acctbal")
+        .join(urgent, F.expr("o_custkey = c_custkey"), "left_anti")
+        .groupBy(F.expr("CAST(c_custkey % 10 AS INT) AS cntrycode"))
         .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            _esum("c_acctbal", "totacctbal"),
+            F.expr("count(1) AS numcust"),
+            _esum_sql("c_acctbal", "totacctbal"),
         ),
         "cntrycode",
     )
