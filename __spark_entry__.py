@@ -105,6 +105,9 @@ def _registries() -> tuple[dict, dict]:
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
         "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
         "tpch_q22",
+        #     text_tfidf: eager corpus-count job folded into the DAG as a
+        #     broadcast 1-row aggregate (scores byte-identical)
+        "text_tfidf",
         #     rewrite-memo schema-fingerprint revalidation + comment-aware
         #     invalidation (context.py) — every ctx.sql-routed family;
         #     _CTX_CACHE single-entry eviction (cb_v_*)
