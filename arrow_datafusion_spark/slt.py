@@ -1205,7 +1205,16 @@ def run_slt_file(
     return rep
 
 
-_RECORD_TIMEOUT_S = 60
+# Per-record wall-clock bound. Normal records finish in ~0.1 s; the bound
+# exists ONLY for pathological records (e.g. a runaway recursive CTE the
+# reference rejects at plan time but we detect at iteration time), so its
+# value trades pathological-case latency against FALSE "unrunnable" skips
+# on a heavily loaded box: with several competing local[32] JVMs, GC +
+# scheduler stalls pushed 3 ordinary timestamps.slt records past 60 s in
+# one r14 run and the file's pass floor flaked. 150 s keeps the runaway
+# bound while putting ~2.5 min of stall headroom between box load and a
+# spurious floor miss.
+_RECORD_TIMEOUT_S = 150
 
 
 def _run_records(ctx, records, rep: SltReport, stop_on_fail: bool) -> None:
